@@ -1,0 +1,87 @@
+package graft.url
+
+/** URL normal form + helpers (F1-F4 in SURVEY.md §2.8).
+  *
+  * Mirrors the reference's `normalizeURLtoString`
+  * (/root/reference/crawler.go:548-590): trim; fragment stripped; scheme-less
+  * hosts get `http://`; empty path on a host becomes `/`; single trailing
+  * slash stripped when path length > 1. Query kept verbatim; host case not
+  * folded. Pinned by the 16 cases of /root/reference/crawler_test.go:27-150.
+  */
+object UrlNorm {
+
+  /** Go strings.TrimSpace (Unicode White_Space), which — unlike Java's
+    * String.trim — includes NBSP-family codepoints.
+    */
+  def goTrimSpace(s: String): String = {
+    def isGoSpace(c: Char): Boolean =
+      Character.isWhitespace(c) || c == '\u0085' || c == '\u00A0' ||
+        c == '\u2007' || c == '\u202F'
+    var start = 0
+    var end = s.length
+    while (start < end && isGoSpace(s.charAt(start))) start += 1
+    while (end > start && isGoSpace(s.charAt(end - 1))) end -= 1
+    s.substring(start, end)
+  }
+
+  /** normalizeURLtoString parity. Left(reason) where the reference errors. */
+  def normalize(urlString: String): Either[String, String] = {
+    val trimmed = goTrimSpace(urlString)
+    if (trimmed.isEmpty)
+      return Left("input URL string is empty or only whitespace")
+
+    GoUrl.parse(trimmed) match {
+      case Left(err) => Left(s"failed to parse URL for normalization: $err")
+      case Right(parsed0) =>
+        var parsed = parsed0
+        if (parsed.scheme.isEmpty && parsed.host.isEmpty && parsed.path.isEmpty &&
+          parsed.rawQuery.isEmpty && parsed.fragment.nonEmpty)
+          return Left("input URL is effectively only a fragment, cannot normalize")
+
+        if (parsed.scheme.isEmpty && parsed.host.nonEmpty) {
+          if (!parsed.host.contains(':') &&
+            (trimmed.startsWith("//") || !trimmed.exists(c => c == '/' || c == '?' || c == '#'))) {
+            GoUrl.parse("http://" + trimmed) match {
+              case Right(withScheme) => parsed = withScheme
+              case Left(_)           =>
+            }
+          }
+        }
+        // Scheme-less host+path like "example.com/foo"
+        if (parsed.scheme.isEmpty && parsed.host.isEmpty && parsed.path.nonEmpty &&
+          !trimmed.startsWith("/") && parsed.path.contains('.')) {
+          GoUrl.parse("http://" + trimmed) match {
+            case Right(withScheme) => parsed = withScheme
+            case Left(_)           =>
+          }
+        }
+
+        parsed = parsed.copy(fragment = "", rawFragment = "")
+
+        if (parsed.host.nonEmpty && parsed.path.isEmpty)
+          parsed = parsed.copy(path = "/")
+
+        if (parsed.path.length > 1 && parsed.path.endsWith("/"))
+          parsed = parsed.copy(path = parsed.path.dropRight(1))
+
+        Right(parsed.toUrlString)
+    }
+  }
+
+  /** Path canonicalization used by --match / --follow-match predicates
+    * (/root/reference/crawler.go:470-475, :522-527): "" → "/", force a
+    * leading "/".
+    */
+  def pathForMatch(path: String): String =
+    if (path.isEmpty) "/"
+    else if (!path.startsWith("/")) "/" + path
+    else path
+
+  /** Hostname of an (already normalized) URL string; "" on parse failure. */
+  def hostnameOf(urlStr: String): String =
+    GoUrl.parse(urlStr).map(_.hostname).getOrElse("")
+
+  /** Decoded path of an (already normalized) URL string. */
+  def pathOf(urlStr: String): String =
+    GoUrl.parse(urlStr).map(_.path).getOrElse("")
+}
