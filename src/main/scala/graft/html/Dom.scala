@@ -1,0 +1,209 @@
+package graft.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal mutable DOM for the H1-H3 substrate (SURVEY.md §2.9): anchor
+  * iteration in document order, tag removal, CSS-selector slicing, and
+  * outer-HTML serialization. Modeled on the behavior of golang.org/x/net/html
+  * as used by goquery in the reference (/root/reference/crawler.go:487,
+  * /root/reference/processor.go:32-84).
+  */
+sealed trait HNode {
+  var parent: HElement = _
+  def remove(): Unit = {
+    if (parent != null) {
+      parent.children -= this
+      parent = null
+    }
+  }
+}
+
+final class HText(var data: String) extends HNode
+final class HComment(var data: String) extends HNode
+final class HDoctype(var data: String) extends HNode
+
+final class HElement(val tag: String) extends HNode {
+  var attrs: ArrayBuffer[(String, String)] = ArrayBuffer.empty
+  val children: ArrayBuffer[HNode] = ArrayBuffer.empty
+
+  def attr(name: String): Option[String] =
+    attrs.collectFirst { case (n, v) if n == name => v }
+
+  def setAttr(name: String, value: String): Unit = {
+    val i = attrs.indexWhere(_._1 == name)
+    if (i >= 0) attrs(i) = (name, value) else attrs += ((name, value))
+  }
+
+  def removeAttr(name: String): Unit = {
+    val i = attrs.indexWhere(_._1 == name)
+    if (i >= 0) attrs.remove(i)
+  }
+
+  def id: String = attr("id").getOrElse("")
+  def className: String = attr("class").getOrElse("")
+  def classes: Seq[String] =
+    className.split("\\s+").toIndexedSeq.filter(_.nonEmpty)
+
+  def appendChild(n: HNode): Unit = {
+    if (n.parent != null) n.parent.children -= n
+    n.parent = this
+    children += n
+  }
+
+  def insertBefore(n: HNode, ref: HNode): Unit = {
+    if (n.parent != null) n.parent.children -= n
+    val i = children.indexOf(ref)
+    n.parent = this
+    if (i < 0) children += n else children.insert(i, n)
+  }
+
+  /** Replace this element by another, moving the children. */
+  def replaceWithTag(newTag: String): HElement = {
+    val e = new HElement(newTag)
+    e.attrs = attrs.clone()
+    children.toVector.foreach(e.appendChild)
+    children.clear()
+    if (parent != null) {
+      val i = parent.children.indexOf(this)
+      e.parent = parent
+      parent.children(i) = e
+      parent = null
+    }
+    e
+  }
+
+  /** Pre-order document-order traversal of element descendants. */
+  def descendants: Iterator[HElement] = new Iterator[HElement] {
+    private val stack = scala.collection.mutable.Stack[HNode]()
+    children.reverseIterator.foreach(stack.push)
+    private var nextElem: HElement = advance()
+    private def advance(): HElement = {
+      while (stack.nonEmpty) {
+        stack.pop() match {
+          case e: HElement =>
+            e.children.reverseIterator.foreach(stack.push)
+            return e
+          case _ =>
+        }
+      }
+      null
+    }
+    def hasNext: Boolean = nextElem != null
+    def next(): HElement = {
+      val r = nextElem; nextElem = advance(); r
+    }
+  }
+
+  def selfAndDescendants: Iterator[HElement] = Iterator(this) ++ descendants
+
+  /** Concatenated text content (no normalization). */
+  def text: String = {
+    val sb = new StringBuilder
+    def walk(n: HNode): Unit = n match {
+      case t: HText    => sb.append(t.data)
+      case e: HElement => e.children.foreach(walk)
+      case _           =>
+    }
+    walk(this)
+    sb.toString
+  }
+
+  def innerHtml: String = {
+    val sb = new StringBuilder
+    children.foreach(c => HtmlSerializer.render(c, sb))
+    sb.toString
+  }
+
+  def outerHtml: String = {
+    val sb = new StringBuilder
+    HtmlSerializer.render(this, sb)
+    sb.toString
+  }
+
+  def find(selector: String): Vector[HElement] = Selector.select(this, selector)
+  def findFirst(selector: String): Option[HElement] = find(selector).headOption
+
+  /** goquery-style Find(sel).Remove() over the subtree. */
+  def removeAll(selector: String): Int = {
+    val hits = find(selector)
+    hits.foreach(_.remove())
+    hits.size
+  }
+}
+
+/** A parsed document: root <html> element plus any leading doctype/comments
+  * preserved for serialization.
+  */
+final class HDocument(val preamble: Vector[HNode], val root: HElement) {
+  def head: Option[HElement] = root.children.collectFirst {
+    case e: HElement if e.tag == "head" => e
+  }
+  def body: Option[HElement] = root.children.collectFirst {
+    case e: HElement if e.tag == "body" => e
+  }
+  def find(selector: String): Vector[HElement] = {
+    // includes the root itself when it matches (goquery matches from root)
+    Selector.selectWithSelf(root, selector)
+  }
+  def findFirst(selector: String): Option[HElement] = find(selector).headOption
+  def removeAll(selector: String): Int = {
+    val hits = find(selector)
+    hits.foreach(_.remove())
+    hits.size
+  }
+  /** Full-document serialization (goquery.OuterHtml(doc.Selection)). */
+  def outerHtml: String = {
+    val sb = new StringBuilder
+    preamble.foreach(n => HtmlSerializer.render(n, sb))
+    HtmlSerializer.render(root, sb)
+    sb.toString
+  }
+}
+
+object HtmlSerializer {
+  val voidElements: Set[String] = Set(
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr")
+
+  /** Raw-text elements whose children are rendered unescaped. */
+  val rawTextElements: Set[String] =
+    Set("script", "style", "iframe", "noembed", "noframes", "noscript", "plaintext", "xmp")
+
+  def escapeText(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&'  => sb.append("&amp;")
+        case '\'' => sb.append("&#39;")
+        case '<'  => sb.append("&lt;")
+        case '>'  => sb.append("&gt;")
+        case '"'  => sb.append("&#34;")
+        case c    => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  def render(n: HNode, sb: StringBuilder): Unit = n match {
+    case t: HText =>
+      if (t.parent != null && rawTextElements.contains(t.parent.tag))
+        sb.append(t.data)
+      else sb.append(escapeText(t.data))
+    case c: HComment =>
+      sb.append("<!--").append(c.data).append("-->")
+    case d: HDoctype =>
+      sb.append("<!DOCTYPE ").append(d.data).append(">")
+    case e: HElement =>
+      sb.append('<').append(e.tag)
+      e.attrs.foreach { case (k, v) =>
+        sb.append(' ').append(k).append("=\"").append(escapeText(v)).append('"')
+      }
+      sb.append('>')
+      if (!voidElements.contains(e.tag)) {
+        e.children.foreach(c => render(c, sb))
+        sb.append("</").append(e.tag).append('>')
+      }
+  }
+}
