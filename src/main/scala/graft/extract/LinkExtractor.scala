@@ -1,0 +1,67 @@
+package graft.extract
+
+import graft.glob.{CompiledGlob, GlobSet}
+import graft.html.HtmlParser
+import graft.url.{GoUrl, UrlNorm}
+
+/** H1 — the link generator (SURVEY.md §2.9): parse HTML, iterate `a[href]`
+  * in document order, resolve each href against the page URL (F2), normalize
+  * (F1), apply the scheme / same-host / follow-match predicates (P2/P3/P5),
+  * and first-wins dedup in page order (A2).
+  *
+  * Parity target: /root/reference/crawler.go:486-546, pinned by the 24 cases
+  * of /root/reference/crawler_test.go:507-768.
+  *
+  * Pure and deterministic — used from `Dataset.flatMap` on executors.
+  */
+object LinkExtractor {
+
+  /** Extract links exactly as the reference's crawl mode does.
+    *
+    * @param pageUrlStr  normalized page URL (the frontier row)
+    * @param startHost   Hostname() of the crawl's start URL (P3 gate)
+    * @param html        raw page HTML
+    * @param followGlobs compiled --follow-match patterns (empty → follow all)
+    * @return normalized link strings, first-occurrence order
+    */
+  def extract(
+      pageUrlStr: String,
+      startHost: String,
+      html: String,
+      followGlobs: Seq[CompiledGlob]): Vector[String] = {
+    GoUrl.parse(pageUrlStr) match {
+      case Left(_) => Vector.empty
+      case Right(pageUrl) =>
+        val doc =
+          try HtmlParser.parse(html)
+          catch { case _: Throwable => return Vector.empty }
+        val seen = scala.collection.mutable.HashSet[String]()
+        val out = Vector.newBuilder[String]
+        doc.find("a[href]").foreach { a =>
+          a.attr("href").foreach { href =>
+            pageUrl.parseRef(href) match {
+              case Left(_) => // unparseable href → skipped (crawler.go:503)
+              case Right(abs) =>
+                UrlNorm.normalize(abs.toUrlString) match {
+                  case Left(_) => // normalize error → skipped (crawler.go:509)
+                  case Right(norm) =>
+                    GoUrl.parse(norm) match {
+                      case Left(_) =>
+                      case Right(resolved) =>
+                        val ok =
+                          (resolved.scheme == "http" || resolved.scheme == "https") &&
+                            resolved.hostname == startHost &&
+                            GlobSet.shouldFollow(followGlobs, resolved.path)
+                        if (ok && !seen.contains(norm)) {
+                          seen += norm
+                          out += norm
+                        }
+                    }
+                }
+            }
+          }
+        }
+        out.result()
+    }
+  }
+}
