@@ -1,0 +1,210 @@
+package graft.extract
+
+import graft.html._
+
+/** HTML → Markdown conversion (H5 in SURVEY.md §2.9), modeled on
+  * JohannesKaufmann/html-to-markdown v1.6.0 with the GitHubFlavored plugin
+  * as configured by the reference (/root/reference/processor.go:97-98):
+  * CommonMark core (ATX headings, `**strong**`, `*em*`, links, images,
+  * lists, fenced code, blockquotes, `---` rules) plus GFM strikethrough,
+  * tables, and task lists. The final result is TrimSpace'd by the caller
+  * (processor.go:108).
+  */
+object Markdown {
+
+  def convert(html: String): String = {
+    val doc = HtmlParser.parse(html)
+    val out = renderBlocks(doc.root)
+    collapse(out).trim
+  }
+
+  def convertElement(e: HElement): String = collapse(renderBlocks(e)).trim
+
+  /** Blank out whitespace-only lines, then collapse 3+ newlines to 2. */
+  private def collapse(s: String): String =
+    s.replaceAll("(?m)^[ \\t]+$", "").replaceAll("\\n{3,}", "\n\n")
+
+  private val blockTags = Set("p", "div", "section", "article", "main", "aside",
+    "header", "footer", "nav", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol",
+    "li", "table", "blockquote", "pre", "hr", "figure", "figcaption", "address",
+    "fieldset", "form", "dl", "dt", "dd", "details", "summary", "body", "html", "head")
+
+  private def renderBlocks(e: HElement): String = {
+    val sb = new StringBuilder
+    e.children.foreach { n => sb.append(renderNode(n)) }
+    sb.toString
+  }
+
+  private def renderNode(n: HNode): String = n match {
+    case t: HText =>
+      if (t.data.forall(_.isWhitespace)) {
+        if (t.data.nonEmpty) " " else ""
+      } else inlineText(t.data)
+    case _: HComment => ""
+    case _: HDoctype => ""
+    case e: HElement => renderElement(e)
+  }
+
+  private def renderElement(e: HElement): String = e.tag match {
+    case "head" | "script" | "style" | "title" | "meta" | "link" | "template" => ""
+    case "html" | "body" => renderBlocks(e)
+    case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+      val level = e.tag.charAt(1) - '0'
+      val text = inline(e).trim.replaceAll("\\n+", " ")
+      if (text.isEmpty) "" else "\n\n" + ("#" * level) + " " + text + "\n\n"
+    case "p" =>
+      val content = inline(e).trim
+      if (content.isEmpty) "" else "\n\n" + content + "\n\n"
+    case "br" => "  \n"
+    case "hr" => "\n\n---\n\n"
+    case "blockquote" =>
+      val inner = collapse(renderBlocks(e)).trim
+      if (inner.isEmpty) ""
+      else "\n\n" + inner.linesIterator.map(l => ("> " + l).replaceAll("\\s+$", "")).mkString("\n") + "\n\n"
+    case "pre" =>
+      val code = e.text.stripLineEnd
+      "\n\n```\n" + code + "\n```\n\n"
+    case "ul" | "ol" => renderList(e, ordered = e.tag == "ol")
+    case "table"     => renderTable(e)
+    case "figure" | "figcaption" | "address" | "fieldset" | "form" | "details" |
+        "summary" | "div" | "section" | "article" | "main" | "aside" | "header" |
+        "footer" | "nav" | "dl" =>
+      // transparent block containers
+      renderBlocks(e)
+    case "dt" | "dd" =>
+      val content = inline(e).trim
+      if (content.isEmpty) "" else "\n\n" + content + "\n\n"
+    case _ => inlineElement(e)
+  }
+
+  // ---- lists ----
+
+  private def renderList(e: HElement, ordered: Boolean): String = {
+    val items = e.children.collect { case c: HElement if c.tag == "li" => c }
+    if (items.isEmpty) return ""
+    val sb = new StringBuilder("\n\n")
+    var idx = 1
+    items.foreach { li =>
+      val checkbox = li.findFirst("input[type=checkbox]")
+      val prefix =
+        if (ordered) s"$idx. "
+        else if (checkbox.isDefined) {
+          val checked = checkbox.get.attr("checked").isDefined
+          if (checked) "- [x] " else "- [ ] "
+        } else "- "
+      checkbox.foreach(_.remove())
+      val content = collapse(liContent(li)).trim
+      val indented = content.linesIterator.zipWithIndex.map {
+        case (line, 0) => prefix + line
+        case (line, _) => "    " + line
+      }.mkString("\n")
+      sb.append(indented).append('\n')
+      idx += 1
+    }
+    sb.append('\n')
+    sb.toString
+  }
+
+  private def liContent(li: HElement): String = {
+    val sb = new StringBuilder
+    li.children.foreach {
+      case t: HText => sb.append(renderNode(t))
+      case c: HElement if c.tag == "ul" || c.tag == "ol" =>
+        sb.append("\n").append(renderList(c, ordered = c.tag == "ol").trim).append("\n")
+      case c: HElement if blockTags.contains(c.tag) =>
+        sb.append(renderElement(c))
+      case c: HElement => sb.append(inlineElement(c))
+      case _           =>
+    }
+    sb.toString
+  }
+
+  // ---- tables (GFM) ----
+
+  private def renderTable(e: HElement): String = {
+    val rows = e.find("tr")
+    if (rows.isEmpty) return ""
+    def cells(tr: HElement): Vector[(String, String)] =
+      tr.children.collect {
+        case c: HElement if c.tag == "td" || c.tag == "th" =>
+          (c.tag, inline(c).trim.replaceAll("\\n+", " ").replace("|", "\\|"))
+      }.toVector
+    val allRows = rows.map(cells).filter(_.nonEmpty)
+    if (allRows.isEmpty) return ""
+    val headerIsTh = allRows.head.forall(_._1 == "th")
+    val nCols = allRows.map(_.size).max
+    val sb = new StringBuilder("\n\n")
+    def emitRow(r: Vector[(String, String)]): Unit = {
+      val padded = r.map(_._2).padTo(nCols, "")
+      sb.append("| ").append(padded.mkString(" | ")).append(" |\n")
+    }
+    if (headerIsTh) {
+      emitRow(allRows.head)
+      sb.append("|").append(" --- |" * nCols).append("\n")
+      allRows.tail.foreach(emitRow)
+    } else {
+      // GFM requires a header: emit empty header row
+      sb.append("|").append("  |" * nCols).append("\n")
+      sb.append("|").append(" --- |" * nCols).append("\n")
+      allRows.foreach(emitRow)
+    }
+    sb.append('\n')
+    sb.toString
+  }
+
+  // ---- inline ----
+
+  /** Inline content of an element (children only). */
+  private def inline(e: HElement): String = {
+    val sb = new StringBuilder
+    e.children.foreach {
+      case t: HText => sb.append(renderNode(t))
+      case c: HElement if blockTags.contains(c.tag) =>
+        // block inside inline context: render and keep separation
+        sb.append(renderElement(c))
+      case c: HElement => sb.append(inlineElement(c))
+      case _           =>
+    }
+    sb.toString
+  }
+
+  private def inlineElement(e: HElement): String = e.tag match {
+    case "strong" | "b" =>
+      val c = inline(e).trim
+      if (c.isEmpty) "" else s"**$c**"
+    case "em" | "i" =>
+      val c = inline(e).trim
+      if (c.isEmpty) "" else s"*$c*"
+    case "del" | "s" | "strike" =>
+      val c = inline(e).trim
+      if (c.isEmpty) "" else s"~~$c~~"
+    case "code" | "kbd" | "samp" | "tt" =>
+      val c = e.text
+      if (c.isEmpty) "" else s"`$c`"
+    case "a" =>
+      val href = e.attr("href").getOrElse("")
+      val text = inline(e).trim
+      val title = e.attr("title").map(t => s""" "$t"""").getOrElse("")
+      if (href.isEmpty) text
+      else if (text.isEmpty) ""
+      else s"[$text](${href.replace(" ", "%20")}$title)"
+    case "img" =>
+      val src = e.attr("src").getOrElse("")
+      val alt = e.attr("alt").getOrElse("")
+      val title = e.attr("title").map(t => s""" "$t"""").getOrElse("")
+      if (src.isEmpty) "" else s"![$alt](${src.replace(" ", "%20")}$title)"
+    case "br" => "  \n"
+    case "span" | "font" | "u" | "small" | "big" | "abbr" | "cite" | "q" |
+        "sub" | "sup" | "time" | "mark" | "label" | "picture" =>
+      inline(e)
+    case "input" | "textarea" | "select" | "button" | "iframe" | "object" |
+        "embed" | "video" | "audio" | "source" | "svg" | "canvas" | "noscript" => ""
+    case _ => inline(e)
+  }
+
+  /** Whitespace-collapse inline text like an HTML renderer would. */
+  private def inlineText(s: String): String = {
+    val collapsed = s.replaceAll("\\s+", " ")
+    collapsed
+  }
+}

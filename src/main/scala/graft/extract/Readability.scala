@@ -1,0 +1,678 @@
+package graft.extract
+
+import graft.html._
+import graft.url.GoUrl
+import scala.collection.mutable
+import scala.util.matching.Regex
+
+/** Readability-style main-content extraction (H4 in SURVEY.md §2.9).
+  *
+  * A from-scratch Scala implementation of the Mozilla Readability.js
+  * algorithm as used via go-shiori/go-readability in the reference
+  * (/root/reference/processor.go:86-95): candidate scoring (comma count +
+  * text length), ancestor score propagation, class weighting, link-density
+  * scaling, top-candidate + sibling assembly, conditional cleaning, H1→H2
+  * conversion, and relative-URI fixups against the page URL. Behavior is
+  * pinned by the reference's own assertions (processor_test.go:8-225) and by
+  * golden fixtures in src/test/resources/golden/.
+  */
+final case class Article(title: String, byline: String, content: String, textContent: String)
+
+object Readability {
+
+  private val rxUnlikelyCandidates: Regex =
+    ("(?i)-ad-|ai2html|banner|breadcrumbs|combx|comment|community|cover-wrap|disqus|extra|footer|gdpr|header|" +
+      "legends|menu|related|remark|replies|rss|shoutbox|sidebar|skyscraper|social|sponsor|supplemental|" +
+      "ad-break|agegate|pagination|pager|popup|yom-remote").r
+  private val rxOkMaybeCandidate: Regex =
+    "(?i)and|article|body|column|content|main|mathjax|shadow".r
+  private val rxPositive: Regex =
+    "(?i)article|body|content|entry|hentry|h-entry|main|page|pagination|post|text|blog|story".r
+  private val rxNegative: Regex =
+    ("(?i)-ad-|hidden|^hid$| hid$| hid |^hid |banner|combx|comment|com-|contact|footer|gdpr|masthead|media|" +
+      "meta|outbrain|promo|related|scroll|share|shoutbox|sidebar|skyscraper|sponsor|shopping|tags|widget").r
+  private val rxShare: Regex = "(?i)(\\b|_)(share|sharedaddy)(\\b|_)".r
+  private val rxTitleSeparator: Regex = " [\\|\\-\\\\/>»] ".r
+  private val rxTitleHierarchySep: Regex = " [\\\\/>»] ".r
+  private val rxByline: Regex = "(?i)byline|author|dateline|writtenby|p-author".r
+
+  private val DefaultTagsToScore = Set("section", "h2", "h3", "h4", "h5", "h6", "p", "td", "pre")
+  private val DivToPElems = Set("blockquote", "dl", "div", "img", "ol", "p", "pre", "table", "ul")
+  private val PhrasingElems = Set("abbr", "audio", "b", "bdo", "br", "button", "cite", "code", "data",
+    "datalist", "dfn", "em", "embed", "i", "img", "input", "kbd", "label", "mark", "math", "meter",
+    "noscript", "object", "output", "progress", "q", "ruby", "samp", "script", "select", "small",
+    "span", "strong", "sub", "sup", "textarea", "time", "var", "wbr")
+  private val AlterToDivExceptions = Set("div", "article", "section", "p", "ol", "ul")
+
+  private val CharThreshold = 500
+
+  // flag bits for the retry loop
+  private val FlagStripUnlikelys = 1
+  private val FlagWeightClasses = 2
+  private val FlagCleanConditionally = 4
+
+  def parse(rawHtml: String, pageUrl: GoUrl): Article = {
+    // metadata title is read from the pristine document
+    val metaDoc = HtmlParser.parse(rawHtml)
+    val metaTitle = getArticleMetadataTitle(metaDoc)
+    val articleTitle = if (metaTitle.nonEmpty) metaTitle else getArticleTitle(metaDoc)
+
+    var flags = FlagStripUnlikelys | FlagWeightClasses | FlagCleanConditionally
+    val attempts = mutable.ArrayBuffer[(HElement, Int)]()
+    var result: HElement = null
+    var done = false
+    while (!done) {
+      val doc = HtmlParser.parse(rawHtml) // fresh tree per attempt
+      prepDocument(doc)
+      val content = grabArticle(doc, flags, articleTitle)
+      val textLen = content.map(c => innerTextNorm(c).length).getOrElse(0)
+      if (content.isDefined && textLen >= CharThreshold) {
+        result = content.get
+        done = true
+      } else {
+        content.foreach(c => attempts += ((c, textLen)))
+        if ((flags & FlagStripUnlikelys) != 0) flags &= ~FlagStripUnlikelys
+        else if ((flags & FlagWeightClasses) != 0) flags &= ~FlagWeightClasses
+        else if ((flags & FlagCleanConditionally) != 0) flags &= ~FlagCleanConditionally
+        else {
+          // keep the longest attempt (may be empty)
+          if (attempts.nonEmpty) {
+            val best = attempts.maxBy(_._2)
+            result = best._1
+          }
+          done = true
+        }
+      }
+    }
+
+    if (result == null) return Article(articleTitle, "", "", "")
+
+    postProcess(result, pageUrl)
+    Article(
+      title = articleTitle,
+      byline = "",
+      content = result.innerHtml,
+      textContent = result.text)
+  }
+
+  // ---- title ----
+
+  private def wordCount(s: String): Int = s.split("\\s+").count(_.nonEmpty)
+
+  private def getArticleMetadataTitle(doc: HDocument): String = {
+    val metas = doc.find("meta")
+    def metaVal(keys: Set[String]): Option[String] =
+      metas.iterator.flatMap { m =>
+        val key = m.attr("property").orElse(m.attr("name")).getOrElse("").toLowerCase.trim
+        if (keys.contains(key)) m.attr("content").map(_.trim).filter(_.nonEmpty) else None
+      }.nextOption()
+    metaVal(Set("og:title", "twitter:title", "dc:title", "dcterm:title", "weibo:article:title",
+      "weibo:webpage:title", "title")).getOrElse("")
+  }
+
+  private[extract] def getArticleTitle(doc: HDocument): String = {
+    val origTitle = doc.findFirst("title").map(t => normSpace(t.text)).getOrElse("")
+    var curTitle = origTitle
+    var titleHadHierarchicalSeparators = false
+
+    if (rxTitleSeparator.findFirstIn(curTitle).isDefined) {
+      titleHadHierarchicalSeparators = rxTitleHierarchySep.findFirstIn(curTitle).isDefined
+      // remove the final part
+      curTitle = origTitle.replaceAll("(.*)[\\|\\-\\\\/>»] .*", "$1")
+      if (wordCount(curTitle) < 3)
+        curTitle = origTitle.replaceAll("[^\\|\\-\\\\/>»]*[\\|\\-\\\\/>»](.*)", "$1")
+    } else if (curTitle.contains(": ")) {
+      val headings = doc.find("h1") ++ doc.find("h2")
+      val trimmed = curTitle.trim
+      val matchFound = headings.exists(h => h.text.trim == trimmed)
+      if (!matchFound) {
+        curTitle = origTitle.substring(origTitle.lastIndexOf(':') + 1)
+        if (wordCount(curTitle) < 3) {
+          curTitle = origTitle.substring(origTitle.indexOf(':') + 1)
+          if (wordCount(origTitle.substring(0, origTitle.indexOf(':'))) > 5)
+            curTitle = origTitle
+        }
+      }
+    } else if (curTitle.length > 150 || curTitle.length < 15) {
+      val hOnes = doc.find("h1")
+      if (hOnes.size == 1) curTitle = normSpace(hOnes.head.text)
+    }
+
+    curTitle = normSpace(curTitle.trim)
+    val curCount = wordCount(curTitle)
+    if (curCount <= 4 && (!titleHadHierarchicalSeparators ||
+      curCount != wordCount(origTitle.replaceAll("[\\|\\-\\\\/>»]+", "")) - 1)) {
+      curTitle = origTitle
+    }
+    curTitle
+  }
+
+  // ---- prep ----
+
+  private def prepDocument(doc: HDocument): Unit = {
+    doc.removeAll("script")
+    doc.removeAll("noscript")
+    doc.removeAll("style")
+    replaceBrs(doc)
+    doc.find("font").foreach(_.replaceWithTag("span"))
+  }
+
+  /** Chains of 2+ <br> become paragraph breaks: following phrasing content
+    * is wrapped into a new <p> (Readability.js _replaceBrs).
+    */
+  private def replaceBrs(doc: HDocument): Unit = {
+    doc.find("br").foreach { br =>
+      if (br.parent != null) {
+        var next = nextSibling(br)
+        var replaced = false
+        // drop consecutive brs (allow whitespace between)
+        var continue = true
+        while (continue) {
+          next match {
+            case Some(e: HElement) if e.tag == "br" =>
+              replaced = true
+              val n = nextSibling(e)
+              e.remove()
+              next = n
+            case Some(t: HText) if t.data.forall(_.isWhitespace) =>
+              next = nextSibling(t)
+            case _ => continue = false
+          }
+        }
+        if (replaced) {
+          val parent = br.parent
+          val p = new HElement("p")
+          val idx = parent.children.indexOf(br)
+          parent.children(idx) = p
+          p.parent = parent
+          br.parent = null
+          // move subsequent phrasing siblings into p until a block break
+          var i = idx + 1
+          var moving = true
+          while (moving && i < parent.children.length) {
+            parent.children(i) match {
+              case e: HElement if e.tag == "br" => moving = false
+              case e: HElement if !isPhrasing(e) => moving = false
+              case n =>
+                parent.children.remove(i)
+                n.parent = null
+                p.appendChild(n)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  private def isPhrasing(e: HElement): Boolean =
+    PhrasingElems.contains(e.tag) ||
+      ((e.tag == "a" || e.tag == "del" || e.tag == "ins") &&
+        e.children.forall {
+          case c: HElement => isPhrasing(c)
+          case _           => true
+        })
+
+  private def nextSibling(n: HNode): Option[HNode] = {
+    val p = n.parent
+    if (p == null) None
+    else {
+      val i = p.children.indexOf(n)
+      if (i >= 0 && i + 1 < p.children.length) Some(p.children(i + 1)) else None
+    }
+  }
+
+  // ---- scoring helpers ----
+
+  private def normSpace(s: String): String = s.replaceAll("\\s+", " ").trim
+
+  private def innerTextNorm(e: HElement): String = normSpace(e.text)
+
+  private def classWeight(e: HElement, flags: Int): Double = {
+    if ((flags & FlagWeightClasses) == 0) return 0
+    var weight = 0.0
+    val cls = e.className
+    if (cls.nonEmpty) {
+      if (rxNegative.findFirstIn(cls).isDefined) weight -= 25
+      if (rxPositive.findFirstIn(cls).isDefined) weight += 25
+    }
+    val id = e.id
+    if (id.nonEmpty) {
+      if (rxNegative.findFirstIn(id).isDefined) weight -= 25
+      if (rxPositive.findFirstIn(id).isDefined) weight += 25
+    }
+    weight
+  }
+
+  private def initialScore(e: HElement, flags: Int): Double = {
+    val base = e.tag match {
+      case "div"                                            => 5.0
+      case "pre" | "td" | "blockquote"                      => 3.0
+      case "address" | "ol" | "ul" | "dl" | "dd" | "dt" | "li" | "form" => -3.0
+      case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" | "th"   => -5.0
+      case _                                                => 0.0
+    }
+    base + classWeight(e, flags)
+  }
+
+  private def linkDensity(e: HElement): Double = {
+    val textLen = innerTextNorm(e).length
+    if (textLen == 0) return 0
+    var linkLen = 0.0
+    e.selfAndDescendants.filter(_.tag == "a").foreach { a =>
+      val coeff = if (a.attr("href").exists(_.startsWith("#"))) 0.3 else 1.0
+      linkLen += innerTextNorm(a).length * coeff
+    }
+    linkLen / textLen
+  }
+
+  private def hasAncestorTag(e: HElement, tag: String, maxDepth: Int = 3): Boolean = {
+    var p = e.parent
+    var depth = 0
+    while (p != null && (maxDepth <= 0 || depth < maxDepth)) {
+      if (p.tag == tag) return true
+      p = p.parent
+      depth += 1
+    }
+    false
+  }
+
+  private def isVisible(e: HElement): Boolean = {
+    val style = e.attr("style").getOrElse("").toLowerCase
+    !(style.replace(" ", "").contains("display:none") ||
+      style.replace(" ", "").contains("visibility:hidden")) &&
+      e.attr("hidden").isEmpty &&
+      !e.attr("aria-hidden").contains("true")
+  }
+
+  private def hasChildBlockElement(e: HElement): Boolean =
+    e.children.exists {
+      case c: HElement => DivToPElems.contains(c.tag) || hasChildBlockElement(c)
+      case _           => false
+    }
+
+  private def hasSingleTagInside(e: HElement, tag: String): Boolean = {
+    val elems = e.children.collect { case c: HElement => c }
+    elems.size == 1 && elems.head.tag == tag &&
+    !e.children.exists {
+      case t: HText => t.data.exists(!_.isWhitespace)
+      case _        => false
+    }
+  }
+
+  // ---- grabArticle ----
+
+  private def grabArticle(doc: HDocument, flags: Int, articleTitle: String): Option[HElement] = {
+    val body = doc.body.getOrElse(return None)
+    val stripUnlikely = (flags & FlagStripUnlikelys) != 0
+
+    // 1) walk and clean; collect elements to score
+    val elementsToScore = mutable.ArrayBuffer[HElement]()
+
+    def walk(node: HElement): Unit = {
+      // iterate over a snapshot: children may be removed/replaced
+      val snapshot = node.children.toVector
+      snapshot.foreach {
+        case e: HElement =>
+          val matchString = e.className + " " + e.id
+          if (!isVisible(e)) e.remove()
+          else if (stripUnlikely &&
+            rxUnlikelyCandidates.findFirstIn(matchString).isDefined &&
+            rxOkMaybeCandidate.findFirstIn(matchString).isEmpty &&
+            !hasAncestorTag(e, "table") && !hasAncestorTag(e, "code") &&
+            e.tag != "body" && e.tag != "a") {
+            e.remove()
+          } else {
+            if (DefaultTagsToScore.contains(e.tag)) elementsToScore += e
+            if (e.tag == "div") {
+              // div wrapping a single p with no other text → unwrap
+              if (hasSingleTagInside(e, "p") && linkDensity(e) < 0.25) {
+                val p = e.children.collectFirst { case c: HElement => c }.get
+                val parent = e.parent
+                if (parent != null) {
+                  val i = parent.children.indexOf(e)
+                  parent.children(i) = p
+                  p.parent = parent
+                  e.parent = null
+                  elementsToScore += p
+                  walk(p)
+                }
+              } else if (!hasChildBlockElement(e)) {
+                val p = e.replaceWithTag("p")
+                elementsToScore += p
+                walk(p)
+              } else {
+                walk(e)
+              }
+            } else walk(e)
+          }
+        case _ =>
+      }
+    }
+    walk(body)
+
+    // 2) score
+    val scores = mutable.LinkedHashMap[HElement, Double]()
+    val candidates = mutable.ArrayBuffer[HElement]()
+
+    elementsToScore.foreach { el =>
+      if (el.parent != null) {
+        val innerText = innerTextNorm(el)
+        if (innerText.length >= 25) {
+          var contentScore = 1.0
+          contentScore += innerText.split(",").length - 1
+          contentScore += math.min(math.floor(innerText.length / 100.0), 3.0)
+
+          // propagate to up to 3 ancestors
+          var ancestor = el.parent
+          var level = 0
+          while (ancestor != null && ancestor.tag != "html" && level < 3) {
+            if (!scores.contains(ancestor)) {
+              scores(ancestor) = initialScore(ancestor, flags)
+              candidates += ancestor
+            }
+            val divider = if (level == 0) 1.0 else if (level == 1) 2.0 else level * 3.0
+            scores(ancestor) = scores(ancestor) + contentScore / divider
+            ancestor = ancestor.parent
+            level += 1
+          }
+        }
+      }
+    }
+
+    // 3) top candidate (scale by link density)
+    var topCandidate: HElement = null
+    var topScore = Double.MinValue
+    candidates.foreach { c =>
+      val s = scores(c) * (1 - linkDensity(c))
+      scores(c) = s
+      if (s > topScore) { topScore = s; topCandidate = c }
+    }
+
+    var neededToCreateTopCandidate = false
+    if (topCandidate == null || topCandidate.tag == "body") {
+      neededToCreateTopCandidate = true
+      val div = new HElement("div")
+      body.children.toVector.foreach(div.appendChild)
+      body.children.clear()
+      body.appendChild(div)
+      topCandidate = div
+      scores(topCandidate) = initialScore(topCandidate, flags)
+    } else {
+      // walk up while a parent holds most of the children's score mass
+      var parentOfTop = topCandidate.parent
+      var lastScore = scores(topCandidate)
+      val scoreThreshold = lastScore / 3.0
+      var continue = true
+      while (continue && parentOfTop != null && parentOfTop.tag != "body") {
+        scores.get(parentOfTop) match {
+          case None => parentOfTop = parentOfTop.parent
+          case Some(parentScore) =>
+            if (parentScore < scoreThreshold) continue = false
+            else if (parentScore > lastScore) {
+              topCandidate = parentOfTop
+              continue = false
+            } else {
+              lastScore = parentScore
+              parentOfTop = parentOfTop.parent
+            }
+        }
+      }
+      // single-child unwrapping
+      var parent = topCandidate.parent
+      while (parent != null && parent.tag != "body" &&
+        parent.children.count(_.isInstanceOf[HElement]) == 1) {
+        topCandidate = parent
+        parent = topCandidate.parent
+      }
+    }
+
+    // 4) sibling assembly
+    val articleContent = new HElement("div")
+    val siblingThreshold = math.max(10.0, scores.getOrElse(topCandidate, 0.0) * 0.2)
+    val parentOfTop = if (topCandidate.parent != null) topCandidate.parent else body
+    val siblings = parentOfTop.children.toVector
+
+    siblings.foreach {
+      case s: HElement =>
+        var append = false
+        if (s eq topCandidate) append = true
+        else {
+          var bonus = 0.0
+          if (s.className == topCandidate.className && topCandidate.className.nonEmpty)
+            bonus = scores.getOrElse(topCandidate, 0.0) * 0.2
+          if (scores.contains(s) && scores(s) + bonus >= siblingThreshold) append = true
+          else if (s.tag == "p") {
+            val ld = linkDensity(s)
+            val text = innerTextNorm(s)
+            val len = text.length
+            if (len > 80 && ld < 0.25) append = true
+            else if (len < 80 && len > 0 && ld == 0 && text.matches(".*\\.( |$).*")) append = true
+          }
+        }
+        if (append) {
+          val node =
+            if (!AlterToDivExceptions.contains(s.tag)) s.replaceWithTag("div") else s
+          articleContent.appendChild(node)
+        }
+      case _ =>
+    }
+
+    // 5) prepArticle
+    prepArticle(articleContent, flags)
+
+    // wrap in the readability page div
+    val wrapper = new HElement("div")
+    wrapper.setAttr("id", "readability-page-1")
+    wrapper.setAttr("class", "page")
+    articleContent.children.toVector.foreach(wrapper.appendChild)
+    articleContent.children.clear()
+    articleContent.appendChild(wrapper)
+    Some(articleContent)
+  }
+
+  // ---- prepArticle ----
+
+  private def prepArticle(article: HElement, flags: Int): Unit = {
+    // strip inline styles
+    article.selfAndDescendants.foreach { e =>
+      e.removeAttr("style")
+      e.removeAttr("align")
+      e.removeAttr("bgcolor")
+    }
+
+    cleanConditionally(article, "form", flags)
+    cleanConditionally(article, "fieldset", flags)
+    clean(article, "object")
+    clean(article, "embed")
+    clean(article, "footer")
+    clean(article, "link")
+    clean(article, "aside")
+
+    // share elements at top level of article children
+    article.children.toVector.foreach {
+      case e: HElement =>
+        val ms = e.className + " " + e.id
+        if (rxShare.findFirstIn(ms).isDefined && innerTextNorm(e).length < 500) e.remove()
+      case _ =>
+    }
+
+    clean(article, "iframe")
+    clean(article, "input")
+    clean(article, "textarea")
+    clean(article, "select")
+    clean(article, "button")
+    cleanHeaders(article, flags)
+
+    cleanConditionally(article, "table", flags)
+    cleanConditionally(article, "ul", flags)
+    cleanConditionally(article, "div", flags)
+
+    // replace h1 → h2
+    article.find("h1").foreach(_.replaceWithTag("h2"))
+
+    // remove empty paragraphs
+    article.find("p").foreach { p =>
+      val hasMedia = p.selfAndDescendants.exists(e =>
+        e.tag == "img" || e.tag == "embed" || e.tag == "object" || e.tag == "iframe")
+      if (!hasMedia && innerTextNorm(p).isEmpty) p.remove()
+    }
+
+    // remove br preceding a p
+    article.find("br").foreach { br =>
+      nextSibling(br) match {
+        case Some(e: HElement) if e.tag == "p" => br.remove()
+        case _                                 =>
+      }
+    }
+
+    // remove class attributes except the preserved "page"
+    article.selfAndDescendants.foreach { e =>
+      if (e.attr("class").exists(_ != "page")) e.removeAttr("class")
+    }
+  }
+
+  private def clean(article: HElement, tag: String): Unit =
+    article.find(tag).foreach(_.remove())
+
+  private def cleanHeaders(article: HElement, flags: Int): Unit =
+    (article.find("h1") ++ article.find("h2")).foreach { h =>
+      if (classWeight(h, flags) < 0) h.remove()
+    }
+
+  /** Readability.js _markDataTables: tables that look like data (caption,
+    * th/thead/tfoot/col, summary attr, or big row×col counts) are spared
+    * from conditional cleaning.
+    */
+  private def isDataTable(t: HElement): Boolean = {
+    if (t.attr("role").contains("presentation")) return false
+    if (t.attr("datatable").contains("0")) return false
+    if (t.attr("summary").exists(_.nonEmpty)) return true
+    if (t.find("caption").exists(_.children.nonEmpty)) return true
+    if (Seq("col", "colgroup", "tfoot", "thead", "th").exists(tag => t.find(tag).nonEmpty))
+      return true
+    if (t.find("table").nonEmpty) return false // nested table → layout
+    val rows = t.find("tr").size
+    var cols = 0
+    t.find("tr").foreach { tr =>
+      val c = tr.children.count {
+        case e: HElement => e.tag == "td" || e.tag == "th"
+        case _           => false
+      }
+      cols = math.max(cols, c)
+    }
+    rows >= 10 || cols > 4 || rows * cols > 10
+  }
+
+  private def cleanConditionally(article: HElement, tag: String, flags: Int): Unit = {
+    if ((flags & FlagCleanConditionally) == 0) return
+    article.find(tag).foreach { node =>
+      if (node.parent != null && !(tag == "table" && isDataTable(node))) {
+        val weight = classWeight(node, flags)
+        if (weight < 0) node.remove()
+        else {
+          val text = innerTextNorm(node)
+          if (text.split(",").length - 1 < 10) {
+            val ps = node.find("p").size
+            val imgs = node.find("img").size
+            val lis = node.find("li").size - 100
+            val inputs = node.find("input").size
+            val embeds = node.find("embed").size + node.find("object").size +
+              node.find("iframe").size
+            val ld = linkDensity(node)
+            val contentLength = text.length
+            val haveToRemove =
+              (imgs > 1 && ps.toDouble / imgs < 0.5 && !hasAncestorTag(node, "figure")) ||
+                (tag != "ul" && tag != "ol" && lis > ps) ||
+                (inputs > math.floor(ps / 3.0)) ||
+                (tag != "ul" && tag != "ol" && contentLength < 25 && (imgs == 0 || imgs > 2) &&
+                  !hasAncestorTag(node, "figure")) ||
+                (weight < 25 && ld > 0.2) ||
+                (weight >= 25 && ld > 0.5) ||
+                ((embeds == 1 && contentLength < 75) || embeds > 1)
+            if (haveToRemove) node.remove()
+          }
+        }
+      }
+    }
+  }
+
+  // ---- post-process ----
+
+  private def postProcess(article: HElement, pageUrl: GoUrl): Unit = {
+    fixRelativeUris(article, pageUrl)
+    simplifyNestedElements(article)
+  }
+
+  private def toAbsolute(pageUrl: GoUrl, uri: String): String =
+    pageUrl.parseRef(uri).map(_.toUrlString).getOrElse(uri)
+
+  private def fixRelativeUris(article: HElement, pageUrl: GoUrl): Unit = {
+    article.find("a").foreach { a =>
+      a.attr("href").foreach { href =>
+        if (href.startsWith("javascript:")) {
+          // replace links with their text (Readability.js behavior)
+          val t = new HText(a.text)
+          val parent = a.parent
+          if (parent != null) {
+            val i = parent.children.indexOf(a)
+            parent.children(i) = t
+            t.parent = parent
+            a.parent = null
+          }
+        } else if (href.nonEmpty) {
+          a.setAttr("href", toAbsolute(pageUrl, href))
+        }
+      }
+    }
+    (article.find("img") ++ article.find("picture") ++ article.find("figure") ++
+      article.find("video") ++ article.find("audio") ++ article.find("source")).foreach { m =>
+      m.attr("src").filter(_.nonEmpty).foreach(s => m.setAttr("src", toAbsolute(pageUrl, s)))
+      m.attr("poster").filter(_.nonEmpty).foreach(s => m.setAttr("poster", toAbsolute(pageUrl, s)))
+      m.attr("srcset").filter(_.nonEmpty).foreach { srcset =>
+        val fixed = srcset.split(",").map { part =>
+          val bits = part.trim.split("\\s+", 2)
+          if (bits.nonEmpty && bits(0).nonEmpty) {
+            val abs = toAbsolute(pageUrl, bits(0))
+            if (bits.length > 1) s"$abs ${bits(1)}" else abs
+          } else part.trim
+        }.mkString(", ")
+        m.setAttr("srcset", fixed)
+      }
+    }
+  }
+
+  private def simplifyNestedElements(article: HElement): Unit = {
+    var node: HElement = article
+    val toVisit = mutable.Queue[HElement](article)
+    while (toVisit.nonEmpty) {
+      node = toVisit.dequeue()
+      node.children.toVector.foreach {
+        case e: HElement =>
+          if ((e.tag == "div" || e.tag == "section") && e.id != "readability-page-1") {
+            if (isElementWithoutContent(e)) { e.remove() }
+            else if (hasSingleTagInside(e, "div") || hasSingleTagInside(e, "section")) {
+              val child = e.children.collectFirst { case c: HElement => c }.get
+              e.attrs.foreach { case (k, v) => if (child.attr(k).isEmpty) child.setAttr(k, v) }
+              val parent = e.parent
+              val i = parent.children.indexOf(e)
+              parent.children(i) = child
+              child.parent = parent
+              e.parent = null
+              toVisit.enqueue(child)
+            } else toVisit.enqueue(e)
+          } else toVisit.enqueue(e)
+        case _ =>
+      }
+    }
+  }
+
+  private def isElementWithoutContent(e: HElement): Boolean = {
+    val text = e.text
+    text.forall(_.isWhitespace) && (e.children.isEmpty ||
+      e.children.count {
+        case c: HElement => c.tag != "br" && c.tag != "hr"
+        case t: HText    => t.data.exists(!_.isWhitespace)
+        case _           => false
+      } == 0)
+  }
+}
