@@ -1,0 +1,263 @@
+package graft.corpus
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+
+/** Deterministic seeded Common-Crawl-style corpus generator (FIXTURES.md §1).
+  *
+  * Emits the `pages(url, warc_ts, html, text, lang)` table from
+  * BASELINE.json's input_hint plus ground-truth side tables used ONLY by the
+  * DuckDB oracle (never by the engine):
+  *
+  *   - links(src_url, dst_url, pos): exactly the edges the reference's link
+  *     extractor keeps (same-host, http(s), first-wins dedup, doc order)
+  *   - meta(url, host, host_idx, page_idx, section, title, n_links, exists)
+  *   - robots(host, disallow_prefix): synthetic robots.txt rules
+  *
+  * Every row derives purely from (seed, host_idx, page_idx) via splittable
+  * hashing, so generation is order- and partitioning-independent — the same
+  * spec yields byte-identical tables at any parallelism.
+  *
+  * Site shape: per-host BFS tree (i → 2i+1, 2i+2) + hashed cross edges +
+  * home links, Zipf-skewed host sizes (mega-host at index 0 exercises
+  * skew/salting), plus noise anchors (external host, mailto, ftp) the
+  * extractor must drop, and dangling links (fetch-error path,
+  * /root/reference/crawler.go:389-390).
+  */
+final case class CorpusSpec(nHosts: Int, totalPages: Int, seed: Long) {
+  /** Zipf-ish host sizes (weight 1/(h+1)^0.8), each at least 4 pages. */
+  lazy val hostSizes: Array[Int] = {
+    val weights = Array.tabulate(nHosts)(h => 1.0 / math.pow(h + 1, 0.8))
+    val wsum = weights.sum
+    val sizes = weights.map(w => math.max(4, (totalPages * w / wsum).toInt))
+    sizes
+  }
+  lazy val hostOffsets: Array[Long] = hostSizes.scanLeft(0L)(_ + _).init
+  lazy val actualTotal: Long = hostSizes.map(_.toLong).sum
+}
+
+final case class PageRow(url: String, warc_ts: Timestamp, html: Array[Byte],
+    text: String, lang: String)
+final case class LinkRow(src_url: String, dst_url: String, pos: Int)
+final case class MetaRow(url: String, host: String, host_idx: Int, page_idx: Int,
+    section: String, title: String, n_links: Int)
+final case class RobotsRow(host: String, disallow_prefix: String)
+
+object CorpusGen {
+
+  val Sections: Vector[String] = Vector("articles", "products", "docs", "misc")
+  private val Langs = Vector("en", "en", "en", "de", "ja")
+
+  // splittable hash (xorshift-mixed), stable across JVMs
+  def mix(seed: Long, a: Long, b: Long, c: Long): Long = {
+    var x = seed ^ (a * 0x9e3779b97f4a7c15L) ^ (b * 0xc2b2ae3d27d4eb4fL) ^ (c * 0x165667b19e3779f9L)
+    x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+    x ^= x >>> 27; x *= 0x94d049bb133111ebL
+    x ^= x >>> 31
+    x & Long.MaxValue
+  }
+
+  def hostName(h: Int): String = s"host$h.test"
+
+  def pageUrl(h: Int, i: Int): String =
+    if (i == 0) s"http://${hostName(h)}/"
+    else s"http://${hostName(h)}/${Sections(i % Sections.length)}/page-$i"
+
+  def pagePath(h: Int, i: Int): String =
+    if (i == 0) "/" else s"/${Sections(i % Sections.length)}/page-$i"
+
+  def pageTitle(h: Int, i: Int): String = s"Host $h Page $i of Synthetic Corpus"
+
+  /** A host's robots rule: every third host disallows /misc. */
+  def robotsRules(spec: CorpusSpec): Seq[RobotsRow] =
+    (0 until spec.nHosts).collect {
+      case h if h % 3 == 0 => RobotsRow(hostName(h), "/misc")
+    }
+
+  /** Ordered, deduped link targets of page (h, i): the ground truth the
+    * extractor must reproduce. `None` entries are dangling (no page row).
+    */
+  def linkTargets(spec: CorpusSpec, h: Int, i: Int): Vector[String] = {
+    val n = spec.hostSizes(h)
+    val raw = Vector.newBuilder[Int]
+    raw += 0 // the template's nav "Home" anchor comes first in doc order
+    if (2 * i + 1 < n) raw += 2 * i + 1
+    if (2 * i + 2 < n) raw += 2 * i + 2
+    // hashed cross edges (may duplicate tree edges → first-wins dedup)
+    raw += (mix(spec.seed, h, i, 1) % n).toInt
+    raw += (mix(spec.seed, h, i, 2) % n).toInt
+    val targets = raw.result()
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    targets.foreach(j => seen += pageUrl(h, j))
+    // occasional dangling link (simulates the fetch-error/skip path)
+    if (mix(spec.seed, h, i, 3) % 7 == 0)
+      seen += s"http://${hostName(h)}/articles/missing-$i"
+    seen.toVector
+  }
+
+  /** Deterministic filler text with commas/sentences so readability scores
+    * the paragraphs as content.
+    */
+  def filler(spec: CorpusSpec, h: Int, i: Int, k: Int): String = {
+    val words = Vector("signal", "corpus", "frontier", "lattice", "harbor",
+      "index", "vector", "shard", "beacon", "crawler", "anchor", "cache")
+    val r = mix(spec.seed, h, i, 100 + k)
+    val sb = new StringBuilder
+    var x = r
+    (0 until 5).foreach { s =>
+      val len = 6 + (x % 5).toInt
+      val parts = (0 until len).map { w =>
+        x = mix(x, w, s, k)
+        words((x % words.length).toInt)
+      }
+      sb.append(parts.mkString(" ")).append(if (s % 2 == 0) ", " else ". ")
+    }
+    sb.append("This synthetic paragraph describes page ").append(i)
+      .append(" of host ").append(h).append(", generated for crawl testing.")
+    sb.toString
+  }
+
+  /** The page HTML. Anchors appear in a known document order with noise the
+    * extractor must drop interleaved.
+    */
+  def pageHtml(spec: CorpusSpec, h: Int, i: Int): String = {
+    val targets = linkTargets(spec, h, i)
+    val anchors = new StringBuilder
+    // noise first: external host, mailto (dropped by P2/P3)
+    anchors.append("<li><a href=\"http://other.example/offsite\">Elsewhere</a></li>\n")
+    targets.zipWithIndex.foreach { case (t, idx) =>
+      // alternate href forms: absolute path vs full URL (both resolve to t)
+      val href =
+        if (mix(spec.seed, h, i, 200 + idx) % 2 == 0) {
+          val slash = t.indexOf('/', "http://".length)
+          t.substring(slash) // absolute path
+        } else t
+      anchors.append(s"""<li><a href="$href">Link $idx</a></li>\n""")
+      if (idx == 0) // duplicate anchor, first-wins dedup must drop it
+        anchors.append(s"""<li><a href="$href">Link $idx again</a></li>\n""")
+    }
+    anchors.append("<li><a href=\"mailto:team@host.test\">Mail us</a></li>\n")
+    anchors.append("<li><a href=\"ftp://host.test/file\">FTP</a></li>\n")
+
+    val maybeTable =
+      if (i % 5 == 1)
+        """<table><tr><th>Key</th><th>Value</th></tr><tr><td>depth</td><td>tree</td></tr><tr><td>kind</td><td>synthetic</td></tr></table>"""
+      else ""
+
+    s"""<html><head><title>${pageTitle(h, i)}</title>
+       |<style>body { margin: 0; }</style>
+       |<link rel="stylesheet" href="/static/site.css">
+       |</head><body>
+       |<script>window.__noise = ${i};</script>
+       |<nav class="menu"><a href="/">Home</a></nav>
+       |<article>
+       |<h1>Heading for page $i of host $h</h1>
+       |<p>${filler(spec, h, i, 0)}</p>
+       |<p>${filler(spec, h, i, 1)} It also links related pages, <strong>important</strong> ones, with <em>notes</em>.</p>
+       |$maybeTable
+       |<ul class="links">
+       |${anchors.toString}</ul>
+       |<p>${filler(spec, h, i, 2)}</p>
+       |</article>
+       |<img src="/static/banner-$i.png" alt="banner">
+       |<footer><p>Generated corpus page. Host $h.</p></footer>
+       |</body></html>""".stripMargin
+  }
+
+  def pageRow(spec: CorpusSpec, h: Int, i: Int): PageRow = {
+    val ts = new Timestamp(1700000000000L + (mix(spec.seed, h, i, 9) % 86400000L))
+    PageRow(
+      url = pageUrl(h, i),
+      warc_ts = ts,
+      html = pageHtml(spec, h, i).getBytes(StandardCharsets.UTF_8),
+      text = filler(spec, h, i, 0),
+      lang = Langs((mix(spec.seed, h, i, 4) % Langs.length).toInt))
+  }
+
+  def metaRow(spec: CorpusSpec, h: Int, i: Int): MetaRow =
+    MetaRow(
+      url = pageUrl(h, i),
+      host = hostName(h),
+      host_idx = h,
+      page_idx = i,
+      section = if (i == 0) "" else Sections(i % Sections.length),
+      title = pageTitle(h, i),
+      n_links = linkTargets(spec, h, i).size)
+
+  def linkRows(spec: CorpusSpec, h: Int, i: Int): Seq[LinkRow] =
+    linkTargets(spec, h, i).zipWithIndex.map { case (dst, pos) =>
+      LinkRow(pageUrl(h, i), dst, pos)
+    }
+
+  /** Map a global row id to (host_idx, page_idx). */
+  def locate(spec: CorpusSpec, globalIdx: Long): (Int, Int) = {
+    var lo = 0
+    var hi = spec.nHosts - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (spec.hostOffsets(mid) <= globalIdx) lo = mid else hi = mid - 1
+    }
+    (lo, (globalIdx - spec.hostOffsets(lo)).toInt)
+  }
+
+  /** Generate + write all corpus tables under `dir` (idempotent: skipped when
+    * the marker file exists). Distributed, partition-independent.
+    */
+  def ensure(spark: SparkSession, dir: String, spec: CorpusSpec): Unit = {
+    val marker = new java.io.File(s"$dir/_CORPUS_READY")
+    if (marker.exists()) return
+    import spark.implicits._
+
+    val bcSpec = spark.sparkContext.broadcast(spec)
+    val parts = math.max(spark.sparkContext.defaultParallelism, 8)
+
+    val ids = spark.range(0, spec.actualTotal, 1, parts)
+    ids.mapPartitions { it =>
+      val s = bcSpec.value
+      it.map { id => val (h, i) = CorpusGen.locate(s, id); CorpusGen.pageRow(s, h, i) }
+    }.write.mode("overwrite").parquet(s"$dir/pages.parquet")
+
+    ids.mapPartitions { it =>
+      val s = bcSpec.value
+      it.flatMap { id => val (h, i) = CorpusGen.locate(s, id); CorpusGen.linkRows(s, h, i) }
+    }.write.mode("overwrite").parquet(s"$dir/links.parquet")
+
+    ids.mapPartitions { it =>
+      val s = bcSpec.value
+      it.map { id => val (h, i) = CorpusGen.locate(s, id); CorpusGen.metaRow(s, h, i) }
+    }.write.mode("overwrite").parquet(s"$dir/meta.parquet")
+
+    robotsRules(spec).toDS().write.mode("overwrite").parquet(s"$dir/robots.parquet")
+
+    marker.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(marker.toPath,
+      s"""{"nHosts":${spec.nHosts},"totalPages":${spec.totalPages},"seed":${spec.seed},"actualTotal":${spec.actualTotal}}""")
+  }
+
+  /** Spec for a given sf directory label (deterministic scale mapping). */
+  def specFor(sfDir: String): CorpusSpec = {
+    val label = sfDir.replaceAll("/+$", "").split('/').last
+    label match {
+      case "sf0.001" => CorpusSpec(nHosts = 4, totalPages = 600, seed = 42L)
+      case "sf0.01"  => CorpusSpec(nHosts = 8, totalPages = 6000, seed = 42L)
+      case "sf0.1"   => CorpusSpec(nHosts = 16, totalPages = 60000, seed = 42L)
+      case _         => CorpusSpec(nHosts = 4, totalPages = 600, seed = 42L)
+    }
+  }
+
+  /** Canonical on-disk location of the corpus for an sf dir. */
+  def corpusDir(sfDir: String): String = {
+    val label = sfDir.replaceAll("/+$", "").split('/').last
+    s"/root/repo/work/corpus/$label"
+  }
+
+  def ensureFor(spark: SparkSession, sfDir: String): String = {
+    val dir = corpusDir(sfDir)
+    ensure(spark, dir, specFor(sfDir))
+    dir
+  }
+
+  def pages(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/pages.parquet")
+}

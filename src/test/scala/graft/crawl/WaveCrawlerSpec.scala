@@ -1,0 +1,174 @@
+package graft.crawl
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.corpus.{CorpusGen, CorpusSpec}
+import graft.extract.LinkExtractor
+
+/** Crawl-order equivalence (SURVEY.md §5 item 3, §7.4a): the Spark wave
+  * scheduler must reproduce the reference FIFO loop's save order, saved set,
+  * final seen set, and BFS depths — across the flag grid {limit, match,
+  * follow-match, list mode} — with the in-memory RefCrawler transliteration
+  * as oracle, over the deterministic synthetic corpus.
+  */
+class WaveCrawlerSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private val spec = CorpusSpec(nHosts = 3, totalPages = 90, seed = 7L)
+  private lazy val corpusDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graftcorpus").toString
+    CorpusGen.ensure(spark, dir, spec)
+    dir
+  }
+  private lazy val pages = spark.read.parquet(s"$corpusDir/pages.parquet")
+
+  /** The same corpus as an in-memory web for the oracle. */
+  private lazy val web: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    for (h <- 0 until spec.nHosts; i <- 0 until spec.hostSizes(h))
+      b += CorpusGen.pageUrl(h, i) -> CorpusGen.pageHtml(spec, h, i)
+    b.result()
+  }
+
+  private val seed0 = "http://host0.test/"
+
+  private def sparkCrawl(config: CrawlConfig): (Vector[String], Set[String], Map[String, Int]) = {
+    val out = WaveCrawler.crawl(spark, pages, config)
+    val saved = out.saved.orderBy("depth", "seq").select("url")
+      .collect().map(_.getString(0)).toVector
+    val seen = out.seen.select("url").collect().map(_.getString(0)).toSet
+    val depths = out.seen.select("url", "depth").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    (saved, seen, depths)
+  }
+
+  private def refCrawl(params: CrawlParams): RefResult = RefCrawler.crawl(web, params)
+
+  test("corpus ground truth matches the extractor (oracle validity)") {
+    // links.parquet must be EXACTLY what LinkExtractor produces per page
+    for (h <- 0 until spec.nHosts; i <- Seq(0, 1, 2, spec.hostSizes(h) - 1)) {
+      val url = CorpusGen.pageUrl(h, i)
+      val extracted = LinkExtractor.extract(url, CorpusGen.hostName(h),
+        CorpusGen.pageHtml(spec, h, i), Nil)
+      val truth = CorpusGen.linkTargets(spec, h, i)
+      assert(extracted == truth, s"drift at host=$h page=$i")
+    }
+  }
+
+  test("full crawl: save order, seen set, and depths match the FIFO oracle") {
+    val (saved, seen, depths) = sparkCrawl(CrawlConfig(startUrl = seed0))
+    val ref = refCrawl(CrawlParams(startUrl = seed0))
+    assert(saved == ref.savedUrls)
+    assert(seen == ref.visited)
+    ref.visitDepth.foreach { case (u, d) => assert(depths(u) == d, s"depth drift for $u") }
+  }
+
+  test("match patterns: only /articles/** saved; crawl still explores everything") {
+    val cfg = CrawlConfig(startUrl = seed0, matchPatterns = Seq("/articles/**"))
+    val (saved, seen, _) = sparkCrawl(cfg)
+    val ref = refCrawl(CrawlParams(startUrl = seed0, matchPatterns = Seq("/articles/**")))
+    assert(saved == ref.savedUrls)
+    assert(seen == ref.visited)
+    assert(saved.nonEmpty)
+    assert(saved.forall(_.contains("/articles/")))
+  }
+
+  test("follow-match restricts expansion") {
+    val cfg = CrawlConfig(startUrl = seed0,
+      followPatterns = Seq("/articles/**", "/docs/**", "/"))
+    val (saved, seen, _) = sparkCrawl(cfg)
+    val ref = refCrawl(CrawlParams(startUrl = seed0,
+      followPatterns = Seq("/articles/**", "/docs/**", "/")))
+    assert(saved == ref.savedUrls)
+    assert(seen == ref.visited)
+  }
+
+  test("limit cut: exact FIFO prefix semantics (limit=1)") {
+    val (saved, seen, _) = sparkCrawl(CrawlConfig(startUrl = seed0, pageLimit = 1))
+    val ref = refCrawl(CrawlParams(startUrl = seed0, pageLimit = 1))
+    assert(saved == ref.savedUrls)
+    assert(seen == ref.visited)
+  }
+
+  test("limit cut: mid-wave overshoot discarded (limit=7)") {
+    val (saved, seen, _) = sparkCrawl(CrawlConfig(startUrl = seed0, pageLimit = 7))
+    val ref = refCrawl(CrawlParams(startUrl = seed0, pageLimit = 7))
+    assert(saved == ref.savedUrls)
+    assert(seen == ref.visited)
+  }
+
+  test("limit with match: only matched pages count toward the limit") {
+    val cfg = CrawlConfig(startUrl = seed0, pageLimit = 3, matchPatterns = Seq("/articles/**"))
+    val (saved, seen, _) = sparkCrawl(cfg)
+    val ref = refCrawl(CrawlParams(startUrl = seed0, pageLimit = 3,
+      matchPatterns = Seq("/articles/**")))
+    assert(saved == ref.savedUrls)
+    assert(seen == ref.visited)
+  }
+
+  test("list mode: order-kept first-wins dedup, no expansion") {
+    val urls = Seq(
+      "http://host0.test/articles/page-1",
+      "http://host1.test/",
+      "http://host0.test/articles/page-1/", // dup after normalization
+      "  http://host2.test/docs/page-2  ",
+      "http://host0.test/articles/missing-999", // fetch error → skip
+      "http://host1.test") // dup of host1 root after normalization
+    val cfg = CrawlConfig(urlList = urls, isUrlListMode = true)
+    val (saved, seen, _) = sparkCrawl(cfg)
+    val ref = refCrawl(CrawlParams(urlList = urls, isUrlListMode = true))
+    assert(saved == ref.savedUrls)
+    assert(seen == ref.visited)
+  }
+
+  test("robots rules filter discovery (north-rule addition)") {
+    // host0 (idx%3==0) disallows /misc
+    val base = sparkCrawl(CrawlConfig(startUrl = seed0))
+    val (_, seenRobots, _) = sparkCrawl(CrawlConfig(startUrl = seed0, useRobots = true))
+    assert(seenRobots.subsetOf(base._2))
+    assert(base._2.exists(_.contains("/misc/")), "corpus should have /misc pages")
+    assert(!seenRobots.exists(_.contains("/misc/")))
+  }
+
+  test("per-host budget caps saved pages per host (list mode over all hosts)") {
+    val allUrls = (0 until spec.nHosts).flatMap(h =>
+      (0 until spec.hostSizes(h)).map(i => CorpusGen.pageUrl(h, i)))
+    val cfg = CrawlConfig(urlList = allUrls, isUrlListMode = true, hostPageBudget = 5)
+    val out = WaveCrawler.crawl(spark, pages, cfg)
+    val counts = out.saved.groupBy("host").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (0 until spec.nHosts).foreach { h =>
+      assert(counts.getOrElse(CorpusGen.hostName(h), 0L) == math.min(5, spec.hostSizes(h)))
+    }
+    // budgeted saves are the first 5 per host in seq order
+    val savedH0 = out.saved.filter("host = 'host0.test'").orderBy("seq")
+      .select("url").collect().map(_.getString(0)).toVector
+    assert(savedH0 == allUrls.filter(_.startsWith("http://host0.test")).take(5).toVector)
+  }
+
+  test("checkpoint + resume reproduces the uninterrupted crawl") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graftckpt").toString
+    val cfgStop = CrawlConfig(startUrl = seed0, maxWaves = 2, checkpointDir = Some(ckpt))
+    WaveCrawler.crawl(spark, pages, cfgStop) // interrupted after 2 waves
+    assert(TableIO.latestWave(ckpt).contains(2))
+
+    val cfgResume = CrawlConfig(startUrl = seed0, checkpointDir = Some(ckpt))
+    val resumed = WaveCrawler.resume(spark, pages, cfgResume)
+    val ref = refCrawl(CrawlParams(startUrl = seed0))
+    val saved = resumed.saved.orderBy("depth", "seq").select("url")
+      .collect().map(_.getString(0)).toVector
+    assert(saved == ref.savedUrls)
+    assert(resumed.seen.select("url").collect().map(_.getString(0)).toSet == ref.visited)
+  }
+
+  test("wave metrics are consistent") {
+    val out = WaveCrawler.crawl(spark, pages, CrawlConfig(startUrl = seed0))
+    val m = out.metrics
+    assert(m.nonEmpty)
+    assert(m.head.popped == 1)
+    assert(m.map(_.saved).sum == out.saved.count())
+    assert(m.map(_.new_urls).sum + 1 == out.seen.count())
+    m.foreach { wm => assert(wm.fetched + wm.fetch_errors == wm.popped) }
+  }
+}
