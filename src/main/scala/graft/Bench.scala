@@ -1,24 +1,89 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.corpus.CorpusGen
+import graft.crawl.{CrawlConfig, WaveCrawler}
+import graft.queries.{AnalyticsQueries, CrawlQueries}
+
+/** Benchmark main (driver contract): runs the headline crawl+extract
+  * pipeline and supporting queries on SPARK_GRAFT_SF_DIR at
+  * local[SPARK_GRAFT_CPUS], prints ONE JSON line.
+  *
+  * Headline metric (BASELINE.json): URLs fetched+extracted per second —
+  * measured as a list-mode crawl over the full synthetic corpus (every url
+  * "fetched" via the frontier ⋈ pages join, readability+markdown extracted
+  * for every page). Also reported: the BFS wave crawl (scheduler included)
+  * and component timings. Run tools/bench_scaling.sh for the N-vs-4N-cores
+  * scaling-efficiency evidence (north rule ≥ 0.8).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    import spark.implicits._
+
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    val pages = CorpusGen.pages(spark, dir)
+    val nPages = pages.count()
+
+    def time[T](body: => T): (T, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // headline: fetch+extract every corpus url (list mode = one wave)
+    val allUrls = spark.read.parquet(s"$dir/meta.parquet")
+      .orderBy("host_idx", "page_idx").select("url").as[String].collect().toSeq
+    val (listOut, tList) = time {
+      val out = WaveCrawler.crawl(spark, pages,
+        CrawlConfig(urlList = allUrls, isUrlListMode = true))
+      out.saved.count()
+      out
+    }
+    val extracted = listOut.saved.count()
+    times += "list_extract_all" -> tList
+
+    // BFS wave crawl of host0 (scheduler + extraction end-to-end)
+    val (bfsOut, tBfs) = time {
+      val out = WaveCrawler.crawl(spark, pages, CrawlConfig(startUrl = CrawlQueries.Seed))
+      out.saved.count()
+      out
+    }
+    val bfsSaved = bfsOut.saved.count()
+    times += "bfs_crawl_host0" -> tBfs
+
+    // scheduling-only BFS (no readability) isolates frontier overhead
+    val (_, tSched) = time {
+      WaveCrawler.crawl(spark, pages,
+        CrawlConfig(startUrl = CrawlQueries.Seed, extractContent = false)).saved.count()
+    }
+    times += "bfs_sched_host0" -> tSched
+
+    // component: link extraction over every page
+    val (_, tLinks) = time(CrawlQueries.linkExtract(spark, sfDir).count())
+    times += "link_extract_all" -> tLinks
+
+    // supporting relational queries over the sf tables
+    times += "q1_agg" -> time(AnalyticsQueries.q1Agg(spark, sfDir).count())._2
+    times += "q_join_agg" -> time(AnalyticsQueries.joinAgg(spark, sfDir).count())._2
+    times += "q_window_running" -> time(AnalyticsQueries.windowRunning(spark, sfDir).count())._2
+
+    val urlsPerSec = extracted / tList
+    val bfsPerSec = bfsSaved / tBfs
+    val qs = times.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"urls_fetched_extracted_per_sec","value":$urlsPerSec%.1f,"unit":"urls/sec","total_sec":${times.values.sum}%.3f,"corpus_pages":$nPages,"extracted":$extracted,"bfs_urls_per_sec":$bfsPerSec%.1f,"cores":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

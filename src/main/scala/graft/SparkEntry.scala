@@ -1,13 +1,175 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{AnalyticsQueries => A, CrawlQueries => C}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query names map to the SURVEY.md §2 operator inventory; each has an exact
+  * DuckDB oracle in [[oracleSql]]. Crawl-engine queries run over the
+  * deterministic synthetic corpus (graft.corpus.CorpusGen, seed=42) and are
+  * checked against the generator's ground-truth tables (`links`, `meta`,
+  * `robots`) which only the oracle reads — the engine itself sees nothing but
+  * `pages(url, warc_ts, html, text, lang)` per BASELINE.json's input_hint.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Corpus ground-truth location for the sf0.01 verify run (the driver's
+    * DuckDB oracle reads these parquet files directly; Verify materializes
+    * them before any oracle runs).
+    */
+  private val Corpus = "/root/repo/work/corpus/sf0.01"
+  private def gt(table: String): String =
+    s"read_parquet('$Corpus/$table.parquet/*.parquet')"
+
+  /** Min-depth BFS reachability over the ground-truth link graph — the
+    * relational statement of the reference's FIFO crawl (SURVEY §7.4a).
+    */
+  private val reachCte =
+    s"""WITH RECURSIVE reach(url, depth) AS (
+       |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url, 0 AS depth
+       |  UNION
+       |  SELECT l.dst_url, r.depth + 1
+       |  FROM reach r JOIN ${gt("links")} l ON l.src_url = r.url
+       |  WHERE r.depth < 64
+       |), seen AS (SELECT url, MIN(depth) AS depth FROM reach GROUP BY url)""".stripMargin
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: a full crawl of
+    * the synthetic corpus from the host0 seed, returning the saved pages.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    C.fullCrawl(spark, "/root/testdata/sf0.001").saved
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- crawl engine (SURVEY §2.1-§2.9 over the synthetic corpus) ----
+    "crawl_bfs_seen" -> ((s, d) => C.bfsSeen(s, d)),
+    "crawl_saved_titles" -> ((s, d) => C.savedTitles(s, d)),
+    "crawl_saved_articles" -> ((s, d) => C.savedArticles(s, d)),
+    "crawl_limit_cut" -> ((s, d) => C.limitCut(s, d, 100)),
+    "crawl_resume_seen" -> ((s, d) => C.resumedSeen(s, d)),
+    "crawl_wave_metrics" -> ((s, d) => C.waveMetrics(s, d)),
+    "crawl_link_extract" -> ((s, d) => C.linkExtract(s, d)),
+    "crawl_extract_titles" -> ((s, d) => C.extractTitles(s, d)),
+    "crawl_robots_blocked" -> ((s, d) => C.robotsBlocked(s, d)),
+    "crawl_host_budget" -> ((s, d) => C.hostBudget(s, d, 50)),
+    "crawl_list_dedup" -> ((s, d) => C.listDedup(s, d)),
+    "crawl_url_normalize" -> ((s, d) => C.urlNormalize(s, d)),
+    "crawl_glob_match" -> ((s, d) => C.globMatch(s, d)),
+    // ---- relational primitives the engine is built from (§2.3-§2.7) ----
+    "q1_agg" -> ((s, d) => A.q1Agg(s, d)),
+    "q_join_agg" -> ((s, d) => A.joinAgg(s, d)),
+    "q_anti_join" -> ((s, d) => A.antiJoin(s, d)),
+    "q_semi_join" -> ((s, d) => A.semiJoin(s, d)),
+    "q_window_running" -> ((s, d) => A.windowRunning(s, d)),
+    "q_topk" -> ((s, d) => A.topK(s, d)),
+    "q_union_distinct" -> ((s, d) => A.unionDistinct(s, d)),
+    "q_dim_chain" -> ((s, d) => A.dimChain(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables (TPC-H-ish tables by name; corpus ground truth
+    * via read_parquet absolute paths).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "crawl_bfs_seen" ->
+      s"""$reachCte
+         |SELECT url, CAST(depth AS BIGINT) AS depth FROM seen""".stripMargin,
+    "crawl_saved_titles" ->
+      s"""$reachCte
+         |SELECT m.url, m.title FROM seen r JOIN ${gt("meta")} m ON m.url = r.url""".stripMargin,
+    "crawl_saved_articles" ->
+      s"""$reachCte
+         |SELECT m.url, m.title FROM seen r JOIN ${gt("meta")} m ON m.url = r.url
+         |WHERE m.section = 'articles'""".stripMargin,
+    "crawl_limit_cut" -> "SELECT CAST(100 AS BIGINT) AS saved_cnt",
+    "crawl_resume_seen" ->
+      s"""$reachCte
+         |SELECT url, CAST(depth AS BIGINT) AS depth FROM seen""".stripMargin,
+    "crawl_wave_metrics" ->
+      s"""$reachCte
+         |SELECT CAST(r.depth AS BIGINT) AS depth,
+         |       COUNT(*) AS popped,
+         |       CAST(SUM(CASE WHEN m.url IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fetched
+         |FROM seen r LEFT JOIN ${gt("meta")} m ON m.url = r.url
+         |GROUP BY 1""".stripMargin,
+    "crawl_link_extract" ->
+      s"SELECT src_url, dst_url, CAST(pos AS BIGINT) AS pos FROM ${gt("links")}",
+    "crawl_extract_titles" ->
+      s"SELECT url, title FROM ${gt("meta")}",
+    "crawl_robots_blocked" ->
+      s"""SELECT l.src_url, l.dst_url
+         |FROM ${gt("links")} l
+         |JOIN ${gt("robots")} r
+         |  ON l.dst_url LIKE 'http://' || r.host || r.disallow_prefix || '%'""".stripMargin,
+    "crawl_host_budget" ->
+      s"""SELECT host, CAST(LEAST(50, COUNT(*)) AS BIGINT) AS saved_cnt
+         |FROM ${gt("meta")} GROUP BY host""".stripMargin,
+    "crawl_list_dedup" ->
+      s"""SELECT url,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY host_idx, page_idx) - 1 AS BIGINT) AS first_line
+         |FROM ${gt("meta")}""".stripMargin,
+    "crawl_url_normalize" ->
+      s"""SELECT url || '#section' AS input, url AS normalized FROM ${gt("meta")}
+         |UNION ALL SELECT substr(url, 8), url FROM ${gt("meta")}
+         |UNION ALL SELECT url || '/', url FROM ${gt("meta")}
+         |UNION ALL SELECT url || '?q=a&b=c#x', url || '?q=a&b=c' FROM ${gt("meta")}""".stripMargin,
+    "crawl_glob_match" ->
+      s"""WITH paths AS (
+         |  SELECT DISTINCT regexp_replace(url, '^https?://[^/]*', '') AS path FROM ${gt("meta")}
+         |), pats AS (
+         |  SELECT * FROM (VALUES ('/articles/**'), ('**/page-1'), ('/docs/*'), ('/')) AS t(pattern)
+         |)
+         |SELECT p.path, q.pattern,
+         |  CAST(CASE q.pattern
+         |    WHEN '/articles/**' THEN CASE WHEN p.path LIKE '/articles/%' THEN 1 ELSE 0 END
+         |    WHEN '**/page-1' THEN CASE WHEN p.path LIKE '%/page-1' THEN 1 ELSE 0 END
+         |    WHEN '/docs/*' THEN CASE WHEN p.path LIKE '/docs/%' AND p.path NOT LIKE '/docs/%/%' THEN 1 ELSE 0 END
+         |    WHEN '/' THEN CASE WHEN p.path = '/' THEN 1 ELSE 0 END
+         |  END AS BIGINT) AS matched
+         |FROM paths p CROSS JOIN pats q""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+        |  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_agg" ->
+      """SELECT c_mktsegment,
+        |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "q_semi_join" ->
+      """SELECT p_brand, COUNT(*) AS n_parts FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+        |GROUP BY p_brand""".stripMargin,
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |  SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS running_v100
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT DISTINCT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  UNION ALL SELECT c_custkey FROM customer)""".stripMargin,
+    "q_dim_chain" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+  )
 }

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.corpus.CorpusGen
+import graft.crawl.{CrawlConfig, CrawlOutput, WaveCrawler}
+import graft.extract.{LinkExtractor, Processor}
+import graft.glob.Glob
+import graft.url.UrlNorm
+
+/** SparkEntry.queries backing for the crawl engine (SURVEY.md §2).
+  *
+  * Each query runs over the deterministic synthetic corpus
+  * (CorpusGen.ensureFor) and has a DuckDB oracle over the generator's
+  * ground-truth side tables (`links`, `meta`, `robots`) — the oracle SQL
+  * lives in SparkEntry.oracleSql and reads those parquet files directly.
+  *
+  * Crawl outputs are cached per (sfDir, variant) so Verify/Bench don't
+  * re-crawl for every derived query.
+  */
+object CrawlQueries {
+
+  val Seed = "http://host0.test/"
+
+  private val crawlCache = new java.util.concurrent.ConcurrentHashMap[(String, String), CrawlOutput]()
+
+  private def cached(spark: SparkSession, sfDir: String, variant: String)(
+      run: String => CrawlOutput): CrawlOutput =
+    crawlCache.computeIfAbsent((sfDir, variant), { _ =>
+      run(CorpusGen.ensureFor(spark, sfDir))
+    })
+
+  /** Full-corpus crawl from the host0 seed: save everything fetched. */
+  def fullCrawl(spark: SparkSession, sfDir: String): CrawlOutput =
+    cached(spark, sfDir, "full") { dir =>
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir), CrawlConfig(startUrl = Seed))
+    }
+
+  /** Crawl saving only pages matching the articles doublestar glob. */
+  def articlesCrawl(spark: SparkSession, sfDir: String): CrawlOutput =
+    cached(spark, sfDir, "articles") { dir =>
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(startUrl = Seed, matchPatterns = Seq("/articles/**")))
+    }
+
+  /** Crawl with a global page limit (serialized-prefix cut, SURVEY §2.6 L2). */
+  def limitCrawl(spark: SparkSession, sfDir: String, limit: Int): CrawlOutput =
+    cached(spark, sfDir, s"limit$limit") { dir =>
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(startUrl = Seed, pageLimit = limit))
+    }
+
+  /** Interrupted-then-resumed crawl (north-rule resumability): run the first
+    * 3 waves with checkpointing, then resume from the checkpoint to the end.
+    * Must equal the uninterrupted crawl exactly.
+    */
+  def resumedCrawl(spark: SparkSession, sfDir: String): CrawlOutput =
+    cached(spark, sfDir, "resumed") { dir =>
+      val label = sfDir.replaceAll("/+$", "").split('/').last
+      val ck = s"/root/repo/work/ck/$label"
+      deleteRecursively(new java.io.File(ck))
+      val pages = CorpusGen.pages(spark, dir)
+      val cfg = CrawlConfig(startUrl = Seed, checkpointDir = Some(ck))
+      WaveCrawler.crawl(spark, pages, cfg.copy(maxWaves = 3)) // "killed" after wave 3
+      WaveCrawler.resume(spark, pages, cfg) // picks up from the wave-3 snapshot
+    }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** Seen set with BFS depth — equals min-distance reachability over the
+    * ground-truth link graph (visited-at-enqueue ⇒ first discoverer wins at
+    * the minimum depth; SURVEY §7.4a).
+    */
+  def bfsSeen(spark: SparkSession, sfDir: String): DataFrame =
+    fullCrawl(spark, sfDir).seen
+      .select(col("url"), col("depth").cast("long").as("depth"))
+
+  /** Saved pages of the full crawl with their extracted titles (H4 title
+    * parity against the generator's ground truth).
+    */
+  def savedTitles(spark: SparkSession, sfDir: String): DataFrame =
+    fullCrawl(spark, sfDir).saved.select(col("url"), col("title"))
+
+  /** Saved set of the articles-glob crawl (P4 match predicate end-to-end). */
+  def savedArticles(spark: SparkSession, sfDir: String): DataFrame =
+    articlesCrawl(spark, sfDir).saved.select(col("url"), col("title"))
+
+  /** Saved-page count under --limit K: the engine must stop at exactly K. */
+  def limitCut(spark: SparkSession, sfDir: String, limit: Int): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(limitCrawl(spark, sfDir, limit).saved.count()).toDF("saved_cnt")
+  }
+
+  /** Seen set of the interrupted+resumed crawl — must equal bfsSeen. */
+  def resumedSeen(spark: SparkSession, sfDir: String): DataFrame =
+    resumedCrawl(spark, sfDir).seen
+      .select(col("url"), col("depth").cast("long").as("depth"))
+
+  /** Per-wave scheduler metrics vs per-depth ground truth. */
+  def waveMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    fullCrawl(spark, sfDir).metrics
+      .map(m => (m.depth.toLong, m.popped, m.fetched))
+      .toDF("depth", "popped", "fetched")
+  }
+
+  /** H1 link extraction over every corpus page: (src_url, dst_url, pos) must
+    * equal the generator's `links` ground truth byte-for-byte.
+    */
+  def linkExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    CorpusGen.pages(spark, dir)
+      .select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, htmlBytes) =>
+        val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
+        val host = UrlNorm.hostnameOf(url)
+        LinkExtractor.extract(url, host, html, Nil).zipWithIndex
+          .map { case (dst, pos) => (url, dst, pos.toLong) }
+      }
+      .toDF("src_url", "dst_url", "pos")
+  }
+
+  /** H4+H5+H6 over every corpus page: extracted titles. */
+  def extractTitles(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    CorpusGen.pages(spark, dir)
+      .select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .map { case (url, htmlBytes) =>
+        val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
+        val title = Processor.processHTML(url, html, "").fold(_ => "", _.title)
+        (url, title)
+      }
+      .toDF("url", "title")
+  }
+
+  /** Robots prefix filtering (J3): links whose destination a robots rule
+    * blocks. Broadcast join of the tiny per-host rule table (north star).
+    */
+  def robotsBlocked(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    val links = linkExtract(spark, sfDir)
+      .withColumn("dst_host", udf((u: String) => UrlNorm.hostnameOf(u)).apply(col("dst_url")))
+      .withColumn("dst_path", udf((u: String) => UrlNorm.pathOf(u)).apply(col("dst_url")))
+    val robots = spark.read.parquet(s"$dir/robots.parquet")
+    links
+      .join(broadcast(robots), links("dst_host") === robots("host"), "inner")
+      .filter(col("dst_path").startsWith(col("disallow_prefix")))
+      .select(col("src_url"), col("dst_url"))
+  }
+
+  /** Per-host politeness budget (J4): list-mode crawl over every url with a
+    * per-host saved-page budget; output per-host saved counts.
+    */
+  def hostBudget(spark: SparkSession, sfDir: String, budget: Int): DataFrame =
+    cached(spark, sfDir, s"budget$budget") { dir =>
+      val spark2 = spark
+      import spark2.implicits._
+      val urls = spark.read.parquet(s"$dir/meta.parquet")
+        .orderBy(col("host_idx"), col("page_idx"))
+        .select(col("url")).as[String].collect().toSeq
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(urlList = urls, isUrlListMode = true,
+          hostPageBudget = budget, extractContent = false))
+    }.saved.groupBy(col("host")).agg(count(lit(1)).as("saved_cnt"))
+
+  /** A3 url-list first-wins dedup: lines = every url once (line i) plus every
+    * third page duplicated afterwards; first_line must be the first index.
+    */
+  def listDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    val meta = spark.read.parquet(s"$dir/meta.parquet")
+    val base = WaveCrawler.withGlobalIndex(
+      meta.select(col("url"), col("host_idx"), col("page_idx")),
+      "line_no", col("host_idx").asc, col("page_idx").asc)
+    val total = base.count()
+    val dups = base.filter(col("page_idx") % 3 === 0)
+      .withColumn("line_no", col("line_no") + lit(total))
+    val lines = base.unionByName(dups).select(col("url"), col("line_no"))
+    lines.groupBy(col("url")).agg(min(col("line_no")).as("first_line"))
+  }
+
+  /** F1 url normalization over constructed denormalized variants. */
+  def urlNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    val urls = spark.read.parquet(s"$dir/meta.parquet").select(col("url")).as[String]
+    val normUdf = udf((s: String) => UrlNorm.normalize(s).getOrElse(""))
+    urls.flatMap { u =>
+      Seq(
+        u + "#section",            // fragment stripped
+        u.stripPrefix("http://"),  // schemeless → http://
+        u + "/",                   // trailing slash stripped (root: "//" → "/")
+        u + "?q=a&b=c#x")          // query kept verbatim, fragment stripped
+    }.toDF("input")
+      .withColumn("normalized", normUdf(col("input")))
+  }
+
+  /** F5 glob matching over every corpus path × a fixed pattern set. */
+  def globMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    val patterns = Seq("/articles/**", "**/page-1", "/docs/*", "/")
+    val compiled = patterns.map(p => p -> Glob.compileOrThrow(p)).toMap
+    val bc = spark.sparkContext.broadcast(compiled)
+    val paths = spark.read.parquet(s"$dir/meta.parquet")
+      .select(udf((u: String) => UrlNorm.pathOf(u)).apply(col("url")).as("path"))
+      .distinct()
+    val pats = patterns.toDF("pattern")
+    paths.crossJoin(broadcast(pats))
+      .withColumn("matched",
+        udf((path: String, pat: String) => if (bc.value(pat).matches(path)) 1L else 0L)
+          .apply(col("path"), col("pattern")))
+  }
+}
