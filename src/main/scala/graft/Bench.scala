@@ -34,39 +34,56 @@ object Bench {
     val pages = CorpusGen.pages(spark, dir)
     val nPages = pages.count()
 
+    // best-of-N to shrug off ambient VM noise (SPARK_GRAFT_REPEATS, default 1)
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "1").toInt
+
     def time[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
+      var best = Double.MaxValue
+      var out: Option[T] = None
+      (1 to repeats).foreach { _ =>
+        val t0 = System.nanoTime()
+        val r = body
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < best) { best = dt; out = Some(r) }
+      }
+      (out.get, best)
     }
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    // release all crawl state (localCheckpoint RDDs) between phases so one
+    // measurement's cache doesn't pressure the next
+    def dropCaches(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
+
     // headline: fetch+extract every corpus url (list mode = one wave)
     val allUrls = spark.read.parquet(s"$dir/meta.parquet")
       .orderBy("host_idx", "page_idx").select("url").as[String].collect().toSeq
-    val (listOut, tList) = time {
-      val out = WaveCrawler.crawl(spark, pages,
-        CrawlConfig(urlList = allUrls, isUrlListMode = true))
-      out.saved.count()
-      out
+    val (extracted, tList) = time {
+      val n = WaveCrawler.crawl(spark, pages,
+        CrawlConfig(urlList = allUrls, isUrlListMode = true)).saved.count()
+      dropCaches()
+      n
     }
-    val extracted = listOut.saved.count()
     times += "list_extract_all" -> tList
 
     // BFS wave crawl of host0 (scheduler + extraction end-to-end)
-    val (bfsOut, tBfs) = time {
-      val out = WaveCrawler.crawl(spark, pages, CrawlConfig(startUrl = CrawlQueries.Seed))
-      out.saved.count()
-      out
+    val (bfsSaved, tBfs) = time {
+      val n = WaveCrawler.crawl(spark, pages, CrawlConfig(startUrl = CrawlQueries.Seed))
+        .saved.count()
+      dropCaches()
+      n
     }
-    val bfsSaved = bfsOut.saved.count()
     times += "bfs_crawl_host0" -> tBfs
 
     // scheduling-only BFS (no readability) isolates frontier overhead
     val (_, tSched) = time {
-      WaveCrawler.crawl(spark, pages,
+      val n = WaveCrawler.crawl(spark, pages,
         CrawlConfig(startUrl = CrawlQueries.Seed, extractContent = false)).saved.count()
+      dropCaches()
+      n
     }
     times += "bfs_sched_host0" -> tSched
 
@@ -74,10 +91,13 @@ object Bench {
     val (_, tLinks) = time(CrawlQueries.linkExtract(spark, sfDir).count())
     times += "link_extract_all" -> tLinks
 
-    // supporting relational queries over the sf tables
-    times += "q1_agg" -> time(AnalyticsQueries.q1Agg(spark, sfDir).count())._2
-    times += "q_join_agg" -> time(AnalyticsQueries.joinAgg(spark, sfDir).count())._2
-    times += "q_window_running" -> time(AnalyticsQueries.windowRunning(spark, sfDir).count())._2
+    // supporting relational queries over the sf tables (skipped for
+    // corpus-only scaling dirs like sf1 that have no TPC-H tables)
+    if (new java.io.File(s"$sfDir/lineitem.parquet").exists()) {
+      times += "q1_agg" -> time(AnalyticsQueries.q1Agg(spark, sfDir).count())._2
+      times += "q_join_agg" -> time(AnalyticsQueries.joinAgg(spark, sfDir).count())._2
+      times += "q_window_running" -> time(AnalyticsQueries.windowRunning(spark, sfDir).count())._2
+    }
 
     val urlsPerSec = extracted / tList
     val bfsPerSec = bfsSaved / tBfs

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{AnalyticsQueries => A, CrawlQueries => C}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -57,6 +58,9 @@ object SparkEntry {
     "crawl_list_dedup" -> ((s, d) => C.listDedup(s, d)),
     "crawl_url_normalize" -> ((s, d) => C.urlNormalize(s, d)),
     "crawl_glob_match" -> ((s, d) => C.globMatch(s, d)),
+    "crawl_sink_jsonl" -> ((s, d) => C.sinkJsonl(s, d)),
+    "crawl_sink_xml" -> ((s, d) => C.sinkXml(s, d)),
+    "crawl_sink_json" -> ((s, d) => C.sinkJson(s, d)),
     // ---- relational primitives the engine is built from (§2.3-§2.7) ----
     "q1_agg" -> ((s, d) => A.q1Agg(s, d)),
     "q_join_agg" -> ((s, d) => A.joinAgg(s, d)),
@@ -66,6 +70,21 @@ object SparkEntry {
     "q_topk" -> ((s, d) => A.topK(s, d)),
     "q_union_distinct" -> ((s, d) => A.unionDistinct(s, d)),
     "q_dim_chain" -> ((s, d) => A.dimChain(s, d)),
+    // ---- training-data pipeline ops (dedup / similarity / text / blob) ----
+    "dd_exact_groups" -> ((s, d) => Dedup.exactGroups(s, d)),
+    "dd_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dd_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "dd_subword_count" -> ((s, d) => TextAnalysis.subwordCounts(s, d)),
+    "dd_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "dd_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "dd_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "ann_dup_pairs" -> ((s, d) => Similarity.embeddingDupPairs(s, d)),
+    "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
+    "mm_blob_features" -> ((s, d) => Multimodal.blobFeatures(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -171,5 +190,48 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+    "dd_exact_groups" ->
+      """SELECT md5(text) AS text_md5, COUNT(*) AS cnt, MIN(doc_id) AS keeper_id
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL
+        |      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0)
+        |GROUP BY 1""".stripMargin,
+    "dd_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |  END AS n_tokens
+        |FROM documents""".stripMargin,
+    "dd_subword_count" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |    AS n_subwords
+        |FROM documents""".stripMargin,
+    "dd_quality" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(strlen(text) - strlen(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(strlen(text) - strlen(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_letters,
+        |  CAST(strlen(text) - strlen(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_spaces,
+        |  CAST(GREATEST(0,
+        |    (strlen(text) - strlen(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 2
+        |    + (strlen(text) - strlen(regexp_replace(text, ' ', '', 'g')))
+        |    - (strlen(text) - strlen(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 3) AS BIGINT) AS score
+        |FROM documents""".stripMargin,
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 20),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT qid AS query_id, nid AS neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+    "mm_blob_meta" ->
+      s"""SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes,
+         |  CAST(CASE WHEN substr(CAST(html AS VARCHAR), 1, 5) = '<html' THEN 1 ELSE 0 END AS BIGINT) AS is_html
+         |FROM ${gt("pages")}""".stripMargin,
   )
 }

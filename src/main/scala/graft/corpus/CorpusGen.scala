@@ -25,7 +25,8 @@ import java.sql.Timestamp
   * extractor must drop, and dangling links (fetch-error path,
   * /root/reference/crawler.go:389-390).
   */
-final case class CorpusSpec(nHosts: Int, totalPages: Int, seed: Long) {
+final case class CorpusSpec(nHosts: Int, totalPages: Int, seed: Long,
+    paragraphs: Int = 3) {
   /** Zipf-ish host sizes (weight 1/(h+1)^0.8), each at least 4 pages. */
   lazy val hostSizes: Array[Int] = {
     val weights = Array.tabulate(nHosts)(h => 1.0 / math.pow(h + 1, 0.8))
@@ -159,6 +160,7 @@ object CorpusGen {
        |<ul class="links">
        |${anchors.toString}</ul>
        |<p>${filler(spec, h, i, 2)}</p>
+       |${(3 until spec.paragraphs).map(k => s"<p>${filler(spec, h, i, k)}</p>").mkString("\n")}
        |</article>
        |<img src="/static/banner-$i.png" alt="banner">
        |<footer><p>Generated corpus page. Host $h.</p></footer>
@@ -210,7 +212,9 @@ object CorpusGen {
     import spark.implicits._
 
     val bcSpec = spark.sparkContext.broadcast(spec)
-    val parts = math.max(spark.sparkContext.defaultParallelism, 8)
+    // enough splits that any later reader can parallelize across 32+ cores
+    // regardless of parquet split sizing
+    val parts = math.max(spark.sparkContext.defaultParallelism * 4, 64)
 
     val ids = spark.range(0, spec.actualTotal, 1, parts)
     ids.mapPartitions { it =>
@@ -242,6 +246,10 @@ object CorpusGen {
       case "sf0.001" => CorpusSpec(nHosts = 4, totalPages = 600, seed = 42L)
       case "sf0.01"  => CorpusSpec(nHosts = 8, totalPages = 6000, seed = 42L)
       case "sf0.1"   => CorpusSpec(nHosts = 16, totalPages = 60000, seed = 42L)
+      // scaling-evidence corpus: realistic ~10 KB pages so per-page work
+      // (readability over real-web-sized HTML) dominates fixed overhead
+      case "sf1"     => CorpusSpec(nHosts = 8, totalPages = 160000, seed = 42L,
+                          paragraphs = 24)
       case _         => CorpusSpec(nHosts = 4, totalPages = 600, seed = 42L)
     }
   }

@@ -36,12 +36,17 @@ object TableIO {
       long("savedTotal"), bool("stopped"), str("stopReason"))
   }
 
-  /** Write the wave's tables, then the manifest marker. Returns paths. */
+  /** Write the wave's tables, then the manifest marker (written LAST as the
+    * atomic commit). `metricsJson` lands as metrics.json next to the data —
+    * the per-wave lineage record (fetch/skip/duplicate counters + per-table
+    * row counts) the north rule asks for.
+    */
   def writeWave(
       dir: String,
       wave: Int,
       tables: Map[String, DataFrame],
-      manifest: Manifest): Map[String, String] = {
+      manifest: Manifest,
+      metricsJson: Option[String] = None): Map[String, String] = {
     val waveDir = s"$dir/wave=$wave"
     val paths = tables.map { case (name, df) =>
       val p = s"$waveDir/$name"
@@ -49,8 +54,18 @@ object TableIO {
       name -> p
     }
     Files.createDirectories(Paths.get(waveDir))
+    metricsJson.foreach(j => Files.writeString(Paths.get(s"$waveDir/metrics.json"), j))
     Files.writeString(Paths.get(s"$waveDir/manifest.json"), manifestJson(manifest))
     paths
+  }
+
+  def waveMetricsJson(m: WaveMetrics, rowCounts: Map[String, Long]): String = {
+    val rc = rowCounts.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    s"""{"wave":${m.wave},"depth":${m.depth},"popped":${m.popped},""" +
+      s""""fetched":${m.fetched},"fetch_errors":${m.fetch_errors},""" +
+      s""""saved":${m.saved},"skipped_match":${m.skipped_match},""" +
+      s""""skipped_budget":${m.skipped_budget},"links_extracted":${m.links_extracted},""" +
+      s""""duplicates":${m.duplicates},"new_urls":${m.new_urls},"row_counts":$rc}"""
   }
 
   /** Latest complete (manifest-bearing) wave in a checkpoint dir, if any. */

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft.extract.{LinkExtractor, Processor}
 import graft.glob.{Glob, GlobSet}
@@ -21,19 +22,33 @@ import graft.url.UrlNorm
   *     is the total order (depth asc, seq asc) (SURVEY.md §7.4a)
   *   - "fetch"           → inner equi-join frontier ⋈ pages(url, html); a
   *     frontier url absent from the corpus ≙ non-critical fetch error → skip
-  *   - visited map       → seen table; discovered links anti-join seen
+  *   - visited map       → seen state; discovered links anti-join seen
   *     (visited-at-enqueue: the first discoverer owns the url)
   *   - link discovery    → typed flatMap running the H1 extractor; seq of new
   *     urls assigned by global order over (parent_seq, link_pos) — computed
-  *     with sort + zipWithIndex (range-partitioned, no single-reducer window)
+  *     with a range repartition + per-partition offsets (no single-reducer
+  *     window)
   *   - --limit K         → serialized-prefix cut: the wave may overshoot; keep
   *     saved rows and discovered links only up to the seq of the K-th save
   *   - robots + per-host budget → north-rule additions: broadcast robots
   *     prefix rules filter links at discovery; per-host saved budget applied
-  *     with a per-host window before the global cut
+  *     with a salted two-phase rank (mega-host skew never lands a whole host
+  *     in one task) before the global cut
   *
-  * All state is DataFrames; per-wave snapshots checkpoint to parquet with a
-  * manifest (TableIO) so a crawl resumes mid-run with identical results.
+  * Scale mechanics (SURVEY §4.3):
+  *   - ONE aggregation job per wave computes fetched/matched/link counts;
+  *     popped is carried from the previous wave's output — no count() storms.
+  *   - `seen` and `saved` are per-wave delta parts, never rewritten: the
+  *     anti-join reads a union of parts (compacted every few waves); the
+  *     checkpoint writes each wave's frontier once (the frontier IS the
+  *     wave's seen-delta) plus the wave's saved-delta.
+  *   - a driver-merged Bloom filter over all seen urls pre-filters discovered
+  *     links: "definitely new" urls skip the exact anti-join entirely; only
+  *     Bloom-maybe urls shuffle into it. At 10^10 urls the same structure
+  *     shards into per-bucket segments co-partitioned with `seen`.
+  *   - wave tables are range-repartitioned to ~100k rows/partition so tiny
+  *     waves don't pay 32-partition scheduling overhead and huge waves don't
+  *     OOM a task.
   */
 final case class CrawlConfig(
     startUrl: String = "",
@@ -47,7 +62,9 @@ final case class CrawlConfig(
     useRobots: Boolean = false,
     maxWaves: Int = 1000,
     checkpointDir: Option[String] = None,
-    extractContent: Boolean = true // false → scheduling-only (no readability)
+    extractContent: Boolean = true, // false → scheduling-only (no readability)
+    useBloom: Boolean = true,
+    cachePages: Boolean = true // re-partition + cache the corpus once per crawl
 )
 
 final case class ProcLink(dst: String, dstHost: String, pos: Int)
@@ -83,13 +100,39 @@ final case class CrawlOutput(
 
 object WaveCrawler {
 
+  private val debug = sys.env.get("SPARK_GRAFT_DEBUG").contains("1")
+  @inline private def timed[T](label: String)(body: => T): T = {
+    if (!debug) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[wave-timer] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+  }
+
+  val RowsPerPartition = 100000L
+  val SeenCompactEvery = 8
+  val BudgetSalts = 16
+  val BloomExpected = 1L << 22
+  val BloomFpp = 0.01
+
+  private def nParts(spark: SparkSession, rows: Long): Int =
+    math.max(1, math.min(spark.sparkContext.defaultParallelism.toLong,
+      rows / RowsPerPartition + 1)).toInt
+
   /** Assign a 0-based dense global index by sort order without a
-    * single-partition window: orderBy gives a range-partitioned sort;
-    * zipWithIndex adds per-partition offsets with one lightweight job.
+    * single-reducer window: range-repartition on the sort key, sort within
+    * partitions, then add per-partition offsets (zipWithIndex).
     */
-  def withGlobalIndex(df: DataFrame, idxName: String, sortCols: Column*): DataFrame = {
+  def withGlobalIndex(df: DataFrame, idxName: String, sortCols: Column*): DataFrame =
+    withGlobalIndexN(df, idxName, df.sparkSession.sparkContext.defaultParallelism, sortCols: _*)
+
+  def withGlobalIndexN(df: DataFrame, idxName: String, numParts: Int, sortCols: Column*): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.orderBy(sortCols: _*)
+    val sorted =
+      if (numParts <= 1) df.coalesce(1).sortWithinPartitions(sortCols: _*)
+      else df.repartitionByRange(numParts, sortCols: _*).sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema
     val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ idx)
@@ -99,12 +142,19 @@ object WaveCrawler {
 
   private final case class State(
       frontier: DataFrame,
-      seen: DataFrame,
-      saved: DataFrame,
+      frontierRows: Long,
+      seenParts: Vector[DataFrame],
+      savedParts: Vector[DataFrame],
       savedTotal: Long,
       maxSeq: Long,
       wave: Int,
       depth: Int)
+
+  private def emptySaved(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[(String, String, Int, Long, Int, String, String)]
+      .toDF("url", "host", "depth", "seq", "wave", "title", "markdown")
+  }
 
   /** Start a crawl from scratch. */
   def crawl(spark: SparkSession, pages: DataFrame, config: CrawlConfig): CrawlOutput = {
@@ -116,12 +166,18 @@ object WaveCrawler {
 
     val frontier0: DataFrame =
       if (config.isUrlListMode) {
-        // A3: order-kept first-wins dedup of the url file
+        // A3: order-kept first-wins dedup of the url file. parallelize (not
+        // toDF on a local Seq) so the plan carries an ExternalRDD node, not a
+        // LocalRelation with every url inlined — plan-tree walks (AQE
+        // listener updates, broadcast serialization) otherwise drag the whole
+        // list through the driver on every job.
         val lines = config.urlList.zipWithIndex
           .flatMap { case (raw, i) => UrlNorm.normalize(raw).toOption.map(u => (u, i.toLong)) }
-        val df = lines.toDF("url", "line_no")
+        val df = spark.sparkContext
+          .parallelize(lines, nParts(spark, lines.size))
+          .toDF("url", "line_no")
           .groupBy($"url").agg(min($"line_no").as("first_line"))
-        withGlobalIndex(df, "seq", $"first_line".asc)
+        withGlobalIndexN(df, "seq", nParts(spark, lines.size), $"first_line".asc)
           .select($"url",
             udf((u: String) => UrlNorm.hostnameOf(u)).apply($"url").as("host"),
             lit(0).as("depth"), $"seq")
@@ -129,15 +185,19 @@ object WaveCrawler {
         val norm = normalizeOrThrow(config.startUrl)
         Seq((norm, UrlNorm.hostnameOf(norm), 0, 0L)).toDF("url", "host", "depth", "seq")
       }
-    val frontier = frontier0.persist(StorageLevel.MEMORY_AND_DISK)
+    val frontier = frontier0.localCheckpoint(true)
     val n0 = frontier.count()
-    val seen = frontier.select($"url", $"host", $"depth", $"seq")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val saved = spark.emptyDataset[(String, String, Int, Long, Int, String, String)]
-      .toDF("url", "host", "depth", "seq", "wave", "title", "markdown")
 
-    runLoop(spark, pages, config,
-      State(frontier, seen, saved, savedTotal = 0L, maxSeq = n0 - 1, wave = 0, depth = 0))
+    val state0 = State(frontier, n0, Vector(frontier), Vector.empty,
+      savedTotal = 0L, maxSeq = n0 - 1, wave = 0, depth = 0)
+
+    config.checkpointDir.foreach { dir =>
+      // wave=0 snapshot: the initial frontier is wave 0's seen-delta
+      TableIO.writeWave(dir, 0, Map("frontier" -> frontier, "saved_delta" -> emptySaved(spark)),
+        TableIO.Manifest(0, 0, state0.maxSeq, 0L, stopped = false, "Running"))
+    }
+
+    runLoop(spark, pages, config, state0)
   }
 
   /** Resume from the latest complete checkpoint in config.checkpointDir. */
@@ -148,16 +208,23 @@ object WaveCrawler {
       case None => crawl(spark, pages, config)
       case Some(w) =>
         val m = TableIO.readManifest(dir, w)
-        val frontier = TableIO.readTable(spark, dir, w, "frontier")
-        val seen = TableIO.readTable(spark, dir, w, "seen")
-        val saved = TableIO.readTable(spark, dir, w, "saved")
+        val seenParts = (0 to w).toVector
+          .map(k => TableIO.readTable(spark, dir, k, "frontier"))
+        val savedParts = (0 to w).toVector
+          .map(k => TableIO.readTable(spark, dir, k, "saved_delta"))
+        val frontier = seenParts.last
         if (m.stopped)
-          CrawlOutput(saved, seen, Nil, m.stopReason)
+          CrawlOutput(unionParts(spark, savedParts, emptySaved(spark)),
+            unionParts(spark, seenParts, frontier), Nil, m.stopReason)
         else
           runLoop(spark, pages, config,
-            State(frontier, seen, saved, m.savedTotal, m.maxSeq, m.wave, m.nextDepth))
+            State(frontier, frontier.count(), seenParts, savedParts,
+              m.savedTotal, m.maxSeq, m.wave, m.nextDepth))
     }
   }
+
+  private def unionParts(spark: SparkSession, parts: Seq[DataFrame], empty: => DataFrame): DataFrame =
+    if (parts.isEmpty) empty else parts.reduce(_ unionByName _)
 
   private def runLoop(
       spark: SparkSession,
@@ -183,28 +250,52 @@ object WaveCrawler {
     val listMode = config.isUrlListMode
 
     var frontier = state0.frontier
-    var seen = state0.seen
-    var savedAll = state0.saved
+    var popped = state0.frontierRows
+    var seenParts = state0.seenParts
+    var seenSinceCompact = seenParts.size
+    var savedParts = state0.savedParts
     var savedTotal = state0.savedTotal
     var maxSeq = state0.maxSeq
     var wave = state0.wave
     var depth = state0.depth
 
-    var hostCounts: DataFrame = savedAll.groupBy($"host").agg(count(lit(1)).as("cnt"))
+    // Bloom pre-filter over every seen url (SURVEY §4.3). Driver-merged here;
+    // at 10^10 urls this becomes per-bucket segments co-partitioned with seen.
+    var bloom: BloomFilter = null
+    if (config.useBloom) {
+      bloom = BloomFilter.create(BloomExpected, BloomFpp)
+      unionParts(spark, seenParts, frontier).select($"url").as[String]
+        .collect().foreach(bloom.put) // resume path; fresh crawls have ≤ |seeds|
+    }
 
-    val pagesSlim = pages.select($"url", $"html")
+    var hostCounts: DataFrame =
+      if (config.hostPageBudget > 0)
+        unionParts(spark, savedParts, emptySaved(spark))
+          .groupBy($"host").agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+      else null
+
+    // The corpus side of J1. Multi-wave crawls re-probe the corpus every
+    // wave, so cache it once (the single-node stand-in for a url-bucketed
+    // pages table / sort-merge J1 at 10^10 pages). A list-mode crawl reads
+    // the corpus exactly once — caching it would only add a copy.
+    val doCachePages = config.cachePages && !listMode
+    val pagesSlim = {
+      val slim = pages.select($"url", $"html")
+      if (doCachePages) slim.persist(StorageLevel.MEMORY_AND_DISK) else slim
+    }
 
     var stopReason = "Completed"
     var stopped = false
     val metrics = Seq.newBuilder[WaveMetrics]
 
-    while (!stopped && wave < config.maxWaves && !frontier.isEmpty) {
+    while (!stopped && wave < config.maxWaves && popped > 0) {
       wave += 1
-      val popped = frontier.count()
 
-      // J1: "fetch" = equi-join against the corpus. Small waves broadcast.
+      // J1: "fetch" = equi-join against the corpus. Waves are broadcast while
+      // small (the common case); at 10^10-frontier scale this becomes a
+      // sort-merge join against url-bucketed pages.
       val frontierForJoin =
-        if (popped <= 100000) broadcast(frontier) else frontier
+        if (popped <= 1000000) broadcast(frontier) else frontier
       val joined = frontierForJoin.join(pagesSlim, Seq("url"), "inner")
 
       val processed = joined
@@ -250,51 +341,51 @@ object WaveCrawler {
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      val fetchedOk = processed.filter($"ok").count()
+      // ---- the wave's ONE metrics aggregation ----
+      val Row(fetchedOk: Long, matchedN: Long, linksN: Long) = timed(s"w$wave agg+extract")(processed
+        .agg(
+          coalesce(sum(when($"ok", 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when($"ok" && $"matched", 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(size($"links")).cast("long"), lit(0L)))
+        .head())
       val fetchErrors = popped - fetchedOk
 
       // ---- saved rows: per-host budget, then the global limit cut ----
       var savedCand = processed.filter($"ok" && $"matched")
         .select($"url", $"host", $"depth", $"seq", lit(wave).as("wave"), $"title", $"markdown")
-      val savedCandN = savedCand.count()
 
-      var skippedBudget = 0L
-      if (config.hostPageBudget > 0) {
-        val w = Window.partitionBy($"host").orderBy($"seq")
-        val ranked = savedCand.withColumn("rk", row_number().over(w))
+      if (config.hostPageBudget > 0 && matchedN > 0) {
+        // salted two-phase rank: phase 1 bounds every (host, salt) slice to
+        // the budget so no task ever ranks a whole mega-host; phase 2 ranks
+        // the ≤ salts×budget survivors per host exactly.
+        val salted = savedCand.withColumn("salt", pmod(hash($"url"), lit(BudgetSalts)))
+        val w1 = Window.partitionBy($"host", $"salt").orderBy($"seq")
+        val phase1 = salted.withColumn("rk1", row_number().over(w1))
+          .filter($"rk1" <= config.hostPageBudget)
+        val w2 = Window.partitionBy($"host").orderBy($"seq")
+        savedCand = phase1.withColumn("rk", row_number().over(w2))
           .join(hostCounts.withColumnRenamed("cnt", "prior"), Seq("host"), "left")
           .withColumn("prior", coalesce($"prior", lit(0L)))
-        savedCand = ranked.filter($"rk" + $"prior" <= config.hostPageBudget)
+          .filter($"rk" + $"prior" <= config.hostPageBudget)
           .select($"url", $"host", $"depth", $"seq", $"wave", $"title", $"markdown")
-        skippedBudget = savedCandN - savedCand.count()
       }
 
       var cutSeq = Long.MaxValue
       var savedWave = savedCand
+      var keptTmp: DataFrame = null
       if (config.pageLimit > 0) {
         val remaining = config.pageLimit - savedTotal
-        val indexed = withGlobalIndex(savedCand, "rank_idx", $"seq".asc)
+        val indexed = withGlobalIndexN(savedCand, "rank_idx", nParts(spark, matchedN), $"seq".asc)
         val kept = indexed.filter($"rank_idx" < remaining).drop("rank_idx")
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val keptN = kept.count()
-        if (keptN >= remaining) {
+        keptTmp = kept
+        if (kept.count() >= remaining) {
           // limit reached inside this wave → serialized-prefix cut (L2)
           cutSeq = kept.agg(max($"seq")).as[Long].head()
           stopped = true
           stopReason = s"Page limit reached (${config.pageLimit})"
         }
         savedWave = kept
-      }
-      val savedWaveN = savedWave.count()
-      savedTotal += savedWaveN
-      val skippedMatch = fetchedOk - savedCandN
-
-      val prevSaved = savedAll
-      savedAll = savedAll.unionByName(savedWave).localCheckpoint(true)
-      prevSaved.unpersist()
-
-      if (config.hostPageBudget > 0) {
-        hostCounts = savedAll.groupBy($"host").agg(count(lit(1)).as("cnt"))
       }
 
       // ---- link expansion (only from rows at or before the cut) ----
@@ -303,8 +394,6 @@ object WaveCrawler {
       val linkCand = linkSource
         .select(explode($"links").as("l"), $"seq".as("parent_seq"))
         .select($"l.dst".as("url"), $"l.dstHost".as("host"), $"parent_seq", $"l.pos".as("pos"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val linksN = linkCand.count()
 
       // A2/U3: first discoverer owns the url → min (parent_seq, pos)
       val winners = linkCand
@@ -314,50 +403,84 @@ object WaveCrawler {
           first($"host").as("host"))
         .select($"url", $"host", $"ord.parent_seq".as("parent_seq"), $"ord.pos".as("pos"))
 
-      // J2: anti-join the seen set
-      val fresh = winners.join(seen.select($"url"), Seq("url"), "left_anti")
+      // J2 with Bloom pre-filter: "definitely new" urls skip the anti-join;
+      // only Bloom-maybe urls shuffle against the exact seen parts.
+      val fresh =
+        if (bloom != null && !listMode && linksN > 0) {
+          val bcBloom = spark.sparkContext.broadcast(bloom)
+          val mightBeSeen = udf((u: String) => bcBloom.value.mightContainString(u))
+          val maybe = winners.filter(mightBeSeen($"url"))
+            .join(unionParts(spark, seenParts, frontier).select($"url"), Seq("url"), "left_anti")
+          winners.filter(!mightBeSeen($"url")).unionByName(maybe)
+        } else if (linksN > 0) {
+          winners.join(unionParts(spark, seenParts, frontier).select($"url"), Seq("url"), "left_anti")
+        } else winners
 
-      val ordered = withGlobalIndex(fresh, "idx", $"parent_seq".asc, $"pos".asc)
-      val newFrontier = ordered
-        .select($"url", $"host", lit(depth + 1).as("depth"), ($"idx" + lit(maxSeq + 1)).as("seq"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val newN = newFrontier.count()
+      val newFrontier = (if (linksN > 0) {
+        val ordered = withGlobalIndexN(fresh, "idx", nParts(spark, linksN),
+          $"parent_seq".asc, $"pos".asc)
+        ordered.select($"url", $"host", lit(depth + 1).as("depth"),
+          ($"idx" + lit(maxSeq + 1)).as("seq"))
+      } else {
+        frontier.limit(0)
+      }).localCheckpoint(true)
+      val newN = timed(s"w$wave frontierCount")(newFrontier.count())
       val dupDropped = linksN - newN // intra-wave dups + already-seen
 
       maxSeq += newN
-      val newSeen = seen.union(newFrontier.select($"url", $"host", $"depth", $"seq"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      newSeen.count()
+      if (bloom != null && newN > 0) {
+        // fold the wave's new urls into the Bloom filter (one tiny job on
+        // the already-checkpointed frontier)
+        val waveBloom = timed(s"w$wave bloom")(newFrontier.stat.bloomFilter("url", BloomExpected, BloomFpp))
+        bloom.mergeInPlace(waveBloom): Unit
+      }
+
+      // ---- materialize the wave's saved delta ----
+      val savedDelta = timed(s"w$wave savedDelta")(savedWave.localCheckpoint(true))
+      val savedWaveN = savedDelta.count()
+      if (keptTmp != null) keptTmp.unpersist()
+      savedTotal += savedWaveN
+      savedParts :+= savedDelta
+      val skippedMatch = fetchedOk - matchedN
+      // matched rows dropped before saving (per-host budget and/or limit cut)
+      val skippedBudget = matchedN - savedWaveN
+      if (hostCounts != null && savedWaveN > 0) {
+        val prev = hostCounts
+        hostCounts = hostCounts
+          .unionByName(savedDelta.groupBy($"host").agg(count(lit(1)).as("cnt")))
+          .groupBy($"host").agg(sum($"cnt").as("cnt"))
+          .localCheckpoint(true)
+        prev.unpersist()
+      }
 
       metrics += WaveMetrics(wave, depth, popped, fetchedOk, fetchErrors, savedWaveN,
         skippedMatch, skippedBudget, linksN, dupDropped, newN)
 
-      // ---- checkpoint / lineage control ----
-      val prevFrontier = frontier
-      val prevSeen = seen
-      config.checkpointDir match {
-        case Some(dir) =>
-          val paths = TableIO.writeWave(dir, wave, Map(
-            "frontier" -> newFrontier,
-            "seen" -> newSeen,
-            "saved" -> savedAll),
-            manifest = TableIO.Manifest(wave, depth + 1, maxSeq, savedTotal,
-              stopped || (config.pageLimit > 0 && savedTotal >= config.pageLimit),
-              stopReason))
-          frontier = spark.read.parquet(paths("frontier"))
-          seen = spark.read.parquet(paths("seen"))
-          savedAll = spark.read.parquet(paths("saved"))
-          newFrontier.unpersist()
-          newSeen.unpersist()
-        case None =>
-          frontier = newFrontier.localCheckpoint(true)
-          seen = newSeen.localCheckpoint(true)
-          newFrontier.unpersist()
+      // ---- checkpoint / lineage ----
+      config.checkpointDir.foreach { dir =>
+        val m = TableIO.Manifest(wave, depth + 1, maxSeq, savedTotal,
+          stopped || (config.pageLimit > 0 && savedTotal >= config.pageLimit),
+          stopReason)
+        TableIO.writeWave(dir, wave,
+          Map("frontier" -> newFrontier, "saved_delta" -> savedDelta), m,
+          metricsJson = Some(TableIO.waveMetricsJson(
+            metrics.result().last, Map("frontier" -> newN, "saved_delta" -> savedWaveN))))
       }
-      prevFrontier.unpersist()
-      prevSeen.unpersist()
+
+      // NOTE: the old frontier stays persisted — it is a seen part (its
+      // cached data backs future anti-joins) until compaction releases it.
       processed.unpersist()
-      linkCand.unpersist()
+      frontier = newFrontier
+      popped = newN
+      seenParts :+= newFrontier
+      seenSinceCompact += 1
+      if (seenSinceCompact >= SeenCompactEvery) {
+        // compact the parts union so the anti-join plan stays shallow
+        val compacted = unionParts(spark, seenParts, frontier).localCheckpoint(true)
+        seenParts.dropRight(1).foreach(_.unpersist())
+        seenParts = Vector(compacted)
+        seenSinceCompact = 1
+      }
 
       depth += 1
       if (listMode) stopped = true // single wave: list mode never expands
@@ -368,7 +491,10 @@ object WaveCrawler {
       }
     }
 
-    CrawlOutput(savedAll, seen, metrics.result(), stopReason)
+    if (doCachePages) pagesSlim.unpersist()
+    val savedAll = unionParts(spark, savedParts, emptySaved(spark))
+    val seenAll = unionParts(spark, seenParts, frontier) // frontier ∈ seenParts
+    CrawlOutput(savedAll, seenAll, metrics.result(), stopReason)
   }
 
   private def loadRobots(spark: SparkSession, pages: DataFrame): Map[String, Seq[String]] = {

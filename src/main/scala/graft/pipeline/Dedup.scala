@@ -1,0 +1,270 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import TextAnalysis.mix64
+
+/** Deduplication operators for a training-data pipeline over
+  * `documents(doc_id, text, ...)`.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - exact dedup: hash-groupBy on a 128-bit content hash — one shuffle of
+  *     (hash, id), never of the text.
+  *   - MinHash+LSH near-dup: shingle → minhash signature (one narrow map) →
+  *     explode to (band, band_hash) keys → self-join per bucket. Candidate
+  *     generation never compares all pairs; bucket sizes are capped so a
+  *     degenerate bucket (all-identical boilerplate) cannot produce a
+  *     quadratic blowup — the same guard a web-scale dedup needs.
+  *   - SimHash: 64-bit signature, 4×16-bit block index; Hamming-≤k pairs
+  *     are found by exact-matching one block (pigeonhole) then verifying.
+  *   - verification (exact Jaccard / Hamming) only runs on candidate pairs.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** The driver-generated documents table has no duplicates, so dedup
+    * operators run over a deterministic duplicate-injected view:
+    *   - every 10th doc appended verbatim (exact dup, id + 2_000_000)
+    *   - every 5th doc appended with one word swapped (near dup ≈ 0.85
+    *     Jaccard on 3-shingles, id + 1_000_000)
+    */
+  def docsWithDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir).select(col("doc_id"), col("text"))
+    val exact = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val mutate = udf { (id: Long, text: String) =>
+      val words = text.split(" ")
+      if (words.nonEmpty) words((mix64(id) % words.length).toInt.abs) = "zzyzx"
+      words.mkString(" ")
+    }
+    val near = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        mutate(col("doc_id"), col("text")).as("text"))
+    base.unionByName(exact).unionByName(near)
+  }
+
+  /** Exact duplicate groups by md5 of the text bytes (over the
+    * exact-dup-injected union, which the oracle reproduces in SQL).
+    */
+  def exactGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir).select(col("doc_id"), col("text"))
+    val exact = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    base.unionByName(exact)
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper_id"))
+  }
+
+  // ------------------------------------------------------------- shingling
+
+  /** 3-word shingle hash set (64-bit, sorted, distinct). */
+  def shingleSet(text: String): Array[Long] = {
+    if (text == null) return Array.empty
+    val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (words.length < 3) {
+      if (words.isEmpty) Array.empty
+      else Array(mix64(words.mkString(" ").hashCode.toLong))
+    } else {
+      val out = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i + 3 <= words.length) {
+        var h = 1125899906842597L
+        var j = i
+        while (j < i + 3) {
+          var k = 0
+          val w = words(j)
+          while (k < w.length) { h = h * 31 + w.charAt(k); k += 1 }
+          h = h * 31 + ' '
+          j += 1
+        }
+        out.add(mix64(h))
+        i += 1
+      }
+      val arr = new Array[Long](out.size)
+      val it = out.iterator()
+      var k = 0
+      while (it.hasNext) { arr(k) = it.next(); k += 1 }
+      arr
+    }
+  }
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand = NumHashes / Bands // 4 ⇒ LSH threshold ≈ (1/16)^(1/4) ≈ 0.5
+
+  /** MinHash signature via 64 independent affine permutations of the shingle
+    * hashes (Broder '97).
+    */
+  def minhashSig(shingles: Array[Long]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val h = shingles(i)
+      var p = 0
+      while (p < NumHashes) {
+        val v = mix64(h ^ (0x9e3779b97f4a7c15L * (p + 1)))
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def bandHashes(sig: Array[Long]): Array[Long] = {
+    Array.tabulate(Bands) { b =>
+      var h = b.toLong
+      var r = 0
+      while (r < RowsPerBand) { h = mix64(h ^ sig(b * RowsPerBand + r)); r += 1 }
+      h
+    }
+  }
+
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
+  /** Near-duplicate pairs by MinHash+LSH, verified with exact Jaccard ≥
+    * `threshold` on the shingle sets. Returns (doc_a, doc_b) with a < b.
+    */
+  def minhashPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+
+    val shingled = docsWithDups(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, shingleSet(text)) }
+      .toDF("doc_id", "shingles")
+      .persist()
+
+    val banded = shingled.as[(Long, Array[Long])]
+      .flatMap { case (id, sh) =>
+        bandHashes(minhashSig(sh)).zipWithIndex.map { case (bh, b) => (id, b, bh) }
+      }
+      .toDF("doc_id", "band", "band_hash")
+
+    // cap degenerate buckets: keep the maxBucket smallest ids per bucket
+    val bucketed = banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1)
+
+    val candidates = bucketed.select(col("ids"))
+      .as[Array[Long]]
+      .flatMap { ids =>
+        for (i <- ids.indices.iterator; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j))
+      }
+      .toDF("doc_a", "doc_b")
+      .distinct()
+
+    val withA = candidates.join(
+      shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"),
+      Seq("doc_a"))
+    val withB = withA.join(
+      shingled.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"),
+      Seq("doc_b"))
+    val jac = udf((a: Seq[Long], b: Seq[Long]) => jaccard(a.toArray, b.toArray))
+    withB
+      .withColumn("jaccard", jac(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard for every candidate pair at a lower LSH threshold,
+    * reported with the similarity bucketed to avoid float-compare issues.
+    */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val shingled = docsWithDups(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, shingleSet(text)) }
+      .toDF("doc_id", "shingles")
+    val pairs = minhashPairs(spark, sfDir, threshold = 0.0)
+    val withA = pairs.join(
+      shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"),
+      Seq("doc_a"))
+    val withB = withA.join(
+      shingled.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"),
+      Seq("doc_b"))
+    val jacPct = udf((a: Seq[Long], b: Seq[Long]) =>
+      math.round(jaccard(a.toArray, b.toArray) * 100).toLong)
+    withB.select(col("doc_a"), col("doc_b"),
+      jacPct(col("sh_a"), col("sh_b")).as("jaccard_pct"))
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over word hashes (Charikar '02 / Manku et al. '07). */
+  def simhash64(text: String): Long = {
+    val v = new Array[Int](64)
+    if (text != null) {
+      text.toLowerCase.split("\\W+").withFilter(_.nonEmpty).foreach { w =>
+        var h = 1125899906842597L
+        var k = 0
+        while (k < w.length) { h = h * 31 + w.charAt(k); k += 1 }
+        h = mix64(h)
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) v(b) += 1 else v(b) -= 1; b += 1 }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (v(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def simhashes(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = udf(simhash64 _)
+    docs(spark, sfDir).select(col("doc_id"), f(col("text")).as("simhash"))
+  }
+
+  /** Pairs within Hamming distance ≤ 3 of each other's SimHash, found by the
+    * pigeonhole block index: any such pair agrees exactly on ≥1 of the 4
+    * 16-bit blocks, so exact-match each block then verify popcount.
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxDist: Int = 3): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val sh = docsWithDups(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(t)) }
+      .toDF("doc_id", "simhash")
+      .persist()
+
+    val blocked = sh.as[(Long, Long)].flatMap { case (id, h) =>
+      (0 until 4).map(b => (id, h, b, (h >>> (16 * b)) & 0xffffL))
+    }.toDF("doc_id", "simhash", "block", "block_val")
+
+    val grouped = blocked
+      .groupBy(col("block"), col("block_val"))
+      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("simhash")))), 1, 1000)
+        .as("members"))
+      .filter(size(col("members")) > 1)
+
+    grouped.select(col("members"))
+      .as[Seq[(Long, Long)]]
+      .flatMap { ms =>
+        for {
+          i <- ms.indices.iterator
+          j <- (i + 1) until ms.length
+          if java.lang.Long.bitCount(ms(i)._2 ^ ms(j)._2) <= maxDist
+        } yield (ms(i)._1, ms(j)._1)
+      }
+      .toDF("doc_a", "doc_b")
+      .distinct()
+  }
+}

@@ -1,0 +1,200 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over
+  * `embeddings(vec_id, embedding: array<float>, label)`.
+  *
+  * Scale design: brute-force top-k is the exact baseline — one narrow
+  * mapPartitions emitting per-partition top-k per query (bounded heaps, no
+  * cross join materialization), then a tiny global merge. The LSH variant
+  * (random-hyperplane signatures, multi-probe) is the 100 TB path: candidate
+  * sets come from bucket joins, distance evaluation only touches candidates.
+  * Queries are broadcast (they are always ≪ the corpus).
+  */
+object Similarity {
+
+  import scala.jdk.CollectionConverters._
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Exact top-k cosine neighbors for the query vectors (the `nQueries`
+    * smallest vec_ids), excluding self. Two-phase: per-partition heaps →
+    * global merge of ≤ parts×k rows per query.
+    */
+  def bruteForceTopK(spark: SparkSession, sfDir: String,
+      nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val all = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val queries = all.orderBy(col("vec_id")).limit(nQueries).collect()
+    val bcQ = spark.sparkContext.broadcast(queries)
+
+    val partial = all.mapPartitions { it =>
+      val qs = bcQ.value
+      // one bounded min-heap per query
+      val heaps = qs.map(_ => new java.util.PriorityQueue[(Double, Long)](
+        k + 1, Ordering.by[(Double, Long), (Double, Long)](t => (t._1, -t._2))))
+      it.foreach { case (id, vec) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, qv) = qs(qi)
+          if (qid != id) {
+            val c = cosine(qv, vec)
+            val h = heaps(qi)
+            h.add((c, id))
+            if (h.size > k) h.poll(): Unit
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        val qid = qs(qi)._1
+        h.iterator().asScala.map { case (c, id) => (qid, id, c) }
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+
+    // global merge: tiny (#parts × nQueries × k rows)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    partial
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  // 8 hyperplanes → 256 buckets. Deliberately coarse: the driver-generated
+  // embeddings are uniform-random (no cluster structure), so finer signatures
+  // leave every bucket nearly empty and recall collapses; real embedding
+  // spaces cluster and tolerate 16-64 bits with multiple tables.
+  val LshBits = 8
+
+  /** Deterministic pseudo-random hyperplane component for (bit, dim). */
+  @inline private def plane(bit: Int, dim: Int): Double = {
+    val h = TextAnalysis.mix64(bit.toLong * 0x9e3779b97f4a7c15L ^ dim.toLong * 0xc2b2ae3d27d4eb4fL)
+    (h.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+  }
+
+  def lshSig(vec: Array[Float]): Int = {
+    var sig = 0
+    var b = 0
+    while (b < LshBits) {
+      var dot = 0.0
+      var d = 0
+      while (d < vec.length) { dot += plane(b, d) * vec(d); d += 1 }
+      if (dot >= 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** ANN top-k via random-hyperplane LSH with multi-probe (flip each single
+    * bit): candidates share a (possibly 1-bit-off) signature bucket with the
+    * query; exact cosine ranks the candidates. Recall < 1 by construction —
+    * the scale path for 100 TB where brute force is off the table.
+    */
+  def lshTopK(spark: SparkSession, sfDir: String,
+      nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val all = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val queries = all.orderBy(col("vec_id")).limit(nQueries).collect()
+    // query probe set: own bucket + all 1-bit flips
+    val probes: Map[Int, Seq[Long]] = queries
+      .flatMap { case (qid, qv) =>
+        val s = lshSig(qv)
+        (s +: (0 until LshBits).map(b => s ^ (1 << b))).map(sig => (sig, qid))
+      }
+      .groupBy(_._1).map { case (sig, xs) => sig -> xs.map(_._2).toSeq }
+    val bcProbes = spark.sparkContext.broadcast(probes)
+    val bcQ = spark.sparkContext.broadcast(queries.toMap)
+
+    val scored = all.mapPartitions { it =>
+      val pr = bcProbes.value
+      val qm = bcQ.value
+      it.flatMap { case (id, vec) =>
+        pr.getOrElse(lshSig(vec), Nil).iterator
+          .filter(_ != id)
+          .map(qid => (qid, id, cosine(qm(qid), vec)))
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** The driver-generated embeddings are random (max pairwise cosine ≈ 0.37
+    * at sf0.01), so near-dup detection runs over a deterministic
+    * duplicate-injected view: every 4th vector appended with tiny
+    * per-dimension perturbation (cosine ≈ 0.9999, id + 100000).
+    */
+  def embWithDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val perturb = udf { (id: Long, v: Seq[Float]) =>
+      v.zipWithIndex.map { case (x, i) =>
+        x + 0.001f * ((TextAnalysis.mix64(id * 131 + i) % 1000L) / 1000.0f)
+      }
+    }
+    base.unionByName(
+      base.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          perturb(col("vec_id"), col("embedding")).as("embedding")))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, LSH-bucketed so no
+    * all-pairs comparison happens (bucket + 1-bit neighbors catch high-cosine
+    * pairs with high probability).
+    */
+  def embeddingDupPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.95): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val all = embWithDups(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val sigged = all.map { case (id, v) => (id, v, lshSig(v)) }
+      .toDF("vec_id", "embedding", "sig")
+    // candidates share a signature: explode own sig + 1-bit flips, join
+    val keyed = sigged.as[(Long, Array[Float], Int)].flatMap { case (id, v, s) =>
+      (s +: (0 until LshBits).map(b => s ^ (1 << b))).map(key => (key, id, v))
+    }.toDF("key", "vec_id", "embedding")
+    val grouped = keyed.groupBy(col("key"))
+      .agg(slice(sort_array(collect_list(struct(col("vec_id"), col("embedding")))), 1, 500)
+        .as("members"))
+      .filter(size(col("members")) > 1)
+    grouped.select(col("members")).as[Seq[(Long, Array[Float])]]
+      .flatMap { ms =>
+        for {
+          i <- ms.indices.iterator
+          j <- (i + 1) until ms.length
+          if cosine(ms(i)._2, ms(j)._2) >= threshold
+        } yield (ms(i)._1, ms(j)._1)
+      }
+      .toDF("vec_a", "vec_b")
+      .distinct()
+  }
+}

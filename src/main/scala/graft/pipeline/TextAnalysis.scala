@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents(doc_id, text, lang, source, n_chars)` table.
+  *
+  * Everything per-row is expressed with built-in codegen'd functions where
+  * exact SQL semantics exist (token counts, quality counters), and with
+  * deterministic Scala UDFs where the computation is algorithmic (language
+  * ID, fingerprinting). No driver-side loops; every operator is a single
+  * narrow map stage — embarrassingly parallel at any scale.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Whitespace token count — built-in split, no UDF. */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      when(length(trim(col("text"))) === 0, lit(0L))
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        .as("n_tokens"))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, single other
+    * non-space chars — the standard pre-tokenizer shape. Codegen'd regexp
+    * (RE2-compatible so the DuckDB oracle evaluates the same pattern).
+    */
+  def subwordCounts(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+        .cast("long").as("n_subwords"))
+
+  /** Quality counters + integer score. All counts are in UTF-8 bytes
+    * (octet_length) with ASCII character classes, so Spark (UTF-16 strings)
+    * and DuckDB (UTF-8 strings) agree exactly on any input.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    def bytes(c: Column): Column = octet_length(c).cast("long")
+    val nBytes = bytes(col("text"))
+    val punct = nBytes - bytes(regexp_replace(col("text"), "[.!?,;:]", ""))
+    val letters = nBytes - bytes(regexp_replace(col("text"), "[A-Za-z]", ""))
+    val spaces = nBytes - bytes(regexp_replace(col("text"), " ", ""))
+    d.select(
+      col("doc_id"), nBytes.as("n_bytes"), punct.as("n_punct"),
+      letters.as("n_letters"), spaces.as("n_spaces"),
+      // integer quality heuristic: letters weighted up, punctuation down,
+      // clamped at zero — same formula in the oracle SQL
+      greatest(lit(0L), letters * 2 + spaces - punct * 3).as("score"))
+  }
+
+  private val DeStop = Set("der", "die", "das", "und", "ist", "nicht", "ein",
+    "eine", "mit", "von", "auf", "für", "dem", "den", "sich", "im")
+  private val EnStop = Set("the", "and", "is", "of", "to", "a", "in", "that",
+    "it", "was", "for", "on", "with", "as", "this")
+
+  /** Heuristic language ID: CJK codepoint density → ja; else stopword vote
+    * between de/en n-gram profiles. Deterministic pure function.
+    */
+  def langIdOf(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var cjk = 0
+    var total = 0
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (!Character.isWhitespace(cp)) {
+        total += 1
+        val b = Character.UnicodeScript.of(cp)
+        if (b == Character.UnicodeScript.HAN || b == Character.UnicodeScript.HIRAGANA ||
+          b == Character.UnicodeScript.KATAKANA) cjk += 1
+      }
+      i += Character.charCount(cp)
+    }
+    if (total > 0 && cjk * 5 >= total) "ja"
+    else {
+      val words = text.toLowerCase.split("\\W+")
+      var de = 0
+      var en = 0
+      words.foreach { w => if (DeStop(w)) de += 1; if (EnStop(w)) en += 1 }
+      if (de > en) "de" else "en"
+    }
+  }
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = udf(langIdOf _)
+    docs(spark, sfDir).select(col("doc_id"), col("lang"), f(col("text")).as("lang_pred"))
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): rolling
+    * 64-bit Karp-Rabin over 5-gram character windows, keep the min hash per
+    * 16-window band → compact similarity fingerprint.
+    */
+  def fingerprintOf(text: String): Array[Long] = {
+    if (text == null || text.length < 5) return Array.empty
+    val k = 5
+    val base = 1000003L
+    var pow = 1L
+    (1 until k).foreach(_ => pow *= base)
+    val hashes = new Array[Long](text.length - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < text.length) {
+      h = (if (i >= k) (h - text.charAt(i - k) * pow) else h) * base + text.charAt(i)
+      if (i >= k - 1) hashes(i - k + 1) = mix64(h)
+      i += 1
+    }
+    val w = 16
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var last = Long.MinValue
+    var j = 0
+    while (j < hashes.length) {
+      val end = math.min(j + w, hashes.length)
+      var m = Long.MaxValue
+      var p = j
+      while (p < end) { if (hashes(p) < m) m = hashes(p); p += 1 }
+      if (out.isEmpty || m != last) { out += m; last = m }
+      j += w
+    }
+    out.toArray
+  }
+
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 * 0xbf58476d1ce4e5b9L
+    z ^= z >>> 32; z *= 0x94d049bb133111ebL
+    z ^= z >>> 29
+    z
+  }
+
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = udf(fingerprintOf _)
+    docs(spark, sfDir).select(col("doc_id"), f(col("text")).as("fingerprint"))
+  }
+}

@@ -210,6 +210,41 @@ object CrawlQueries {
       .withColumn("normalized", normUdf(col("input")))
   }
 
+  /** S6 jsonl sink over the articles crawl: one Go-escaping-parity compact
+    * JSON line per page in save order (byte-exactness itself is pinned by
+    * SinksSpec goldens; this exposes the sink at the query surface).
+    */
+  def sinkJsonl(spark: SparkSession, sfDir: String): DataFrame = {
+    val line = udf((t: String, u: String, m: String) =>
+      graft.sinks.Sinks.jsonlLine(t, u, m))
+    articlesCrawl(spark, sfDir).saved
+      .orderBy(col("depth"), col("seq"))
+      .select(col("url"), line(col("title"), col("url"), col("markdown")).as("jsonl"))
+  }
+
+  /** S4 xml-like sink rows (template parity, no escaping) in save order. */
+  def sinkXml(spark: SparkSession, sfDir: String): DataFrame = {
+    val block = udf((t: String, u: String, m: String) =>
+      graft.sinks.Sinks.pageAsXmlLike(t, u, m))
+    articlesCrawl(spark, sfDir).saved
+      .orderBy(col("depth"), col("seq"))
+      .select(col("url"), block(col("title"), col("url"), col("markdown")).as("xml"))
+  }
+
+  /** S5 json sink: the complete MarshalIndent-parity payload (one row). */
+  def sinkJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val pages = articlesCrawl(spark, sfDir).saved
+      .orderBy(col("depth"), col("seq"))
+      .select(col("title"), col("url"), col("markdown"))
+      .as[(String, String, String)].collect()
+      .map { case (t, u, m) =>
+        graft.extract.PageData(t, u, m, rawHtml = "", articleHtml = "")
+      }.toSeq
+    Seq(graft.sinks.Sinks.json(pages)).toDF("json_payload")
+  }
+
   /** F5 glob matching over every corpus path × a fixed pattern set. */
   def globMatch(spark: SparkSession, sfDir: String): DataFrame = {
     val spark2 = spark

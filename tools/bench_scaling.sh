@@ -18,30 +18,35 @@ done
 run_bench() {
   local cpus=$1
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$cpus" \
+    SPARK_GRAFT_REPEATS="${REPEATS:-2}" \
     java -Xmx24g $ADD_OPENS -Dspark.ui.enabled=false \
     -cp "$CLASSES:$JARS" graft.Bench 2>/dev/null | tail -1
 }
 
+N_LOW="${N_LOW:-8}"
+N_HIGH="${N_HIGH:-32}"
 mkdir -p "$REPO/work"
-echo "== local[8] =="
-J8=$(run_bench 8)
+echo "== local[$N_LOW] =="
+J8=$(run_bench "$N_LOW")
 echo "$J8"
-echo "== local[32] =="
-J32=$(run_bench 32)
+echo "== local[$N_HIGH] =="
+J32=$(run_bench "$N_HIGH")
 echo "$J32"
 
-python3 - "$J8" "$J32" <<'EOF'
+python3 - "$J8" "$J32" "$N_LOW" "$N_HIGH" <<'EOF'
 import json, sys
 j8, j32 = json.loads(sys.argv[1]), json.loads(sys.argv[2])
+lo, hi = int(sys.argv[3]), int(sys.argv[4])
+ratio = hi / lo
 t8, t32 = j8["value"], j32["value"]
 b8, b32 = j8["bfs_urls_per_sec"], j32["bfs_urls_per_sec"]
-eff = t32 / (4 * t8)
-beff = b32 / (4 * b8)
-print(f"list extract: {t8:.1f} urls/s @8 -> {t32:.1f} urls/s @32, efficiency {eff:.3f}")
-print(f"bfs crawl:    {b8:.1f} urls/s @8 -> {b32:.1f} urls/s @32, efficiency {beff:.3f}")
-out = {"sf": j8["sf"], "cores8": j8, "cores32": j32,
+eff = t32 / (ratio * t8)
+beff = b32 / (ratio * b8)
+print(f"list extract: {t8:.1f} urls/s @{lo} -> {t32:.1f} urls/s @{hi}, efficiency {eff:.3f}")
+print(f"bfs crawl:    {b8:.1f} urls/s @{lo} -> {b32:.1f} urls/s @{hi}, efficiency {beff:.3f}")
+out = {"sf": j8["sf"], f"cores{lo}": j8, f"cores{hi}": j32,
        "scaling_efficiency_list": round(eff, 3),
        "scaling_efficiency_bfs": round(beff, 3)}
-open("/root/repo/work/scaling.json", "w").write(json.dumps(out, indent=2))
-print("written /root/repo/work/scaling.json")
+open(f"/root/repo/work/scaling_{lo}_{hi}.json", "w").write(json.dumps(out, indent=2))
+print(f"written /root/repo/work/scaling_{lo}_{hi}.json")
 EOF
