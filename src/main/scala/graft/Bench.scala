@@ -61,6 +61,14 @@ object Bench {
     // headline: fetch+extract every corpus url (list mode = one wave)
     val allUrls = spark.read.parquet(s"$dir/meta.parquet")
       .orderBy("host_idx", "page_idx").select("url").as[String].collect().toSeq
+
+    // untimed warmup (~10% of urls): JIT-compile the extraction hot path so
+    // a single-repeat run measures steady state, not C2 compilation
+    WaveCrawler.crawl(spark, pages,
+      CrawlConfig(urlList = allUrls.take(math.max(500, allUrls.size / 10)),
+        isUrlListMode = true)).saved.count()
+    dropCaches()
+
     val (extracted, tList) = time {
       val n = WaveCrawler.crawl(spark, pages,
         CrawlConfig(urlList = allUrls, isUrlListMode = true)).saved.count()

@@ -49,6 +49,8 @@ object SparkEntry {
     "crawl_saved_titles" -> ((s, d) => C.savedTitles(s, d)),
     "crawl_saved_articles" -> ((s, d) => C.savedArticles(s, d)),
     "crawl_limit_cut" -> ((s, d) => C.limitCut(s, d, 100)),
+    "crawl_robots_seen" -> ((s, d) => C.robotsSeen(s, d)),
+    "crawl_follow_seen" -> ((s, d) => C.followSeen(s, d)),
     "crawl_resume_seen" -> ((s, d) => C.resumedSeen(s, d)),
     "crawl_wave_metrics" -> ((s, d) => C.waveMetrics(s, d)),
     "crawl_link_extract" -> ((s, d) => C.linkExtract(s, d)),
@@ -103,6 +105,29 @@ object SparkEntry {
          |SELECT m.url, m.title FROM seen r JOIN ${gt("meta")} m ON m.url = r.url
          |WHERE m.section = 'articles'""".stripMargin,
     "crawl_limit_cut" -> "SELECT CAST(100 AS BIGINT) AS saved_cnt",
+    "crawl_robots_seen" ->
+      s"""WITH RECURSIVE reach(url, depth) AS (
+         |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url, 0 AS depth
+         |  UNION
+         |  SELECT l.dst_url, r.depth + 1
+         |  FROM reach r JOIN ${gt("links")} l ON l.src_url = r.url
+         |  WHERE r.depth < 64 AND NOT EXISTS (
+         |    SELECT 1 FROM ${gt("robots")} rb
+         |    WHERE l.dst_url LIKE 'http://' || rb.host || rb.disallow_prefix || '%')
+         |)
+         |SELECT url, CAST(MIN(depth) AS BIGINT) AS depth FROM reach GROUP BY url""".stripMargin,
+    "crawl_follow_seen" ->
+      s"""WITH RECURSIVE reach(url, depth) AS (
+         |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url, 0 AS depth
+         |  UNION
+         |  SELECT l.dst_url, r.depth + 1
+         |  FROM reach r JOIN ${gt("links")} l ON l.src_url = r.url
+         |  WHERE r.depth < 64 AND (
+         |    regexp_replace(l.dst_url, '^https?://[^/]*', '') = '/'
+         |    OR regexp_replace(l.dst_url, '^https?://[^/]*', '') LIKE '/articles/%'
+         |    OR regexp_replace(l.dst_url, '^https?://[^/]*', '') LIKE '/docs/%')
+         |)
+         |SELECT url, CAST(MIN(depth) AS BIGINT) AS depth FROM reach GROUP BY url""".stripMargin,
     "crawl_resume_seen" ->
       s"""$reachCte
          |SELECT url, CAST(depth AS BIGINT) AS depth FROM seen""".stripMargin,
@@ -164,7 +189,8 @@ object SparkEntry {
         |GROUP BY c_mktsegment""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01')""".stripMargin,
     "q_semi_join" ->
       """SELECT p_brand, COUNT(*) AS n_parts FROM part
         |WHERE p_partkey IN (SELECT l_partkey FROM lineitem)

@@ -40,10 +40,12 @@ object AnalyticsQueries {
         sum(cents("o_totalprice")).as("revenue_cents"),
         count(lit(1)).as("n_orders"))
 
-  /** Left-anti join (J2 analogue: customers with no orders). */
+  /** Left-anti join (J2 analogue: customers with no orders before mid-1995 —
+    * the date filter keeps the result non-trivially non-empty).
+    */
   def antiJoin(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "customer")
-      .join(t(spark, sfDir, "orders"),
+      .join(t(spark, sfDir, "orders").filter(col("o_orderdate") < lit("1995-07-01")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 

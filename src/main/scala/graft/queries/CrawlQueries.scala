@@ -51,6 +51,35 @@ object CrawlQueries {
         CrawlConfig(startUrl = Seed, pageLimit = limit))
     }
 
+  /** Crawl with robots.txt rules enforced at discovery (J3/north rule):
+    * host0 disallows /misc, so no /misc url is ever enqueued.
+    */
+  def robotsCrawl(spark: SparkSession, sfDir: String): CrawlOutput =
+    cached(spark, sfDir, "robots") { dir =>
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(startUrl = Seed, useRobots = true))
+    }
+
+  /** Crawl with --follow-match restricting link expansion (P5): only links
+    * whose path matches the glob are enqueued (saving is unrestricted).
+    */
+  def followCrawl(spark: SparkSession, sfDir: String): CrawlOutput =
+    cached(spark, sfDir, "follow") { dir =>
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(startUrl = Seed,
+          followPatterns = Seq("/", "/articles/**", "/docs/**")))
+    }
+
+  /** Seen set of the robots-aware crawl. */
+  def robotsSeen(spark: SparkSession, sfDir: String): DataFrame =
+    robotsCrawl(spark, sfDir).seen
+      .select(col("url"), col("depth").cast("long").as("depth"))
+
+  /** Seen set of the follow-match crawl. */
+  def followSeen(spark: SparkSession, sfDir: String): DataFrame =
+    followCrawl(spark, sfDir).seen
+      .select(col("url"), col("depth").cast("long").as("depth"))
+
   /** Interrupted-then-resumed crawl (north-rule resumability): run the first
     * 3 waves with checkpointing, then resume from the checkpoint to the end.
     * Must equal the uninterrupted crawl exactly.
