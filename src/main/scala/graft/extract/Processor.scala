@@ -59,8 +59,11 @@ object Processor {
         htmlToProcess = modified
     }
 
-    val article = Readability.parse(htmlToProcess, parsedUrl)
-    val markdown = Markdown.convert(article.content).trim
+    val (article, resultEl) = Readability.parseToDom(htmlToProcess, parsedUrl)
+    // consume the readability DOM directly — no serialize→re-parse round trip
+    val markdown =
+      (if (resultEl != null) Markdown.convertElement(resultEl)
+       else Markdown.convert(article.content)).trim
 
     Right(
       PageData(

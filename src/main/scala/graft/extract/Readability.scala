@@ -51,7 +51,14 @@ object Readability {
   private val FlagWeightClasses = 2
   private val FlagCleanConditionally = 4
 
-  def parse(rawHtml: String, pageUrl: GoUrl): Article = {
+  def parse(rawHtml: String, pageUrl: GoUrl): Article =
+    parseToDom(rawHtml, pageUrl)._1
+
+  /** Like [[parse]] but also returns the result content element so callers
+    * (Markdown conversion) can consume the DOM without a serialize→re-parse
+    * round trip.
+    */
+  def parseToDom(rawHtml: String, pageUrl: GoUrl): (Article, HElement) = {
     // metadata title is read from the pristine document
     val metaDoc = HtmlParser.parse(rawHtml)
     val metaTitle = getArticleMetadataTitle(metaDoc)
@@ -61,11 +68,15 @@ object Readability {
     val attempts = mutable.ArrayBuffer[(HElement, Int)]()
     var result: HElement = null
     var done = false
+    var firstAttempt = true
     while (!done) {
-      val doc = HtmlParser.parse(rawHtml) // fresh tree per attempt
+      // the first attempt reuses the (read-only-so-far) metadata tree; later
+      // attempts re-parse because grabArticle mutates the document
+      val doc = if (firstAttempt) metaDoc else HtmlParser.parse(rawHtml)
+      firstAttempt = false
       prepDocument(doc)
       val content = grabArticle(doc, flags, articleTitle)
-      val textLen = content.map(c => innerTextNorm(c).length).getOrElse(0)
+      val textLen = content.map(normTextLen).getOrElse(0)
       if (content.isDefined && textLen >= CharThreshold) {
         result = content.get
         done = true
@@ -85,14 +96,14 @@ object Readability {
       }
     }
 
-    if (result == null) return Article(articleTitle, "", "", "")
+    if (result == null) return (Article(articleTitle, "", "", ""), null)
 
     postProcess(result, pageUrl)
-    Article(
+    (Article(
       title = articleTitle,
       byline = "",
       content = result.innerHtml,
-      textContent = result.text)
+      textContent = result.text), result)
   }
 
   // ---- title ----
@@ -223,9 +234,45 @@ object Readability {
 
   // ---- scoring helpers ----
 
-  private def normSpace(s: String): String = s.replaceAll("\\s+", " ").trim
+  private val wsRun = java.util.regex.Pattern.compile("\\s+")
+
+  private def normSpace(s: String): String = wsRun.matcher(s).replaceAll(" ").trim
 
   private def innerTextNorm(e: HElement): String = normSpace(e.text)
+
+  @inline private def isJavaWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Length of innerTextNorm(e) computed in one allocation-free walk —
+    * exactly `normSpace(e.text).length` (collapse \s+ runs to one space,
+    * trim ends). The length-only call sites (link density, emptiness and
+    * size gates) dominate readability's cost on large candidates; building
+    * the full normalized string for them is O(subtree) garbage per call.
+    */
+  private def normTextLen(e: HElement): Int = {
+    var cnt = 0
+    var pendingSpace = false
+    var started = false
+    def walk(n: HNode): Unit = n match {
+      case t: HText =>
+        val s = t.data
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (isJavaWs(c)) { if (started) pendingSpace = true }
+          else {
+            if (pendingSpace) { cnt += 1; pendingSpace = false }
+            cnt += 1
+            started = true
+          }
+          i += 1
+        }
+      case el: HElement => el.children.foreach(walk)
+      case _            =>
+    }
+    walk(e)
+    cnt
+  }
 
   private def classWeight(e: HElement, flags: Int): Double = {
     if ((flags & FlagWeightClasses) == 0) return 0
@@ -255,12 +302,12 @@ object Readability {
   }
 
   private def linkDensity(e: HElement): Double = {
-    val textLen = innerTextNorm(e).length
+    val textLen = normTextLen(e)
     if (textLen == 0) return 0
     var linkLen = 0.0
     e.selfAndDescendants.filter(_.tag == "a").foreach { a =>
       val coeff = if (a.attr("href").exists(_.startsWith("#"))) 0.3 else 1.0
-      linkLen += innerTextNorm(a).length * coeff
+      linkLen += normTextLen(a) * coeff
     }
     linkLen / textLen
   }
@@ -492,7 +539,7 @@ object Readability {
     article.children.toVector.foreach {
       case e: HElement =>
         val ms = e.className + " " + e.id
-        if (rxShare.findFirstIn(ms).isDefined && innerTextNorm(e).length < 500) e.remove()
+        if (rxShare.findFirstIn(ms).isDefined && normTextLen(e) < 500) e.remove()
       case _ =>
     }
 
@@ -514,7 +561,7 @@ object Readability {
     article.find("p").foreach { p =>
       val hasMedia = p.selfAndDescendants.exists(e =>
         e.tag == "img" || e.tag == "embed" || e.tag == "object" || e.tag == "iframe")
-      if (!hasMedia && innerTextNorm(p).isEmpty) p.remove()
+      if (!hasMedia && normTextLen(p) == 0) p.remove()
     }
 
     // remove br preceding a p
