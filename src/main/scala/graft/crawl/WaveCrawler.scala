@@ -276,12 +276,18 @@ object WaveCrawler {
 
     // The corpus side of J1. Multi-wave crawls re-probe the corpus every
     // wave, so cache it once (the single-node stand-in for a url-bucketed
-    // pages table / sort-merge J1 at 10^10 pages). A list-mode crawl reads
-    // the corpus exactly once — caching it would only add a copy.
+    // pages table / sort-merge J1 at 10^10 pages) — and since crawl mode
+    // never leaves the seed's hostname (reference crawler.go:516-518), push
+    // that predicate into the cached corpus: every wave then probes only the
+    // seed host's partition of the web, the same pruning a host-partitioned
+    // pages table gives at scale. A list-mode crawl reads the corpus exactly
+    // once — caching it would only add a copy.
     val doCachePages = config.cachePages && !listMode
     val pagesSlim = {
+      val hostOf = udf((u: String) => UrlNorm.hostnameOf(u))
       val slim = pages.select($"url", $"html")
-      if (doCachePages) slim.persist(StorageLevel.MEMORY_AND_DISK) else slim
+      val pruned = if (!listMode) slim.filter(hostOf($"url") === startHost) else slim
+      if (doCachePages) pruned.persist(StorageLevel.MEMORY_AND_DISK) else pruned
     }
 
     var stopReason = "Completed"
