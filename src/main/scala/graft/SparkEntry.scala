@@ -175,15 +175,15 @@ object SparkEntry {
          |FROM paths p CROSS JOIN pats q""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
-        |  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+        |  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_agg" ->
       """SELECT c_mktsegment,
-        |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
@@ -198,7 +198,7 @@ object SparkEntry {
     "q_window_running" ->
       """SELECT event_id, user_id,
         |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
-        |  SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS running_v100
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS BIGINT) AS running_v100
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
@@ -211,7 +211,7 @@ object SparkEntry {
         |  UNION ALL SELECT c_custkey FROM customer)""".stripMargin,
     "q_dim_chain" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
-        |  SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+        |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey

@@ -68,13 +68,14 @@ def compare():
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)
         ok = list(got.columns) == list(exp.columns) and len(got) == len(exp)
-        if ok:
+        if ok and list(got.dtypes) != list(exp.dtypes):
+            # Driver hashes values dtype-sensitively (int64 vs float64 from
+            # HUGEINT differ) — no coercion here, mirror the real gate.
+            print(f"  dtype mismatch: got={list(got.dtypes)} exp={list(exp.dtypes)}")
+            ok = False
+        elif ok:
             g = got.sort_values(by=list(got.columns)).reset_index(drop=True)
             e = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
-            try:
-                g = g.astype(e.dtypes.to_dict())
-            except Exception:
-                pass
             ok = g.equals(e)
             if not ok:
                 diff = (g != e)
