@@ -16,13 +16,119 @@ import graft.queries.{AnalyticsQueries => A, CrawlQueries => C}
   */
 object SparkEntry {
 
-  /** Corpus ground-truth location for the sf0.01 verify run (the driver's
-    * DuckDB oracle reads these parquet files directly; Verify materializes
-    * them before any oracle runs).
+  /** Corpus ground-truth location placeholder: graft.Verify substitutes the
+    * actual corpus dir for the sfDir it runs at (CorpusGen.corpusDir) before
+    * dumping oracle_sql.json, so the oracle always reads the ground truth of
+    * the scale factor actually verified.
     */
-  private val Corpus = "/root/repo/work/corpus/sf0.01"
+  val CorpusPlaceholder = "__CORPUS__"
   private def gt(table: String): String =
-    s"read_parquet('$Corpus/$table.parquet/*.parquet')"
+    s"read_parquet('$CorpusPlaceholder/$table.parquet/*.parquet')"
+
+  // ---- SQL helpers for oracle construction -------------------------------
+
+  private val B = "\\"
+
+  /** Go encoding/json escaping (graft.sinks.Sinks.goJsonEscape) as a DuckDB
+    * replace chain — covers the characters that can occur in corpus
+    * titles/urls/markdown (backslash, quote, \n \r \t, < > &; full control
+    * range is Scala-side only).
+    */
+  private def escSql(e: String): String =
+    Seq(
+      (s"'$B'", s"'$B$B'"),
+      ("'\"'", s"'$B\"'"),
+      ("chr(10)", s"'${B}n'"),
+      ("chr(13)", s"'${B}r'"),
+      ("chr(9)", s"'${B}t'"),
+      ("'<'", s"'${B}u003c'"),
+      ("'>'", s"'${B}u003e'"),
+      ("'&'", s"'${B}u0026'"),
+    ).foldLeft(e) { case (acc, (f, r)) => s"replace($acc, $f, $r)" }
+
+  /** CorpusGen.TableMd as a chr(10)-joined SQL literal. */
+  private val tableMdSql = graft.corpus.CorpusGen.TableMd
+    .split("\n").map(l => s"'$l'").mkString(" || chr(10) || ")
+
+  /** The duplicate-injected documents view (graft.pipeline.Dedup.docsWithDups)
+    * reproduced in SQL: exact dups verbatim, near dups with one word swapped
+    * at a modular-arithmetic index.
+    */
+  private val dupDocsCte =
+    """dup_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    array_to_string(
+      |      [CASE WHEN i = CAST((doc_id * 2654435761) % len(ws) AS BIGINT) + 1
+      |            THEN 'zzyzx' ELSE ws[i] END
+      |       for i in generate_series(1, len(ws))], ' ') AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |        FROM documents WHERE doc_id % 5 = 0))""".stripMargin
+
+  /** Distinct 3-word shingles (graft.pipeline.Dedup.shingleSet, as strings —
+    * Jaccard over distinct shingle strings equals Jaccard over their
+    * collision-free hashes) for a docs CTE named `dup_docs`.
+    */
+  private val shinglesCte =
+    """shx AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+      |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      |         ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                             for i in generate_series(1, len(ws)-2)]) END AS sh
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(lower(text), '\W+'), w -> w <> '') AS ws
+      |        FROM dup_docs))""".stripMargin
+
+  /** 64-bit-md5 SimHash as a 64-char bit string (see Dedup.simhash64: the
+    * SQL bit order is a fixed permutation of the Scala bit order, which
+    * preserves pairwise Hamming distance) for a docs CTE named `dup_docs`.
+    */
+  private val simhashCte =
+    """wordsx AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), w -> w <> '')) AS w
+      |  FROM dup_docs),
+      |wh AS (SELECT doc_id, substr(md5(w), 17, 16) AS hx FROM wordsx),
+      |bitsx AS (
+      |  SELECT doc_id, j, k,
+      |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, j, 1)) - 1)
+      |              // (CASE k WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2 = 1
+      |             THEN 1 ELSE -1 END) AS v
+      |  FROM wh
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS j)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+      |  GROUP BY 1, 2, 3),
+      |sigx AS (
+      |  SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j, k) AS s
+      |  FROM bitsx GROUP BY doc_id)""".stripMargin
+
+  /** 8-bit hyperplane LSH signature (graft.pipeline.Similarity.lshSig) as a
+    * bit string, with the plane constants embedded as exact double literals.
+    * Input CTE must be named `ex` with columns (vec_id, v DOUBLE[]).
+    */
+  private val lshSigExpr: String = {
+    import graft.pipeline.Similarity
+    (0 until Similarity.LshBits).map { b =>
+      s"(CASE WHEN list_dot_product(v, ${Similarity.planeSqlList(b, 64)}) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+  }
+
+  /** The duplicate-injected embeddings view
+    * (graft.pipeline.Similarity.embWithDups) in SQL, as DOUBLE[] vectors.
+    */
+  private val dupEmbCte =
+    """dup_emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id,
+      |    [CAST(CAST(CAST(embedding[i] AS DOUBLE)
+      |                + 0.001 * (((vec_id * 131 + (i-1)) % 1000) / 1000.0) AS REAL) AS DOUBLE)
+      |     for i in generate_series(1, len(embedding))] AS v
+      |  FROM embeddings WHERE vec_id % 4 = 0)""".stripMargin
 
   /** Min-depth BFS reachability over the ground-truth link graph — the
     * relational statement of the reference's FIFO crawl (SURVEY §7.4a).
@@ -55,6 +161,9 @@ object SparkEntry {
     "crawl_wave_metrics" -> ((s, d) => C.waveMetrics(s, d)),
     "crawl_link_extract" -> ((s, d) => C.linkExtract(s, d)),
     "crawl_extract_titles" -> ((s, d) => C.extractTitles(s, d)),
+    "crawl_extract_markdown" -> ((s, d) => C.extractMarkdown(s, d)),
+    "crawl_selector_md" -> ((s, d) => C.selectorMd(s, d)),
+    "crawl_limit_prefix" -> ((s, d) => C.limitPrefix(s, d, 100)),
     "crawl_robots_blocked" -> ((s, d) => C.robotsBlocked(s, d)),
     "crawl_host_budget" -> ((s, d) => C.hostBudget(s, d, 50)),
     "crawl_list_dedup" -> ((s, d) => C.listDedup(s, d)),
@@ -104,7 +213,19 @@ object SparkEntry {
       s"""$reachCte
          |SELECT m.url, m.title FROM seen r JOIN ${gt("meta")} m ON m.url = r.url
          |WHERE m.section = 'articles'""".stripMargin,
-    "crawl_limit_cut" -> "SELECT CAST(100 AS BIGINT) AS saved_cnt",
+    "crawl_limit_cut" ->
+      s"""$reachCte
+         |SELECT CAST(LEAST(100, COUNT(*)) AS BIGINT) AS saved_cnt
+         |FROM seen r JOIN ${gt("meta")} m ON m.url = r.url""".stripMargin,
+    "crawl_limit_prefix" ->
+      s"""$reachCte,
+         |sv AS (SELECT r.depth, COUNT(*) AS n
+         |       FROM seen r JOIN ${gt("meta")} m ON m.url = r.url GROUP BY 1),
+         |run AS (SELECT depth, SUM(n) OVER (ORDER BY depth) AS cum FROM sv),
+         |cutd AS (SELECT MIN(depth) AS d FROM run WHERE cum >= 100)
+         |SELECT r.url, CAST(r.depth AS BIGINT) AS depth
+         |FROM seen r JOIN ${gt("meta")} m ON m.url = r.url, cutd
+         |WHERE r.depth < cutd.d""".stripMargin,
     "crawl_robots_seen" ->
       s"""WITH RECURSIVE reach(url, depth) AS (
          |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url, 0 AS depth
@@ -142,6 +263,40 @@ object SparkEntry {
       s"SELECT src_url, dst_url, CAST(pos AS BIGINT) AS pos FROM ${gt("links")}",
     "crawl_extract_titles" ->
       s"SELECT url, title FROM ${gt("meta")}",
+    "crawl_extract_markdown" ->
+      s"SELECT url, markdown FROM ${gt("meta")}",
+    "crawl_selector_md" ->
+      s"""SELECT url,
+         |  CASE WHEN page_idx % 5 = 1 THEN '' ELSE title END AS title,
+         |  CASE WHEN page_idx % 5 = 1 THEN $tableMdSql ELSE markdown END AS markdown
+         |FROM ${gt("meta")}""".stripMargin,
+    "crawl_sink_xml" ->
+      s"""$reachCte
+         |SELECT m.url,
+         |  '<page>' || chr(10) || '  <title>' || m.title || '</title>' || chr(10) ||
+         |  '  <url>' || m.url || '</url>' || chr(10) || '  <content>' || chr(10) ||
+         |  m.markdown || chr(10) || '  </content>' || chr(10) || '</page>' AS xml
+         |FROM seen r JOIN ${gt("meta")} m ON m.url = r.url
+         |WHERE m.section = 'articles'""".stripMargin,
+    "crawl_sink_jsonl" ->
+      s"""$reachCte
+         |SELECT m.url,
+         |  '{"title":"' || ${escSql("m.title")} || '","url":"' || ${escSql("m.url")} ||
+         |  '","content":"' || ${escSql("m.markdown")} || '"}' AS jsonl
+         |FROM seen r JOIN ${gt("meta")} m ON m.url = r.url
+         |WHERE m.section = 'articles'""".stripMargin,
+    "crawl_sink_json" ->
+      s"""WITH items AS (
+         |  SELECT '  {' || chr(10) ||
+         |         '    "title": "' || ${escSql("title")} || '",' || chr(10) ||
+         |         '    "url": "' || ${escSql("url")} || '",' || chr(10) ||
+         |         '    "content": "' || ${escSql("markdown")} || '"' || chr(10) ||
+         |         '  }' AS item, host_idx, page_idx
+         |  FROM ${gt("meta")} WHERE section = 'articles')
+         |SELECT '[' || chr(10) ||
+         |       string_agg(item, ',' || chr(10) ORDER BY host_idx, page_idx) ||
+         |       chr(10) || ']' AS json_payload
+         |FROM items""".stripMargin,
     "crawl_robots_blocked" ->
       s"""SELECT l.src_url, l.dst_url
          |FROM ${gt("links")} l
@@ -222,6 +377,96 @@ object SparkEntry {
         |      UNION ALL
         |      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0)
         |GROUP BY 1""".stripMargin,
+    "dd_minhash_pairs" ->
+      s"""WITH $dupDocsCte,
+         |$shinglesCte,
+         |jx AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |    len(list_intersect(a.sh, b.sh)) AS it, len(a.sh) AS la, len(b.sh) AS lb
+         |  FROM shx a JOIN shx b ON a.doc_id < b.doc_id)
+         |SELECT da AS doc_a, db AS doc_b FROM jx
+         |WHERE la + lb - it > 0 AND CAST(it AS DOUBLE) / (la + lb - it) >= 0.8""".stripMargin,
+    "dd_ngram_jaccard" ->
+      s"""WITH $dupDocsCte,
+         |$shinglesCte,
+         |pairs AS (
+         |  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b FROM documents WHERE doc_id % 10 = 0),
+         |jx AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    len(list_intersect(a.sh, b.sh)) AS it, len(a.sh) AS la, len(b.sh) AS lb
+         |  FROM pairs p
+         |  JOIN shx a ON a.doc_id = p.doc_a
+         |  JOIN shx b ON b.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b,
+         |  CAST(floor(CAST(it AS DOUBLE) / (la + lb - it) * 100 + 0.5) AS BIGINT) AS jaccard_pct
+         |FROM jx""".stripMargin,
+    "dd_simhash_pairs" ->
+      s"""WITH $dupDocsCte,
+         |$simhashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM sigx a JOIN sigx b ON a.doc_id < b.doc_id
+         |WHERE hamming(a.s, b.s) <= 3""".stripMargin,
+    "dd_lang_id" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN text IS NULL OR text = '' THEN 'und'
+        |       WHEN total > 0 AND cjk * 5 >= total THEN 'ja'
+        |       WHEN de_cnt > en_cnt THEN 'de'
+        |       ELSE 'en' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, lang, text,
+        |    length(regexp_replace(text, '[^\p{Han}\p{Hiragana}\p{Katakana}]', '', 'g')) AS cjk,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS total,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |        w -> w IN ('der','die','das','und','ist','nicht','ein','eine','mit','von','auf','für','dem','den','sich','im'))) AS de_cnt,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |        w -> w IN ('the','and','is','of','to','a','in','that','it','was','for','on','with','as','this'))) AS en_cnt
+        |  FROM documents)""".stripMargin,
+    "dd_fingerprint" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, length(text)-4)) AS i
+        |  FROM documents WHERE length(text) >= 5),
+        |g AS (
+        |  SELECT doc_id, CAST((i-1)//16 AS BIGINT) AS band, min(md5(substr(text, i, 5))) AS mh
+        |  FROM pos GROUP BY 1, 2),
+        |d AS (
+        |  SELECT doc_id, band, mh, lag(mh) OVER (PARTITION BY doc_id ORDER BY band) AS prev
+        |  FROM g)
+        |SELECT doc_id, band, mh AS gram_md5 FROM d WHERE prev IS NULL OR mh <> prev""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sig AS (SELECT vec_id, v, $lshSigExpr AS s FROM ex),
+         |q AS (SELECT vec_id AS qid, v AS qv, s AS qs FROM sig ORDER BY vec_id LIMIT 20),
+         |cand AS (
+         |  SELECT q.qid, e2.vec_id AS nid, list_cosine_similarity(q.qv, e2.v) AS c
+         |  FROM q JOIN sig e2 ON e2.vec_id <> q.qid AND hamming(q.qs, e2.s) <= 1)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT qid AS query_id, nid AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS BIGINT) AS rank
+         |  FROM cand)
+         |WHERE rank <= 10""".stripMargin,
+    "ann_dup_pairs" ->
+      s"""WITH $dupEmbCte,
+         |sig AS (SELECT vec_id, v, $lshSigExpr AS s FROM dup_emb)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND hamming(a.s, b.s) <= 2
+         |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
+    "mm_blob_features" -> {
+      val sums = (0 until 8).map(d =>
+        s"  CAST(SUM(CASE WHEN dim = $d THEN code ELSE 0 END) AS BIGINT) AS f$d").mkString(",\n")
+      s"""WITH s AS (SELECT url, decode(html) AS t FROM ${gt("pages")}),
+         |b AS (
+         |  SELECT url, (i-1) % 8 AS dim, unicode(substr(t, i, 1)) AS code
+         |  FROM (SELECT url, t, unnest(generate_series(1, length(t))) AS i FROM s)),
+         |f AS (
+         |  SELECT url,
+         |$sums
+         |  FROM b GROUP BY url)
+         |SELECT f.url, f.f0, f.f1, f.f2, f.f3, f.f4, f.f5, f.f6, f.f7,
+         |  CAST(length(s.t) AS BIGINT) AS n_bytes
+         |FROM f JOIN s ON s.url = f.url""".stripMargin
+    },
     "dd_token_count" ->
       """SELECT doc_id,
         |  CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)

@@ -26,7 +26,7 @@ import java.sql.Timestamp
   * /root/reference/crawler.go:389-390).
   */
 final case class CorpusSpec(nHosts: Int, totalPages: Int, seed: Long,
-    paragraphs: Int = 3) {
+    paragraphs: Int = 3, emitMarkdownTruth: Boolean = true) {
   /** Zipf-ish host sizes (weight 1/(h+1)^0.8), each at least 4 pages. */
   lazy val hostSizes: Array[Int] = {
     val weights = Array.tabulate(nHosts)(h => 1.0 / math.pow(h + 1, 0.8))
@@ -42,7 +42,7 @@ final case class PageRow(url: String, warc_ts: Timestamp, html: Array[Byte],
     text: String, lang: String)
 final case class LinkRow(src_url: String, dst_url: String, pos: Int)
 final case class MetaRow(url: String, host: String, host_idx: Int, page_idx: Int,
-    section: String, title: String, n_links: Int)
+    section: String, title: String, n_links: Int, markdown: String)
 final case class RobotsRow(host: String, disallow_prefix: String)
 
 object CorpusGen {
@@ -167,6 +167,29 @@ object CorpusGen {
        |</body></html>""".stripMargin
   }
 
+  /** GFM rendering of the template's constant table (i % 5 == 1 pages). */
+  val TableMd: String =
+    "| Key | Value |\n| --- | --- |\n| depth | tree |\n| kind | synthetic |"
+
+  /** Ground-truth markdown the readability→GFM pipeline must produce for
+    * page (h, i) — derived from the HTML template structure (the generator
+    * wrote the HTML, so it knows the content): the article heading, the
+    * filler paragraphs, and the table block; nav/footer/link-list are
+    * boilerplate readability drops. This is the oracle for the north rule's
+    * per-row invariant (byte-identical extracted text per url).
+    */
+  def expectedMarkdown(spec: CorpusSpec, h: Int, i: Int): String = {
+    val sb = new StringBuilder
+    sb.append("## Heading for page ").append(i).append(" of host ").append(h)
+    sb.append("\n\n").append(filler(spec, h, i, 0))
+    sb.append("\n\n").append(filler(spec, h, i, 1))
+      .append(" It also links related pages, **important** ones, with *notes*.")
+    if (i % 5 == 1) sb.append("\n\n").append(TableMd)
+    sb.append("\n\n").append(filler(spec, h, i, 2))
+    (3 until spec.paragraphs).foreach(k => sb.append("\n\n").append(filler(spec, h, i, k)))
+    sb.toString
+  }
+
   def pageRow(spec: CorpusSpec, h: Int, i: Int): PageRow = {
     val ts = new Timestamp(1700000000000L + (mix(spec.seed, h, i, 9) % 86400000L))
     PageRow(
@@ -185,7 +208,8 @@ object CorpusGen {
       page_idx = i,
       section = if (i == 0) "" else Sections(i % Sections.length),
       title = pageTitle(h, i),
-      n_links = linkTargets(spec, h, i).size)
+      n_links = linkTargets(spec, h, i).size,
+      markdown = if (spec.emitMarkdownTruth) expectedMarkdown(spec, h, i) else "")
 
   def linkRows(spec: CorpusSpec, h: Int, i: Int): Seq[LinkRow] =
     linkTargets(spec, h, i).zipWithIndex.map { case (dst, pos) =>
@@ -206,9 +230,16 @@ object CorpusGen {
   /** Generate + write all corpus tables under `dir` (idempotent: skipped when
     * the marker file exists). Distributed, partition-independent.
     */
+  /** Bumped whenever the emitted schema/content changes so stale on-disk
+    * corpora regenerate instead of silently serving the old shape.
+    */
+  val FormatVersion = 2
+
   def ensure(spark: SparkSession, dir: String, spec: CorpusSpec): Unit = {
     val marker = new java.io.File(s"$dir/_CORPUS_READY")
-    if (marker.exists()) return
+    if (marker.exists() &&
+      java.nio.file.Files.readString(marker.toPath).contains(s""""version":$FormatVersion"""))
+      return
     import spark.implicits._
 
     val bcSpec = spark.sparkContext.broadcast(spec)
@@ -236,7 +267,7 @@ object CorpusGen {
 
     marker.getParentFile.mkdirs()
     java.nio.file.Files.writeString(marker.toPath,
-      s"""{"nHosts":${spec.nHosts},"totalPages":${spec.totalPages},"seed":${spec.seed},"actualTotal":${spec.actualTotal}}""")
+      s"""{"version":$FormatVersion,"nHosts":${spec.nHosts},"totalPages":${spec.totalPages},"seed":${spec.seed},"actualTotal":${spec.actualTotal}}""")
   }
 
   /** Spec for a given sf directory label (deterministic scale mapping). */
@@ -249,7 +280,7 @@ object CorpusGen {
       // scaling-evidence corpus: realistic ~10 KB pages so per-page work
       // (readability over real-web-sized HTML) dominates fixed overhead
       case "sf1"     => CorpusSpec(nHosts = 8, totalPages = 160000, seed = 42L,
-                          paragraphs = 24)
+                          paragraphs = 24, emitMarkdownTruth = false)
       case _         => CorpusSpec(nHosts = 4, totalPages = 600, seed = 42L)
     }
   }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextAnalysis.mix64
@@ -30,6 +31,8 @@ object Dedup {
     *   - every 10th doc appended verbatim (exact dup, id + 2_000_000)
     *   - every 5th doc appended with one word swapped (near dup ≈ 0.85
     *     Jaccard on 3-shingles, id + 1_000_000)
+    * The mutation index uses plain 64-bit modular arithmetic (no wrapping
+    * multiply) so the DuckDB oracle reproduces the view exactly in SQL.
     */
   def docsWithDups(spark: SparkSession, sfDir: String): DataFrame = {
     val base = docs(spark, sfDir).select(col("doc_id"), col("text"))
@@ -37,7 +40,7 @@ object Dedup {
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
     val mutate = udf { (id: Long, text: String) =>
       val words = text.split(" ")
-      if (words.nonEmpty) words((mix64(id) % words.length).toInt.abs) = "zzyzx"
+      if (words.nonEmpty) words(((id * 2654435761L) % words.length).toInt) = "zzyzx"
       words.mkString(" ")
     }
     val near = base.filter(col("doc_id") % 5 === 0)
@@ -155,10 +158,16 @@ object Dedup {
       }
       .toDF("doc_id", "band", "band_hash")
 
-    // cap degenerate buckets: keep the maxBucket smallest ids per bucket
+    // cap degenerate buckets BEFORE aggregating: a rank window bounds every
+    // bucket to its maxBucket smallest ids with a sort-based (spillable)
+    // shuffle — collect_list-then-slice would materialize a whole degenerate
+    // bucket (10^7 boilerplate docs in one band) in a single task first.
+    val wb = Window.partitionBy(col("band"), col("band_hash")).orderBy(col("doc_id"))
     val bucketed = banded
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= maxBucket)
       .groupBy(col("band"), col("band_hash"))
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
 
     val candidates = bucketed.select(col("ids"))
@@ -183,40 +192,56 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
   }
 
-  /** Exact n-gram Jaccard for every candidate pair at a lower LSH threshold,
-    * reported with the similarity bucketed to avoid float-compare issues.
+  /** Exact n-gram Jaccard verification over a given candidate-pair set (the
+    * verify stage every near-dup pipeline ends with — candidate GENERATION
+    * is exercised by [[minhashPairs]]). The candidates here are the injected
+    * dup pairs, so the oracle can rebuild the identical pair list in SQL and
+    * recompute the exact shingle Jaccard per pair.
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    val shingled = docsWithDups(spark, sfDir)
+    val withDups = docsWithDups(spark, sfDir)
+    val shingled = withDups
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) => (id, shingleSet(text)) }
       .toDF("doc_id", "shingles")
-    val pairs = minhashPairs(spark, sfDir, threshold = 0.0)
+    val baseIds = docs(spark, sfDir).select(col("doc_id"))
+    val pairs = baseIds.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"))
+      .unionByName(baseIds.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 2000000L).as("doc_b")))
     val withA = pairs.join(
       shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"),
       Seq("doc_a"))
     val withB = withA.join(
       shingled.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"),
       Seq("doc_b"))
+    // floor(j*100 + 0.5) — the exact IEEE op sequence the SQL oracle uses
     val jacPct = udf((a: Seq[Long], b: Seq[Long]) =>
-      math.round(jaccard(a.toArray, b.toArray) * 100).toLong)
+      math.floor(jaccard(a.toArray, b.toArray) * 100 + 0.5).toLong)
     withB.select(col("doc_a"), col("doc_b"),
       jacPct(col("sh_a"), col("sh_b")).as("jaccard_pct"))
   }
 
   // --------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over word hashes (Charikar '02 / Manku et al. '07). */
+  /** 64-bit SimHash over word hashes (Charikar '02 / Manku et al. '07).
+    * Word hash = lower 64 bits of md5(word): the DuckDB oracle recomputes
+    * the identical bits from the md5 hex string, and pairwise Hamming
+    * distance is invariant under the (fixed) bit-position permutation
+    * between the two representations. A production build swaps a fast
+    * 64-bit hash; the dataflow is unchanged.
+    */
   def simhash64(text: String): Long = {
     val v = new Array[Int](64)
     if (text != null) {
+      val md = java.security.MessageDigest.getInstance("MD5")
       text.toLowerCase.split("\\W+").withFilter(_.nonEmpty).foreach { w =>
-        var h = 1125899906842597L
-        var k = 0
-        while (k < w.length) { h = h * 31 + w.charAt(k); k += 1 }
-        h = mix64(h)
+        val dig = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var k = 8
+        while (k < 16) { h = (h << 8) | (dig(k) & 0xffL); k += 1 }
         var b = 0
         while (b < 64) { if (((h >>> b) & 1L) == 1L) v(b) += 1 else v(b) -= 1; b += 1 }
       }
@@ -249,10 +274,14 @@ object Dedup {
       (0 until 4).map(b => (id, h, b, (h >>> (16 * b)) & 0xffffL))
     }.toDF("doc_id", "simhash", "block", "block_val")
 
+    // cap bounds the aggregation itself (see minhashPairs): rank window
+    // before the group, never collect-then-slice
+    val wb = Window.partitionBy(col("block"), col("block_val")).orderBy(col("doc_id"))
     val grouped = blocked
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= 1000)
       .groupBy(col("block"), col("block_val"))
-      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("simhash")))), 1, 1000)
-        .as("members"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
       .filter(size(col("members")) > 1)
 
     grouped.select(col("members"))

@@ -32,20 +32,20 @@ object Multimodal {
 
   /** STUB decoder: a real implementation would decode the image/audio frame
     * here (e.g. via javax.imageio / ffmpeg bindings). The fake is a
-    * deterministic 8-dim feature from the payload bytes so the plumbing —
-    * batch iteration, fixed-width output schema, partition independence —
-    * is real and testable.
+    * deterministic 8-bin byte histogram-sum from the payload bytes so the
+    * plumbing — batch iteration, fixed-width output schema, partition
+    * independence — is real and testable. Integer accumulators keep the
+    * result exactly reproducible by the SQL oracle (no float summation
+    * order dependence).
     */
-  def fakeDecode(payload: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](8)
+  def fakeDecode(payload: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](8)
     if (payload != null) {
       var i = 0
       while (i < payload.length) {
-        out(i % 8) += (payload(i) & 0xff) / 255.0f
+        out(i % 8) += payload(i) & 0xff
         i += 1
       }
-      var d = 0
-      while (d < 8) { out(d) = out(d) / math.max(1, payload.length / 8); d += 1 }
     }
     out
   }
@@ -53,6 +53,8 @@ object Multimodal {
   /** Batched feature extraction over the binary column: mapPartitions so a
     * real decoder can amortize per-batch setup (model load, codec init) —
     * the Spark-side shape a Pandas-UDF/mapInPandas pipeline would have.
+    * One scalar column per feature dim (fixed-width vectors belong in
+    * columns at the query surface; arrays crash generic comparators).
     */
   def blobFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     val spark2 = spark
@@ -64,9 +66,10 @@ object Multimodal {
         // per-partition "codec init" happens once here
         it.map { case (url, payload) =>
           val f = fakeDecode(payload)
-          (url, f, f.map(_.toDouble).sum.toFloat)
+          val n = if (payload == null) 0L else payload.length.toLong
+          (url, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7), n)
         }
       }
-      .toDF("url", "features", "feature_norm")
+      .toDF("url", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7", "n_bytes")
   }
 }

@@ -87,10 +87,17 @@ object Similarity {
   val LshBits = 8
 
   /** Deterministic pseudo-random hyperplane component for (bit, dim). */
-  @inline private def plane(bit: Int, dim: Int): Double = {
+  @inline def plane(bit: Int, dim: Int): Double = {
     val h = TextAnalysis.mix64(bit.toLong * 0x9e3779b97f4a7c15L ^ dim.toLong * 0xc2b2ae3d27d4eb4fL)
     (h.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
   }
+
+  /** The hyperplane for one signature bit as a DuckDB list literal —
+    * Double.toString round-trips exactly, so the oracle evaluates the SAME
+    * planes and reproduces the signatures bit-for-bit.
+    */
+  def planeSqlList(bit: Int, dims: Int): String =
+    (0 until dims).map(d => plane(bit, d).toString).mkString("[", ", ", "]")
 
   def lshSig(vec: Array[Float]): Int = {
     var sig = 0
@@ -149,7 +156,9 @@ object Similarity {
   /** The driver-generated embeddings are random (max pairwise cosine ≈ 0.37
     * at sf0.01), so near-dup detection runs over a deterministic
     * duplicate-injected view: every 4th vector appended with tiny
-    * per-dimension perturbation (cosine ≈ 0.9999, id + 100000).
+    * per-dimension perturbation (cosine ≈ 0.9999, id + 100000). The
+    * perturbation is double arithmetic on plain modular integers, rounded
+    * to float — the exact op sequence the SQL oracle replays.
     */
   def embWithDups(spark: SparkSession, sfDir: String): DataFrame = {
     val spark2 = spark
@@ -157,7 +166,7 @@ object Similarity {
     val base = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
     val perturb = udf { (id: Long, v: Seq[Float]) =>
       v.zipWithIndex.map { case (x, i) =>
-        x + 0.001f * ((TextAnalysis.mix64(id * 131 + i) % 1000L) / 1000.0f)
+        (x.toDouble + 0.001 * (((id * 131 + i) % 1000) / 1000.0)).toFloat
       }
     }
     base.unionByName(
@@ -182,9 +191,16 @@ object Similarity {
     val keyed = sigged.as[(Long, Array[Float], Int)].flatMap { case (id, v, s) =>
       (s +: (0 until LshBits).map(b => s ^ (1 << b))).map(key => (key, id, v))
     }.toDF("key", "vec_id", "embedding")
-    val grouped = keyed.groupBy(col("key"))
-      .agg(slice(sort_array(collect_list(struct(col("vec_id"), col("embedding")))), 1, 500)
-        .as("members"))
+    // cap bounds the aggregation itself (see Dedup.minhashPairs): rank
+    // window before the group — full vectors never pile up un-capped in a
+    // single collect_list task
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("vec_id"))
+    val grouped = keyed
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= 500)
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("members"))
       .filter(size(col("members")) > 1)
     grouped.select(col("members")).as[Seq[(Long, Array[Float])]]
       .flatMap { ms =>

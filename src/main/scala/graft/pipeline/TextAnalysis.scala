@@ -92,37 +92,51 @@ object TextAnalysis {
     docs(spark, sfDir).select(col("doc_id"), col("lang"), f(col("text")).as("lang_pred"))
   }
 
-  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): rolling
-    * 64-bit Karp-Rabin over 5-gram character windows, keep the min hash per
-    * 16-window band → compact similarity fingerprint.
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03) over fixed
+    * 16-gram bands: md5 of each 5-char gram, lexicographic minimum per band,
+    * consecutive equal band-minima collapsed. md5 (not a rolling hash) keeps
+    * the computation exactly reproducible by the DuckDB oracle; a production
+    * deployment swaps in a rolling 64-bit hash — the dataflow (narrow map +
+    * small per-doc explode, nothing wide) is identical.
+    *
+    * Emitted as scalar rows (doc_id, band, gram_md5) — array columns are
+    * opaque to the driver's comparator and to most downstream SQL.
     */
-  def fingerprintOf(text: String): Array[Long] = {
-    if (text == null || text.length < 5) return Array.empty
-    val k = 5
-    val base = 1000003L
-    var pow = 1L
-    (1 until k).foreach(_ => pow *= base)
-    val hashes = new Array[Long](text.length - k + 1)
-    var h = 0L
+  def fingerprintRowsOf(text: String): Seq[(Long, String)] = {
+    if (text == null || text.length < 5) return Nil
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nGrams = text.length - 4
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var band = 0L
+    var last: String = null
     var i = 0
-    while (i < text.length) {
-      h = (if (i >= k) (h - text.charAt(i - k) * pow) else h) * base + text.charAt(i)
-      if (i >= k - 1) hashes(i - k + 1) = mix64(h)
+    while (i < nGrams) {
+      val end = math.min(i + 16, nGrams)
+      var m: String = null
+      var j = i
+      while (j < end) {
+        val h = hexOf(md.digest(
+          text.substring(j, j + 5).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        if (m == null || h.compareTo(m) < 0) m = h
+        j += 1
+      }
+      if (last == null || m != last) { out += ((band, m)); last = m }
+      band += 1
+      i += 16
+    }
+    out.toSeq
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+  def hexOf(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = HexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(bytes(i) & 0xf)
       i += 1
     }
-    val w = 16
-    val out = scala.collection.mutable.ArrayBuffer[Long]()
-    var last = Long.MinValue
-    var j = 0
-    while (j < hashes.length) {
-      val end = math.min(j + w, hashes.length)
-      var m = Long.MaxValue
-      var p = j
-      while (p < end) { if (hashes(p) < m) m = hashes(p); p += 1 }
-      if (out.isEmpty || m != last) { out += m; last = m }
-      j += w
-    }
-    out.toArray
+    new String(out)
   }
 
   @inline def mix64(z0: Long): Long = {
@@ -133,7 +147,12 @@ object TextAnalysis {
   }
 
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
-    val f = udf(fingerprintOf _)
-    docs(spark, sfDir).select(col("doc_id"), f(col("text")).as("fingerprint"))
+    val spark2 = spark
+    import spark2.implicits._
+    docs(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        fingerprintRowsOf(t).map { case (b, h) => (id, b, h) }
+      }
+      .toDF("doc_id", "band", "gram_md5")
   }
 }

@@ -176,6 +176,59 @@ object CrawlQueries {
       .toDF("url", "title")
   }
 
+  /** H4+H5+H6 over every corpus page: full extracted markdown, checked
+    * byte-for-byte against the generator's expected markdown — the north
+    * rule's per-row invariant at the driver gate.
+    */
+  def extractMarkdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    CorpusGen.pages(spark, dir)
+      .select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .map { case (url, htmlBytes) =>
+        val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
+        Processor.processHTML(url, html, "").fold(_ => (url, ""), pd => (url, pd.markdown))
+      }
+      .toDF("url", "markdown")
+  }
+
+  /** H2 --content-selector end-to-end, both branches of the reference's
+    * decision tree (/root/reference/processor.go:31-48): selector "table"
+    * hits only the i%5==1 pages (content = the table subtree, no <title> in
+    * scope → empty title); every other page falls back to the full raw HTML
+    * without pre-filter.
+    */
+  def selectorMd(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    CorpusGen.pages(spark, dir)
+      .select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .map { case (url, htmlBytes) =>
+        val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
+        Processor.processHTML(url, html, "table")
+          .fold(_ => (url, "", ""), pd => (url, pd.title, pd.markdown))
+      }
+      .toDF("url", "title", "markdown")
+  }
+
+  /** The --limit cut's saved PREFIX at full depths: every complete depth
+    * below the depth where the running saved count crosses the limit must be
+    * fully saved (the partial depth's within-wave seq order is pinned by the
+    * FIFO-oracle suite in WaveCrawlerSpec).
+    */
+  def limitPrefix(spark: SparkSession, sfDir: String, limit: Int): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val saved = limitCrawl(spark, sfDir, limit).saved
+    val cutDepth = saved.agg(max(col("depth"))).as[Int].head()
+    saved.filter(col("depth") < cutDepth)
+      .select(col("url"), col("depth").cast("long").as("depth"))
+  }
+
   /** Robots prefix filtering (J3): links whose destination a robots rule
     * blocks. Broadcast join of the tiny per-host rule table (north star).
     */
@@ -260,12 +313,25 @@ object CrawlQueries {
       .select(col("url"), block(col("title"), col("url"), col("markdown")).as("xml"))
   }
 
-  /** S5 json sink: the complete MarshalIndent-parity payload (one row). */
+  /** S5 json sink: the complete MarshalIndent-parity payload (one row), over
+    * a LIST-MODE crawl of the articles urls so the array order (= save order
+    * = url-file line order, reference crawler.go:283-295) is reproducible by
+    * the SQL oracle. BFS save order is pinned by crawl_bfs_seen + the FIFO
+    * oracle suite; this pins the payload bytes.
+    */
   def sinkJson(spark: SparkSession, sfDir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    val pages = articlesCrawl(spark, sfDir).saved
-      .orderBy(col("depth"), col("seq"))
+    val out = cached(spark, sfDir, "listarticles") { dir =>
+      val urls = spark.read.parquet(s"$dir/meta.parquet")
+        .filter(col("section") === "articles")
+        .orderBy(col("host_idx"), col("page_idx"))
+        .select(col("url")).as[String].collect().toSeq
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(urlList = urls, isUrlListMode = true))
+    }
+    val pages = out.saved
+      .orderBy(col("seq"))
       .select(col("title"), col("url"), col("markdown"))
       .as[(String, String, String)].collect()
       .map { case (t, u, m) =>

@@ -1,0 +1,46 @@
+package graft.corpus
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.Processor
+
+/** Pins the generator's ground-truth markdown (CorpusGen.expectedMarkdown)
+  * to the actual readability→GFM pipeline output, byte-for-byte, across the
+  * template grid (all sections, table/no-table, dangling-link variants,
+  * short and 24-paragraph pages). The sf0.01 driver oracle then checks the
+  * same invariant over every corpus page (crawl_extract_markdown).
+  */
+class CorpusMarkdownSpec extends AnyFunSuite {
+
+  test("expectedMarkdown matches the extraction pipeline across the template grid") {
+    val specs = Seq(
+      CorpusGen.specFor("/x/sf0.001"),
+      CorpusSpec(nHosts = 2, totalPages = 40, seed = 7L, paragraphs = 24))
+    for {
+      spec <- specs
+      h <- 0 until spec.nHosts
+      i <- 0 until math.min(spec.hostSizes(h), 12)
+    } {
+      val url = CorpusGen.pageUrl(h, i)
+      val html = CorpusGen.pageHtml(spec, h, i)
+      val pd = Processor.processHTML(url, html, "")
+        .fold(e => fail(s"extract failed h=$h i=$i: $e"), identity)
+      assert(pd.title == CorpusGen.pageTitle(h, i), s"title h=$h i=$i")
+      assert(pd.markdown == CorpusGen.expectedMarkdown(spec, h, i), s"markdown h=$h i=$i")
+    }
+  }
+
+  test("selector=table slices to the constant table markdown; miss falls back to full page") {
+    val spec = CorpusGen.specFor("/x/sf0.001")
+    val hit = Processor.processHTML(
+      CorpusGen.pageUrl(0, 6), CorpusGen.pageHtml(spec, 0, 6), "table")
+      .fold(e => fail(e), identity)
+    assert(hit.title == "")
+    assert(hit.markdown == CorpusGen.TableMd)
+    val miss = Processor.processHTML(
+      CorpusGen.pageUrl(0, 0), CorpusGen.pageHtml(spec, 0, 0), "table")
+      .fold(e => fail(e), identity)
+    assert(miss.title == CorpusGen.pageTitle(0, 0))
+    assert(miss.markdown == CorpusGen.expectedMarkdown(spec, 0, 0))
+  }
+}

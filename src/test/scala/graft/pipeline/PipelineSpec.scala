@@ -53,10 +53,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextAnalysis.langIdOf("これは日本語のテキストです。猫がマットの上にいます。") == "ja")
   }
 
-  test("winnowing fingerprint is deterministic and position-robust") {
-    val f1 = TextAnalysis.fingerprintOf("some reasonably long text for fingerprinting purposes here")
-    val f2 = TextAnalysis.fingerprintOf("some reasonably long text for fingerprinting purposes here")
-    assert(f1.sameElements(f2) && f1.nonEmpty)
+  test("winnowing fingerprint is deterministic, banded, and dedups runs") {
+    val t = "some reasonably long text for fingerprinting purposes here"
+    val f1 = TextAnalysis.fingerprintRowsOf(t)
+    val f2 = TextAnalysis.fingerprintRowsOf(t)
+    assert(f1 == f2 && f1.nonEmpty)
+    assert(f1.map(_._1) == f1.map(_._1).sorted) // bands ascending
+    f1.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(a != b) // consecutive mins collapsed
+      case _                   =>
+    }
+    assert(TextAnalysis.fingerprintRowsOf("tiny").isEmpty)
   }
 
   test("fakeDecode is deterministic with fixed width") {
@@ -64,6 +71,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.fakeDecode(p).sameElements(Multimodal.fakeDecode(p)))
     assert(Multimodal.fakeDecode(p).length == 8)
     assert(Multimodal.fakeDecode(Array.empty[Byte]).length == 8)
+    // bin d sums bytes at positions ≡ d (mod 8): d=0 → 1+9, d=1 → 2+10, …
+    assert(Multimodal.fakeDecode(p).toSeq == Seq(10L, 12L, 3L, 4L, 5L, 6L, 7L, 8L))
   }
 
   // ------------------------------------------------------- Spark operators
@@ -168,6 +177,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(meta.filter("is_html = 1").count() == meta.count() && meta.count() > 0)
     val feats = Multimodal.blobFeatures(spark, sf)
     val row = feats.head()
-    assert(row.getSeq[Float](row.fieldIndex("features")).size == 8)
+    assert((0 until 8).forall(d => row.getLong(row.fieldIndex(s"f$d")) >= 0L))
+    assert(row.getLong(row.fieldIndex("n_bytes")) > 0L)
   }
 }
