@@ -58,27 +58,44 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    // headline: fetch+extract every corpus url (list mode = one wave)
-    val allUrls = spark.read.parquet(s"$dir/meta.parquet")
-      .orderBy("host_idx", "page_idx").select("url").as[String].collect().toSeq
+    // headline: fetch+extract every corpus url (list mode = one wave). The
+    // url list is a distributed (url_raw, line_no) source — no driver
+    // collect, same as Main's --url-file path.
+    val allUrls = CrawlQueries.urlLines(spark, dir)
+    val nUrls = allUrls.count()
 
     // untimed warmup (~10% of urls): JIT-compile the extraction hot path so
     // a single-repeat run measures steady state, not C2 compilation
+    val warm = allUrls.filter($"line_no" < math.max(500L, nUrls / 10))
     WaveCrawler.crawl(spark, pages,
-      CrawlConfig(urlList = allUrls.take(math.max(500, allUrls.size / 10)),
-        isUrlListMode = true)).saved.count()
+      CrawlConfig(urlListDf = Some(warm), isUrlListMode = true)).saved.count()
     dropCaches()
 
     val (extracted, tList) = time {
       val n = WaveCrawler.crawl(spark, pages,
-        CrawlConfig(urlList = allUrls, isUrlListMode = true)).saved.count()
+        CrawlConfig(urlListDf = Some(allUrls), isUrlListMode = true)).saved.count()
       dropCaches()
       n
     }
     times += "list_extract_all" -> tList
 
+    // the BFS phases are latency- (not throughput-) bound, so they are the
+    // noise-sensitive ones: always best-of-≥3 regardless of SPARK_GRAFT_REPEATS
+    val bfsRepeats = math.max(repeats, 3)
+    def timeBfs[T](body: => T): (T, Double) = {
+      var best = Double.MaxValue
+      var out: Option[T] = None
+      (1 to bfsRepeats).foreach { _ =>
+        val t0 = System.nanoTime()
+        val r = body
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < best) { best = dt; out = Some(r) }
+      }
+      (out.get, best)
+    }
+
     // BFS wave crawl of host0 (scheduler + extraction end-to-end)
-    val (bfsSaved, tBfs) = time {
+    val (bfsSaved, tBfs) = timeBfs {
       val n = WaveCrawler.crawl(spark, pages, CrawlConfig(startUrl = CrawlQueries.Seed))
         .saved.count()
       dropCaches()
@@ -87,7 +104,7 @@ object Bench {
     times += "bfs_crawl_host0" -> tBfs
 
     // scheduling-only BFS (no readability) isolates frontier overhead
-    val (_, tSched) = time {
+    val (_, tSched) = timeBfs {
       val n = WaveCrawler.crawl(spark, pages,
         CrawlConfig(startUrl = CrawlQueries.Seed, extractContent = false)).saved.count()
       dropCaches()
@@ -110,8 +127,15 @@ object Bench {
     val urlsPerSec = extracted / tList
     val bfsPerSec = bfsSaved / tBfs
     val qs = times.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    println(
-      f"""{"metric":"urls_fetched_extracted_per_sec","value":$urlsPerSec%.1f,"unit":"urls/sec","total_sec":${times.values.sum}%.3f,"corpus_pages":$nPages,"extracted":$extracted,"bfs_urls_per_sec":$bfsPerSec%.1f,"cores":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"urls_fetched_extracted_per_sec","value":$urlsPerSec%.1f,"unit":"urls/sec","total_sec":${times.values.sum}%.3f,"corpus_pages":$nPages,"extracted":$extracted,"bfs_urls_per_sec":$bfsPerSec%.1f,"cores":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+    // machine-readable copy at a known path — sbt/log4j noise on stdout must
+    // never cost the round its bench parse (driver reads either)
+    val benchFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/root/repo/work/bench.json"))
+    java.nio.file.Files.createDirectories(benchFile.getParent)
+    java.nio.file.Files.writeString(benchFile, json + "\n")
+    println(json)
     spark.stop()
   }
 }

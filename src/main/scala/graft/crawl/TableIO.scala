@@ -64,7 +64,8 @@ object TableIO {
     s"""{"wave":${m.wave},"depth":${m.depth},"popped":${m.popped},""" +
       s""""fetched":${m.fetched},"fetch_errors":${m.fetch_errors},""" +
       s""""saved":${m.saved},"skipped_match":${m.skipped_match},""" +
-      s""""skipped_budget":${m.skipped_budget},"links_extracted":${m.links_extracted},""" +
+      s""""skipped_budget":${m.skipped_budget},"skipped_limit":${m.skipped_limit},""" +
+      s""""links_extracted":${m.links_extracted},""" +
       s""""duplicates":${m.duplicates},"new_urls":${m.new_urls},"row_counts":$rc}"""
   }
 

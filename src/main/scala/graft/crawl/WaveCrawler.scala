@@ -53,7 +53,16 @@ import graft.url.UrlNorm
 final case class CrawlConfig(
     startUrl: String = "",
     urlList: Seq[String] = Nil,
+    /** Scalable url-file source: (url_raw: string, line_no: long) rows, e.g.
+      * spark.read.textFile + zipWithIndex — a 10^10-line url file never
+      * touches the driver. Takes precedence over [[urlList]].
+      */
+    urlListDf: Option[DataFrame] = None,
     isUrlListMode: Boolean = false,
+    /** Cooperative cancel (reference SIGINT semantics: stop after the
+      * current page ≙ after the current wave, still emit output+summary).
+      */
+    cancelled: () => Boolean = () => false,
     pageLimit: Int = 0,
     matchPatterns: Seq[String] = Nil,
     followPatterns: Seq[String] = Nil,
@@ -64,6 +73,15 @@ final case class CrawlConfig(
     checkpointDir: Option[String] = None,
     extractContent: Boolean = true, // false → scheduling-only (no readability)
     useBloom: Boolean = true,
+    /** Seen-set size at which the sharded Bloom segments engage. Below it the
+      * plain anti-join is strictly cheaper (the bloom costs a cogroup + a
+      * segment-merge job per wave; the exact join's seen-side shuffle is
+      * tiny). Above it the segments cut the anti-join's shuffle to the
+      * Bloom-maybe links only — at 10^10 seen urls that is the difference
+      * between shuffling ~12 GB of segments once vs ~600 GB of urls per
+      * wave. 0 forces the segment path (tests).
+      */
+    bloomMinSeen: Long = 2000000L,
     cachePages: Boolean = true // re-partition + cache the corpus once per crawl
 )
 
@@ -87,7 +105,8 @@ final case class WaveMetrics(
     fetch_errors: Long,
     saved: Long,
     skipped_match: Long,
-    skipped_budget: Long,
+    skipped_budget: Long, // per-host budget drops only
+    skipped_limit: Long, // --limit serialized-prefix-cut drops only
     links_extracted: Long,
     duplicates: Long,
     new_urls: Long)
@@ -114,8 +133,23 @@ object WaveCrawler {
   val RowsPerPartition = 100000L
   val SeenCompactEvery = 8
   val BudgetSalts = 16
+
+  /** Bloom seen-filter sharding (SURVEY §4.3). The filter is never a single
+    * driver-side object: it lives as a `(bucket, bloom_bytes)` Dataset of
+    * [[SeenBuckets]] segments, bucket = url_hash %% B, built/merged/probed
+    * entirely on executors (groupByKey/mapGroups for build+merge, cogroup
+    * for the probe — the segment bytes are deserialized once per task, never
+    * joined row-wise onto links).
+    *
+    * Sizing at the 10^10-url design point: 1%% fpp → ~9.6 bits/url ≈ 12 GB
+    * of segments total; B = 4096 buckets → ~3 MB/segment, each probe task
+    * reads exactly one segment for its co-partitioned slice of links. In the
+    * sandbox B = 32 and capacity 2^22 (≈150 KB/segment).
+    */
+  val SeenBuckets = 32
   val BloomExpected = 1L << 22
   val BloomFpp = 0.01
+  val SegCapacity: Long = math.max(1024L, BloomExpected / SeenBuckets)
 
   private def nParts(spark: SparkSession, rows: Long): Int =
     math.max(1, math.min(spark.sparkContext.defaultParallelism.toLong,
@@ -138,6 +172,70 @@ object WaveCrawler {
       Row.fromSeq(row.toSeq :+ idx)
     }
     spark.createDataFrame(rdd, schema.add(StructField(idxName, LongType, nullable = false)))
+  }
+
+  // ---- sharded Bloom seen-segments (no driver-side filter, ever) ----------
+
+  private def bucketCol(urlCol: Column): Column =
+    pmod(xxhash64(urlCol), lit(SeenBuckets)).cast("int")
+
+  /** Build per-bucket Bloom segments from a url table — one streaming pass
+    * per bucket group, memory bounded by the segment (not the group).
+    */
+  private def buildSegs(spark: SparkSession, urls: DataFrame): DataFrame = {
+    import spark.implicits._
+    urls.select($"url", bucketCol($"url").as("bucket"))
+      .as[(String, Int)]
+      .groupByKey(_._2)
+      .mapGroups { (b, it) =>
+        val bf = BloomFilter.create(SegCapacity, BloomFpp)
+        it.foreach(t => bf.putString(t._1))
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (b, bos.toByteArray)
+      }
+      .toDF("bucket", "bloom")
+  }
+
+  /** Merge segment tables (same capacity/fpp → mergeInPlace-compatible). */
+  private def mergeSegs(spark: SparkSession, a: DataFrame, b: DataFrame): DataFrame = {
+    import spark.implicits._
+    a.unionByName(b).as[(Int, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (bkt, it) =>
+        var acc: BloomFilter = null
+        it.foreach { case (_, bytes) =>
+          val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+          if (acc == null) acc = bf else acc.mergeInPlace(bf): Unit
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        acc.writeTo(bos)
+        (bkt, bos.toByteArray)
+      }
+      .toDF("bucket", "bloom")
+  }
+
+  /** Probe links against the segments, co-partitioned on bucket: cogroup
+    * deserializes each segment once per task and flags every link
+    * maybe-seen / definitely-new. Input needs (url, host, parent_seq, pos).
+    */
+  private def probeSegs(spark: SparkSession, links: DataFrame, segs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val linksKV = links
+      .select($"url", $"host", $"parent_seq", $"pos", bucketCol($"url").as("bucket"))
+      .as[(String, String, Long, Int, Int)]
+      .groupByKey(_._5)
+    val segsKV = segs.as[(Int, Array[Byte])].groupByKey(_._1)
+    linksKV.cogroup(segsKV) { (_, ls, ss) =>
+      val bf =
+        if (ss.hasNext) Some(BloomFilter.readFrom(new java.io.ByteArrayInputStream(ss.next()._2)))
+        else None
+      bf match {
+        case None => ls.map { case (u, h, ps, p, _) => (u, h, ps, p, false) }
+        case Some(f) =>
+          ls.map { case (u, h, ps, p, _) => (u, h, ps, p, f.mightContainString(u)) }
+      }
+    }.toDF("url", "host", "parent_seq", "pos", "maybe_seen")
   }
 
   private final case class State(
@@ -166,18 +264,23 @@ object WaveCrawler {
 
     val frontier0: DataFrame =
       if (config.isUrlListMode) {
-        // A3: order-kept first-wins dedup of the url file. parallelize (not
-        // toDF on a local Seq) so the plan carries an ExternalRDD node, not a
-        // LocalRelation with every url inlined — plan-tree walks (AQE
-        // listener updates, broadcast serialization) otherwise drag the whole
-        // list through the driver on every job.
-        val lines = config.urlList.zipWithIndex
-          .flatMap { case (raw, i) => UrlNorm.normalize(raw).toOption.map(u => (u, i.toLong)) }
-        val df = spark.sparkContext
-          .parallelize(lines, nParts(spark, lines.size))
-          .toDF("url", "line_no")
+        // A3: order-kept first-wins dedup of the url file (reference
+        // crawler.go:283-295), fully distributed: the line source is either
+        // a caller-provided (url_raw, line_no) DataFrame (spark.read.textFile
+        // + zipWithIndex in Main — a 10^10-line file never touches the
+        // driver) or, for small programmatic lists, parallelize (not toDF on
+        // a local Seq: a LocalRelation would inline every url into every
+        // plan-tree walk).
+        val lines: DataFrame = config.urlListDf.getOrElse {
+          val seq = config.urlList.zipWithIndex.map { case (raw, i) => (raw, i.toLong) }
+          spark.sparkContext.parallelize(seq, nParts(spark, seq.size)).toDF("url_raw", "line_no")
+        }
+        val normUdf = udf((s: String) => UrlNorm.normalize(s).toOption.orNull)
+        val df = lines
+          .select(normUdf($"url_raw").as("url"), $"line_no")
+          .filter($"url".isNotNull)
           .groupBy($"url").agg(min($"line_no").as("first_line"))
-        withGlobalIndexN(df, "seq", nParts(spark, lines.size), $"first_line".asc)
+        withGlobalIndex(df, "seq", $"first_line".asc)
           .select($"url",
             udf((u: String) => UrlNorm.hostnameOf(u)).apply($"url").as("host"),
             lit(0).as("depth"), $"seq")
@@ -259,14 +362,17 @@ object WaveCrawler {
     var wave = state0.wave
     var depth = state0.depth
 
-    // Bloom pre-filter over every seen url (SURVEY §4.3). Driver-merged here;
-    // at 10^10 urls this becomes per-bucket segments co-partitioned with seen.
-    var bloom: BloomFilter = null
-    if (config.useBloom) {
-      bloom = BloomFilter.create(BloomExpected, BloomFpp)
-      unionParts(spark, seenParts, frontier).select($"url").as[String]
-        .collect().foreach(bloom.put) // resume path; fresh crawls have ≤ |seeds|
-    }
+    // Sharded Bloom pre-filter over every seen url (SURVEY §4.3): a segment
+    // Dataset, (re)built distributedly — the resume path never materializes
+    // a single url on the driver. Engages lazily once the seen set outgrows
+    // config.bloomMinSeen (below that the exact anti-join wins).
+    var bloomSegs: DataFrame = null
+    def maybeEngageBloom(seenTotal: Long): Unit =
+      if (bloomSegs == null && config.useBloom && !listMode &&
+        seenTotal >= config.bloomMinSeen)
+        bloomSegs = buildSegs(spark, unionParts(spark, seenParts, frontier))
+          .localCheckpoint(true)
+    maybeEngageBloom(state0.maxSeq + 1)
 
     var hostCounts: DataFrame =
       if (config.hostPageBudget > 0)
@@ -295,6 +401,12 @@ object WaveCrawler {
     val metrics = Seq.newBuilder[WaveMetrics]
 
     while (!stopped && wave < config.maxWaves && popped > 0) {
+      if (config.cancelled()) {
+        // reference SIGINT semantics (crawler.go:317-321): break before the
+        // next pop; everything saved so far is still emitted
+        stopped = true
+        stopReason = "Cancelled by user"
+      } else {
       wave += 1
 
       // J1: "fetch" = equi-join against the corpus. Waves are broadcast while
@@ -375,6 +487,11 @@ object WaveCrawler {
           .filter($"rk" + $"prior" <= config.hostPageBudget)
           .select($"url", $"host", $"depth", $"seq", $"wave", $"title", $"markdown")
       }
+      // budget survivors, counted before the limit cut so budget drops and
+      // limit drops stay separate in the metrics (extra job only when a
+      // budget is configured)
+      val budgetKeptN =
+        if (config.hostPageBudget > 0 && matchedN > 0) savedCand.count() else matchedN
 
       var cutSeq = Long.MaxValue
       var savedWave = savedCand
@@ -409,15 +526,20 @@ object WaveCrawler {
           first($"host").as("host"))
         .select($"url", $"host", $"ord.parent_seq".as("parent_seq"), $"ord.pos".as("pos"))
 
-      // J2 with Bloom pre-filter: "definitely new" urls skip the anti-join;
-      // only Bloom-maybe urls shuffle against the exact seen parts.
+      // J2 with sharded Bloom pre-filter: links cogroup with the segment
+      // table on url-hash bucket (each task deserializes its one segment);
+      // "definitely new" urls skip the anti-join, only Bloom-maybe urls
+      // shuffle against the exact seen parts.
+      var flaggedTmp: DataFrame = null
       val fresh =
-        if (bloom != null && !listMode && linksN > 0) {
-          val bcBloom = spark.sparkContext.broadcast(bloom)
-          val mightBeSeen = udf((u: String) => bcBloom.value.mightContainString(u))
-          val maybe = winners.filter(mightBeSeen($"url"))
+        if (bloomSegs != null && linksN > 0) {
+          // persisted: both branches (definitely-new, maybe) consume it
+          val flagged = probeSegs(spark, winners, bloomSegs)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          flaggedTmp = flagged
+          val maybe = flagged.filter($"maybe_seen")
             .join(unionParts(spark, seenParts, frontier).select($"url"), Seq("url"), "left_anti")
-          winners.filter(!mightBeSeen($"url")).unionByName(maybe)
+          flagged.filter(!$"maybe_seen").unionByName(maybe).drop("maybe_seen")
         } else if (linksN > 0) {
           winners.join(unionParts(spark, seenParts, frontier).select($"url"), Seq("url"), "left_anti")
         } else winners
@@ -434,12 +556,15 @@ object WaveCrawler {
       val dupDropped = linksN - newN // intra-wave dups + already-seen
 
       maxSeq += newN
-      if (bloom != null && newN > 0) {
-        // fold the wave's new urls into the Bloom filter (one tiny job on
-        // the already-checkpointed frontier)
-        val waveBloom = timed(s"w$wave bloom")(newFrontier.stat.bloomFilter("url", BloomExpected, BloomFpp))
-        bloom.mergeInPlace(waveBloom): Unit
-      }
+      if (flaggedTmp != null) flaggedTmp.unpersist()
+      if (bloomSegs != null && newN > 0) {
+        // fold the wave's new urls into the segment table (one small job on
+        // the already-checkpointed frontier; output is SeenBuckets rows)
+        val prev = bloomSegs
+        bloomSegs = timed(s"w$wave bloom")(
+          mergeSegs(spark, bloomSegs, buildSegs(spark, newFrontier)).localCheckpoint(true))
+        prev.unpersist()
+      } else maybeEngageBloom(maxSeq + 1)
 
       // ---- materialize the wave's saved delta ----
       val savedDelta = timed(s"w$wave savedDelta")(savedWave.localCheckpoint(true))
@@ -448,8 +573,8 @@ object WaveCrawler {
       savedTotal += savedWaveN
       savedParts :+= savedDelta
       val skippedMatch = fetchedOk - matchedN
-      // matched rows dropped before saving (per-host budget and/or limit cut)
-      val skippedBudget = matchedN - savedWaveN
+      val skippedBudget = matchedN - budgetKeptN
+      val skippedLimit = budgetKeptN - savedWaveN
       if (hostCounts != null && savedWaveN > 0) {
         val prev = hostCounts
         hostCounts = hostCounts
@@ -460,7 +585,7 @@ object WaveCrawler {
       }
 
       metrics += WaveMetrics(wave, depth, popped, fetchedOk, fetchErrors, savedWaveN,
-        skippedMatch, skippedBudget, linksN, dupDropped, newN)
+        skippedMatch, skippedBudget, skippedLimit, linksN, dupDropped, newN)
 
       // ---- checkpoint / lineage ----
       config.checkpointDir.foreach { dir =>
@@ -495,9 +620,11 @@ object WaveCrawler {
         stopped = true
         stopReason = s"Page limit reached (${config.pageLimit})"
       }
+      } // cancel-check else
     }
 
     if (doCachePages) pagesSlim.unpersist()
+    if (bloomSegs != null) bloomSegs.unpersist()
     val savedAll = unionParts(spark, savedParts, emptySaved(spark))
     val seenAll = unionParts(spark, seenParts, frontier) // frontier ∈ seenParts
     CrawlOutput(savedAll, seenAll, metrics.result(), stopReason)

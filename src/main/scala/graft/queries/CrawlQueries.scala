@@ -247,15 +247,22 @@ object CrawlQueries {
   /** Per-host politeness budget (J4): list-mode crawl over every url with a
     * per-host saved-page budget; output per-host saved counts.
     */
+  /** All corpus urls as a distributed (url_raw, line_no) list source in
+    * (host_idx, page_idx) order — the url "file" without a driver collect.
+    */
+  def urlLines(spark: SparkSession, dir: String, section: String = ""): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta.parquet")
+    val picked = if (section.isEmpty) meta else meta.filter(col("section") === section)
+    WaveCrawler.withGlobalIndex(
+      picked.select(col("url"), col("host_idx"), col("page_idx")),
+      "line_no", col("host_idx").asc, col("page_idx").asc)
+      .select(col("url").as("url_raw"), col("line_no"))
+  }
+
   def hostBudget(spark: SparkSession, sfDir: String, budget: Int): DataFrame =
     cached(spark, sfDir, s"budget$budget") { dir =>
-      val spark2 = spark
-      import spark2.implicits._
-      val urls = spark.read.parquet(s"$dir/meta.parquet")
-        .orderBy(col("host_idx"), col("page_idx"))
-        .select(col("url")).as[String].collect().toSeq
       WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
-        CrawlConfig(urlList = urls, isUrlListMode = true,
+        CrawlConfig(urlListDf = Some(urlLines(spark, dir)), isUrlListMode = true,
           hostPageBudget = budget, extractContent = false))
     }.saved.groupBy(col("host")).agg(count(lit(1)).as("saved_cnt"))
 
@@ -323,12 +330,9 @@ object CrawlQueries {
     val spark2 = spark
     import spark2.implicits._
     val out = cached(spark, sfDir, "listarticles") { dir =>
-      val urls = spark.read.parquet(s"$dir/meta.parquet")
-        .filter(col("section") === "articles")
-        .orderBy(col("host_idx"), col("page_idx"))
-        .select(col("url")).as[String].collect().toSeq
       WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
-        CrawlConfig(urlList = urls, isUrlListMode = true))
+        CrawlConfig(urlListDf = Some(urlLines(spark, dir, section = "articles")),
+          isUrlListMode = true))
     }
     val pages = out.saved
       .orderBy(col("seq"))

@@ -60,12 +60,13 @@ object Sinks {
   def jsonl(pages: Seq[PageData]): String =
     pages.map(p => jsonlLine(p.title, p.url, p.markdown) + "\n").mkString
 
+  /** One MarshalIndent array element (2-space indent), per-row computable. */
+  def jsonItem(title: String, url: String, markdown: String): String =
+    s"""  {\n    "title": "${goJsonEscape(title)}",\n    "url": "${goJsonEscape(url)}",\n    "content": "${goJsonEscape(markdown)}"\n  }"""
+
   /** Go json.MarshalIndent(pages, "", "  ") parity; "[]" when empty. */
   def json(pages: Seq[PageData]): String = {
     if (pages.isEmpty) return "[]"
-    val items = pages.map { p =>
-      s"""  {\n    "title": "${goJsonEscape(p.title)}",\n    "url": "${goJsonEscape(p.url)}",\n    "content": "${goJsonEscape(p.markdown)}"\n  }"""
-    }
-    "[\n" + items.mkString(",\n") + "\n]"
+    "[\n" + pages.map(p => jsonItem(p.title, p.url, p.markdown)).mkString(",\n") + "\n]"
   }
 }

@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.CorpusGen
+import graft.crawl.{CrawlConfig, WaveCrawler}
+
+/** Debug tool: time BFS crawl variants (bloom on/off, extract on/off).
+  * Usage: CrawlTimer <sfDir> [repeats]
+  */
+object CrawlTimer {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val repeats = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    val pages = CorpusGen.pages(spark, dir)
+
+    def run(label: String, cfg: CrawlConfig): Unit = {
+      var best = Double.MaxValue
+      var n = 0L
+      (1 to repeats).foreach { _ =>
+        val t0 = System.nanoTime()
+        n = WaveCrawler.crawl(spark, pages, cfg).saved.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        if (dt < best) best = dt
+      }
+      println(f"$label%-28s best=$best%6.2f s  saved=$n")
+    }
+
+    val seed = "http://host0.test/"
+    run("bfs default (adaptive)", CrawlConfig(startUrl = seed))
+    run("bfs default sched-only", CrawlConfig(startUrl = seed, extractContent = false))
+    run("bfs forced-bloom sched", CrawlConfig(startUrl = seed, extractContent = false, bloomMinSeen = 0L))
+    run("bfs forced-bloom+extract", CrawlConfig(startUrl = seed, bloomMinSeen = 0L))
+    spark.stop()
+  }
+}

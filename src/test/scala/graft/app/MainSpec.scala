@@ -30,4 +30,44 @@ class MainSpec extends AnyFunSuite {
   test("parse: unknown flag rejected") {
     intercept[IllegalArgumentException](Main.parse(List("--bogus", "x")))
   }
+
+  test("parse: reference flag names and short forms (scrape.go:56-66, root.go:67-70)") {
+    val a = Main.parse(List("http://h.test/", "--pages", "/p",
+      "-m", "/a/**", "-o", "/tmp/out.txt", "-f", "xml-like", "--silent"))
+    assert(a.matches == Vector("/a/**"))
+    assert(a.outfile == "/tmp/out.txt")
+    assert(a.format == "xml-like")
+    assert(a.silent)
+    val b = Main.parse(List("--version"))
+    assert(b.version)
+    val c = Main.parse(List("http://h.test/", "--pages", "/p",
+      "--outfile", "f1", "--output-format", "jsonl", "--output-dir", "/tmp/d"))
+    assert(c.outfile == "f1" && c.format == "jsonl" && c.outputDir == "/tmp/d")
+  }
+
+  test("streamOut framing is byte-identical to the batch sinks") {
+    import graft.extract.PageData
+    import graft.sinks.Sinks
+    val pages = Seq(
+      PageData("T1", "http://h/a", "m1\nline2 with \"quotes\" & <tags>", "", ""),
+      PageData("T2", "http://h/b", "m2", "", ""))
+    def rows(fmt: String) = pages.map(p => fmt match {
+      case "json"  => Sinks.jsonItem(p.title, p.url, p.markdown)
+      case "jsonl" => Sinks.jsonlLine(p.title, p.url, p.markdown)
+      case _       => Sinks.pageAsXmlLike(p.title, p.url, p.markdown)
+    })
+    for (fmt <- Seq("xml-like", "json", "jsonl")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      Main.streamOut(rows(fmt).iterator, fmt, bos)
+      val expected = fmt match {
+        case "json"  => Sinks.json(pages)
+        case "jsonl" => Sinks.jsonl(pages)
+        case _       => Sinks.xmlLike(pages)
+      }
+      assert(bos.toString("UTF-8") == expected, s"format $fmt")
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    Main.streamOut(Iterator.empty, "json", bos)
+    assert(bos.toString("UTF-8") == "[]")
+  }
 }

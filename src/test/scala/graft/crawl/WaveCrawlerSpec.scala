@@ -171,4 +171,62 @@ class WaveCrawlerSpec extends AnyFunSuite {
     assert(m.map(_.new_urls).sum + 1 == out.seen.count())
     m.foreach { wm => assert(wm.fetched + wm.fetch_errors == wm.popped) }
   }
+
+  test("budget vs limit drops are counted separately in metrics") {
+    val allUrls = (0 until spec.nHosts).flatMap(h =>
+      (0 until spec.hostSizes(h)).map(i => CorpusGen.pageUrl(h, i)))
+    val out = WaveCrawler.crawl(spark, pages,
+      CrawlConfig(urlList = allUrls, isUrlListMode = true,
+        hostPageBudget = 5, pageLimit = 12))
+    val m = out.metrics.head
+    val budgetKept = (0 until spec.nHosts).map(h => math.min(5, spec.hostSizes(h)).toLong).sum
+    assert(out.saved.count() == 12)
+    assert(m.skipped_budget == m.fetched - budgetKept) // budget drops accounted…
+    assert(m.skipped_limit == budgetKept - 12) // …separately from the limit cut
+    assert(m.skipped_match + m.skipped_budget + m.skipped_limit + m.saved == m.fetched)
+  }
+
+  test("cancel stops after the current wave; partial results survive (SIGINT semantics)") {
+    val waves = new java.util.concurrent.atomic.AtomicInteger(0)
+    val out = WaveCrawler.crawl(spark, pages,
+      CrawlConfig(startUrl = seed0,
+        cancelled = () => waves.getAndIncrement() >= 2)) // cancel before wave 3
+    assert(out.stopReason == "Cancelled by user")
+    val full = refCrawl(CrawlParams(startUrl = seed0))
+    val saved = out.saved.orderBy("depth", "seq").select("url")
+      .collect().map(_.getString(0)).toVector
+    assert(saved.nonEmpty && saved.size < full.savedUrls.size)
+    assert(saved == full.savedUrls.take(saved.size)) // an exact BFS prefix of waves
+    assert(out.saved.agg(org.apache.spark.sql.functions.max("depth"))
+      .head().getInt(0) == 1) // waves 1..2 = depths 0..1
+  }
+
+  test("forced bloom segments produce the identical crawl (scale path correctness)") {
+    val ref = refCrawl(CrawlParams(startUrl = seed0))
+    val out = WaveCrawler.crawl(spark, pages,
+      CrawlConfig(startUrl = seed0, bloomMinSeen = 0L)) // segments from wave 1
+    val saved = out.saved.orderBy("depth", "seq").select("url")
+      .collect().map(_.getString(0)).toVector
+    assert(saved == ref.savedUrls)
+    assert(out.seen.select("url").collect().map(_.getString(0)).toSet == ref.visited)
+  }
+
+  test("url-list DataFrame source equals the Seq source (scalable --url-file path)") {
+    import spark.implicits._
+    val urls = Seq(
+      "http://host0.test/articles/page-1",
+      "http://host1.test/",
+      "http://host0.test/articles/page-1/",
+      "http://host2.test/docs/page-2")
+    val df = spark.sparkContext
+      .parallelize(urls.zipWithIndex.map { case (u, i) => (u, i.toLong) }, 2)
+      .toDF("url_raw", "line_no")
+    val a = WaveCrawler.crawl(spark, pages,
+      CrawlConfig(urlListDf = Some(df), isUrlListMode = true))
+    val b = WaveCrawler.crawl(spark, pages,
+      CrawlConfig(urlList = urls, isUrlListMode = true))
+    def rows(o: CrawlOutput) = o.saved.orderBy("seq")
+      .select("url", "seq").collect().map(r => (r.getString(0), r.getLong(1))).toVector
+    assert(rows(a) == rows(b))
+  }
 }
