@@ -208,24 +208,27 @@ object SparkEntry {
          |SELECT url, CAST(depth AS BIGINT) AS depth FROM seen""".stripMargin,
     "crawl_saved_titles" ->
       s"""$reachCte
-         |SELECT m.url, m.title FROM seen r JOIN ${gt("meta")} m ON m.url = r.url""".stripMargin,
+         |SELECT m.url, m.title FROM seen r JOIN ${gt("meta")} m ON m.url = r.url
+         |WHERE m.empty_html = 0""".stripMargin,
     "crawl_saved_articles" ->
       s"""$reachCte
          |SELECT m.url, m.title FROM seen r JOIN ${gt("meta")} m ON m.url = r.url
-         |WHERE m.section = 'articles'""".stripMargin,
+         |WHERE m.section = 'articles' AND m.empty_html = 0""".stripMargin,
     "crawl_limit_cut" ->
       s"""$reachCte
          |SELECT CAST(LEAST(100, COUNT(*)) AS BIGINT) AS saved_cnt
-         |FROM seen r JOIN ${gt("meta")} m ON m.url = r.url""".stripMargin,
+         |FROM seen r JOIN ${gt("meta")} m ON m.url = r.url
+         |WHERE m.empty_html = 0""".stripMargin,
     "crawl_limit_prefix" ->
       s"""$reachCte,
          |sv AS (SELECT r.depth, COUNT(*) AS n
-         |       FROM seen r JOIN ${gt("meta")} m ON m.url = r.url GROUP BY 1),
+         |       FROM seen r JOIN ${gt("meta")} m ON m.url = r.url
+         |       WHERE m.empty_html = 0 GROUP BY 1),
          |run AS (SELECT depth, SUM(n) OVER (ORDER BY depth) AS cum FROM sv),
          |cutd AS (SELECT MIN(depth) AS d FROM run WHERE cum >= 100)
          |SELECT r.url, CAST(r.depth AS BIGINT) AS depth
          |FROM seen r JOIN ${gt("meta")} m ON m.url = r.url, cutd
-         |WHERE r.depth < cutd.d""".stripMargin,
+         |WHERE m.empty_html = 0 AND r.depth < cutd.d""".stripMargin,
     "crawl_robots_seen" ->
       s"""WITH RECURSIVE reach(url, depth) AS (
          |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url, 0 AS depth
@@ -256,7 +259,8 @@ object SparkEntry {
       s"""$reachCte
          |SELECT CAST(r.depth AS BIGINT) AS depth,
          |       COUNT(*) AS popped,
-         |       CAST(SUM(CASE WHEN m.url IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fetched
+         |       CAST(SUM(CASE WHEN m.url IS NOT NULL AND m.empty_html = 0
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS fetched
          |FROM seen r LEFT JOIN ${gt("meta")} m ON m.url = r.url
          |GROUP BY 1""".stripMargin,
     "crawl_link_extract" ->
@@ -268,7 +272,9 @@ object SparkEntry {
     "crawl_selector_md" ->
       s"""SELECT url,
          |  CASE WHEN page_idx % 5 = 1 THEN '' ELSE title END AS title,
-         |  CASE WHEN page_idx % 5 = 1 THEN $tableMdSql ELSE markdown END AS markdown
+         |  CASE WHEN empty_html = 1 THEN ''
+         |       WHEN page_idx % 5 = 1 THEN $tableMdSql
+         |       ELSE markdown END AS markdown
          |FROM ${gt("meta")}""".stripMargin,
     "crawl_sink_xml" ->
       s"""$reachCte
@@ -277,14 +283,14 @@ object SparkEntry {
          |  '  <url>' || m.url || '</url>' || chr(10) || '  <content>' || chr(10) ||
          |  m.markdown || chr(10) || '  </content>' || chr(10) || '</page>' AS xml
          |FROM seen r JOIN ${gt("meta")} m ON m.url = r.url
-         |WHERE m.section = 'articles'""".stripMargin,
+         |WHERE m.section = 'articles' AND m.empty_html = 0""".stripMargin,
     "crawl_sink_jsonl" ->
       s"""$reachCte
          |SELECT m.url,
          |  '{"title":"' || ${escSql("m.title")} || '","url":"' || ${escSql("m.url")} ||
          |  '","content":"' || ${escSql("m.markdown")} || '"}' AS jsonl
          |FROM seen r JOIN ${gt("meta")} m ON m.url = r.url
-         |WHERE m.section = 'articles'""".stripMargin,
+         |WHERE m.section = 'articles' AND m.empty_html = 0""".stripMargin,
     "crawl_sink_json" ->
       s"""WITH items AS (
          |  SELECT '  {' || chr(10) ||
@@ -292,7 +298,7 @@ object SparkEntry {
          |         '    "url": "' || ${escSql("url")} || '",' || chr(10) ||
          |         '    "content": "' || ${escSql("markdown")} || '"' || chr(10) ||
          |         '  }' AS item, host_idx, page_idx
-         |  FROM ${gt("meta")} WHERE section = 'articles')
+         |  FROM ${gt("meta")} WHERE section = 'articles' AND empty_html = 0)
          |SELECT '[' || chr(10) ||
          |       string_agg(item, ',' || chr(10) ORDER BY host_idx, page_idx) ||
          |       chr(10) || ']' AS json_payload
@@ -303,7 +309,8 @@ object SparkEntry {
          |JOIN ${gt("robots")} r
          |  ON l.dst_url LIKE 'http://' || r.host || r.disallow_prefix || '%'""".stripMargin,
     "crawl_host_budget" ->
-      s"""SELECT host, CAST(LEAST(50, COUNT(*)) AS BIGINT) AS saved_cnt
+      s"""SELECT host,
+         |  CAST(LEAST(50, SUM(CASE WHEN empty_html = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS saved_cnt
          |FROM ${gt("meta")} GROUP BY host""".stripMargin,
     "crawl_list_dedup" ->
       s"""SELECT url,

@@ -42,7 +42,8 @@ final case class PageRow(url: String, warc_ts: Timestamp, html: Array[Byte],
     text: String, lang: String)
 final case class LinkRow(src_url: String, dst_url: String, pos: Int)
 final case class MetaRow(url: String, host: String, host_idx: Int, page_idx: Int,
-    section: String, title: String, n_links: Int, markdown: String)
+    section: String, title: String, n_links: Int, markdown: String,
+    empty_html: Int)
 final case class RobotsRow(host: String, disallow_prefix: String)
 
 object CorpusGen {
@@ -69,6 +70,15 @@ object CorpusGen {
     if (i == 0) "/" else s"/${Sections(i % Sections.length)}/page-$i"
 
   def pageTitle(h: Int, i: Int): String = s"Host $h Page $i of Synthetic Corpus"
+
+  /** ~3 percent of non-root pages serve whitespace-only HTML — the reference's
+    * empty-content fetch-error path (P8, /root/reference/fetcher.go:93-95):
+    * such a page is popped and counted as a fetch error, never saved, never
+    * expanded. Roots and the first tree levels stay non-empty so every host
+    * remains crawlable.
+    */
+  def isEmptyPage(spec: CorpusSpec, h: Int, i: Int): Boolean =
+    i > 2 && mix(spec.seed, h, i, 6) % 29 == 0
 
   /** A host's robots rule: every third host disallows /misc. */
   def robotsRules(spec: CorpusSpec): Seq[RobotsRow] =
@@ -123,6 +133,7 @@ object CorpusGen {
     * extractor must drop interleaved.
     */
   def pageHtml(spec: CorpusSpec, h: Int, i: Int): String = {
+    if (isEmptyPage(spec, h, i)) return "  \n   \n"
     val targets = linkTargets(spec, h, i)
     val anchors = new StringBuilder
     // noise first: external host, mailto (dropped by P2/P3)
@@ -179,6 +190,7 @@ object CorpusGen {
     * per-row invariant (byte-identical extracted text per url).
     */
   def expectedMarkdown(spec: CorpusSpec, h: Int, i: Int): String = {
+    if (isEmptyPage(spec, h, i)) return ""
     val sb = new StringBuilder
     sb.append("## Heading for page ").append(i).append(" of host ").append(h)
     sb.append("\n\n").append(filler(spec, h, i, 0))
@@ -200,19 +212,27 @@ object CorpusGen {
       lang = Langs((mix(spec.seed, h, i, 4) % Langs.length).toInt))
   }
 
-  def metaRow(spec: CorpusSpec, h: Int, i: Int): MetaRow =
+  def metaRow(spec: CorpusSpec, h: Int, i: Int): MetaRow = {
+    val empty = isEmptyPage(spec, h, i)
     MetaRow(
       url = pageUrl(h, i),
       host = hostName(h),
       host_idx = h,
       page_idx = i,
       section = if (i == 0) "" else Sections(i % Sections.length),
-      title = pageTitle(h, i),
-      n_links = linkTargets(spec, h, i).size,
-      markdown = if (spec.emitMarkdownTruth) expectedMarkdown(spec, h, i) else "")
+      title = if (empty) "" else pageTitle(h, i),
+      n_links = if (empty) 0 else linkTargets(spec, h, i).size,
+      markdown = if (spec.emitMarkdownTruth) expectedMarkdown(spec, h, i) else "",
+      empty_html = if (empty) 1 else 0)
+  }
 
+  /** Ground-truth extractor output per page — empty for empty-HTML pages
+    * (the extractor never runs on a failed fetch, and running it on
+    * whitespace yields nothing).
+    */
   def linkRows(spec: CorpusSpec, h: Int, i: Int): Seq[LinkRow] =
-    linkTargets(spec, h, i).zipWithIndex.map { case (dst, pos) =>
+    if (isEmptyPage(spec, h, i)) Nil
+    else linkTargets(spec, h, i).zipWithIndex.map { case (dst, pos) =>
       LinkRow(pageUrl(h, i), dst, pos)
     }
 
@@ -233,7 +253,7 @@ object CorpusGen {
   /** Bumped whenever the emitted schema/content changes so stale on-disk
     * corpora regenerate instead of silently serving the old shape.
     */
-  val FormatVersion = 2
+  val FormatVersion = 3
 
   def ensure(spark: SparkSession, dir: String, spec: CorpusSpec): Unit = {
     val marker = new java.io.File(s"$dir/_CORPUS_READY")

@@ -23,17 +23,26 @@ class CorpusMarkdownSpec extends AnyFunSuite {
     } {
       val url = CorpusGen.pageUrl(h, i)
       val html = CorpusGen.pageHtml(spec, h, i)
-      val pd = Processor.processHTML(url, html, "")
-        .fold(e => fail(s"extract failed h=$h i=$i: $e"), identity)
-      assert(pd.title == CorpusGen.pageTitle(h, i), s"title h=$h i=$i")
-      assert(pd.markdown == CorpusGen.expectedMarkdown(spec, h, i), s"markdown h=$h i=$i")
+      if (CorpusGen.isEmptyPage(spec, h, i)) {
+        // P8: empty-HTML page — extraction yields nothing either way
+        val (t, m) = Processor.processHTML(url, html, "")
+          .fold(_ => ("", ""), pd => (pd.title, pd.markdown))
+        assert(t == "" && m == "", s"empty page h=$h i=$i must extract to nothing")
+      } else {
+        val pd = Processor.processHTML(url, html, "")
+          .fold(e => fail(s"extract failed h=$h i=$i: $e"), identity)
+        assert(pd.title == CorpusGen.pageTitle(h, i), s"title h=$h i=$i")
+        assert(pd.markdown == CorpusGen.expectedMarkdown(spec, h, i), s"markdown h=$h i=$i")
+      }
     }
   }
 
   test("selector=table slices to the constant table markdown; miss falls back to full page") {
     val spec = CorpusGen.specFor("/x/sf0.001")
+    val tableI = (1 until spec.hostSizes(0))
+      .find(i => i % 5 == 1 && !CorpusGen.isEmptyPage(spec, 0, i)).get
     val hit = Processor.processHTML(
-      CorpusGen.pageUrl(0, 6), CorpusGen.pageHtml(spec, 0, 6), "table")
+      CorpusGen.pageUrl(0, tableI), CorpusGen.pageHtml(spec, 0, tableI), "table")
       .fold(e => fail(e), identity)
     assert(hit.title == "")
     assert(hit.markdown == CorpusGen.TableMd)

@@ -51,7 +51,7 @@ class WaveCrawlerSpec extends AnyFunSuite {
       val url = CorpusGen.pageUrl(h, i)
       val extracted = LinkExtractor.extract(url, CorpusGen.hostName(h),
         CorpusGen.pageHtml(spec, h, i), Nil)
-      val truth = CorpusGen.linkTargets(spec, h, i)
+      val truth = CorpusGen.linkRows(spec, h, i).map(_.dst_url)
       assert(extracted == truth, s"drift at host=$h page=$i")
     }
   }
@@ -134,17 +134,21 @@ class WaveCrawlerSpec extends AnyFunSuite {
   test("per-host budget caps saved pages per host (list mode over all hosts)") {
     val allUrls = (0 until spec.nHosts).flatMap(h =>
       (0 until spec.hostSizes(h)).map(i => CorpusGen.pageUrl(h, i)))
+    // empty-HTML pages are fetch errors (P8) — they never count toward a save
+    def savable(h: Int): Seq[String] =
+      (0 until spec.hostSizes(h)).filterNot(i => CorpusGen.isEmptyPage(spec, h, i))
+        .map(i => CorpusGen.pageUrl(h, i))
     val cfg = CrawlConfig(urlList = allUrls, isUrlListMode = true, hostPageBudget = 5)
     val out = WaveCrawler.crawl(spark, pages, cfg)
     val counts = out.saved.groupBy("host").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     (0 until spec.nHosts).foreach { h =>
-      assert(counts.getOrElse(CorpusGen.hostName(h), 0L) == math.min(5, spec.hostSizes(h)))
+      assert(counts.getOrElse(CorpusGen.hostName(h), 0L) == math.min(5, savable(h).size))
     }
-    // budgeted saves are the first 5 per host in seq order
+    // budgeted saves are the first 5 savable per host in seq order
     val savedH0 = out.saved.filter("host = 'host0.test'").orderBy("seq")
       .select("url").collect().map(_.getString(0)).toVector
-    assert(savedH0 == allUrls.filter(_.startsWith("http://host0.test")).take(5).toVector)
+    assert(savedH0 == savable(0).take(5).toVector)
   }
 
   test("checkpoint + resume reproduces the uninterrupted crawl") {

@@ -173,8 +173,14 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("blob meta + features run over the corpus binary column") {
+    import graft.corpus.CorpusGen
     val meta = Multimodal.blobMeta(spark, sf)
-    assert(meta.filter("is_html = 1").count() == meta.count() && meta.count() > 0)
+    // empty-HTML corpus pages (P8 fixtures) sniff as non-html
+    val spec = CorpusGen.specFor(sf)
+    val nonEmpty = (0 until spec.nHosts).map(h =>
+      (0 until spec.hostSizes(h)).count(i => !CorpusGen.isEmptyPage(spec, h, i))).sum
+    assert(meta.count() > 0)
+    assert(meta.filter("is_html = 1").count() == nonEmpty.toLong)
     val feats = Multimodal.blobFeatures(spark, sf)
     val row = feats.head()
     assert((0 until 8).forall(d => row.getLong(row.fieldIndex(s"f$d")) >= 0L))
