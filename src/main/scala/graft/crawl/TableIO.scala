@@ -59,14 +59,29 @@ object TableIO {
     paths
   }
 
-  def waveMetricsJson(m: WaveMetrics, rowCounts: Map[String, Long]): String = {
+  /** Per-partition row counts of a (cached/checkpointed) table — the
+    * per-partition lineage record the north rule asks for. One cheap pass
+    * over cached partitions; only runs at checkpoint time.
+    */
+  def partitionCounts(df: DataFrame): Seq[Long] =
+    df.rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2).toSeq
+
+  def waveMetricsJson(
+      m: WaveMetrics,
+      rowCounts: Map[String, Long],
+      partitionRows: Map[String, Seq[Long]] = Map.empty): String = {
     val rc = rowCounts.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val pr = partitionRows
+      .map { case (k, v) => s""""$k":${v.mkString("[", ",", "]")}""" }
+      .mkString("{", ",", "}")
     s"""{"wave":${m.wave},"depth":${m.depth},"popped":${m.popped},""" +
       s""""fetched":${m.fetched},"fetch_errors":${m.fetch_errors},""" +
       s""""saved":${m.saved},"skipped_match":${m.skipped_match},""" +
       s""""skipped_budget":${m.skipped_budget},"skipped_limit":${m.skipped_limit},""" +
       s""""links_extracted":${m.links_extracted},""" +
-      s""""duplicates":${m.duplicates},"new_urls":${m.new_urls},"row_counts":$rc}"""
+      s""""duplicates":${m.duplicates},"new_urls":${m.new_urls},""" +
+      s""""row_counts":$rc,"partition_rows":$pr}"""
   }
 
   /** Latest complete (manifest-bearing) wave in a checkpoint dir, if any. */

@@ -288,7 +288,8 @@ object WaveCrawler {
         val norm = normalizeOrThrow(config.startUrl)
         Seq((norm, UrlNorm.hostnameOf(norm), 0, 0L)).toDF("url", "host", "depth", "seq")
       }
-    val frontier = frontier0.localCheckpoint(true)
+    // lazy checkpoint + count = ONE materialization job (eager + count = two)
+    val frontier = frontier0.localCheckpoint(false)
     val n0 = frontier.count()
 
     val state0 = State(frontier, n0, Vector(frontier), Vector.empty,
@@ -551,7 +552,7 @@ object WaveCrawler {
           ($"idx" + lit(maxSeq + 1)).as("seq"))
       } else {
         frontier.limit(0)
-      }).localCheckpoint(true)
+      }).localCheckpoint(false) // lazy: the count below materializes it (1 job)
       val newN = timed(s"w$wave frontierCount")(newFrontier.count())
       val dupDropped = linksN - newN // intra-wave dups + already-seen
 
@@ -566,9 +567,9 @@ object WaveCrawler {
         prev.unpersist()
       } else maybeEngageBloom(maxSeq + 1)
 
-      // ---- materialize the wave's saved delta ----
-      val savedDelta = timed(s"w$wave savedDelta")(savedWave.localCheckpoint(true))
-      val savedWaveN = savedDelta.count()
+      // ---- materialize the wave's saved delta (lazy ckpt + count = 1 job) ----
+      val savedDelta = savedWave.localCheckpoint(false)
+      val savedWaveN = timed(s"w$wave savedDelta")(savedDelta.count())
       if (keptTmp != null) keptTmp.unpersist()
       savedTotal += savedWaveN
       savedParts :+= savedDelta
@@ -595,7 +596,10 @@ object WaveCrawler {
         TableIO.writeWave(dir, wave,
           Map("frontier" -> newFrontier, "saved_delta" -> savedDelta), m,
           metricsJson = Some(TableIO.waveMetricsJson(
-            metrics.result().last, Map("frontier" -> newN, "saved_delta" -> savedWaveN))))
+            metrics.result().last,
+            Map("frontier" -> newN, "saved_delta" -> savedWaveN),
+            Map("frontier" -> TableIO.partitionCounts(newFrontier),
+              "saved_delta" -> TableIO.partitionCounts(savedDelta)))))
       }
 
       // NOTE: the old frontier stays persisted — it is a seen part (its

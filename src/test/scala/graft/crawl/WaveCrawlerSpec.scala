@@ -157,6 +157,11 @@ class WaveCrawlerSpec extends AnyFunSuite {
     WaveCrawler.crawl(spark, pages, cfgStop) // interrupted after 2 waves
     assert(TableIO.latestWave(ckpt).contains(2))
 
+    // per-partition lineage is recorded alongside each wave's data
+    val wm = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$ckpt/wave=1/metrics.json"))
+    assert(wm.contains("\"partition_rows\":") && wm.contains("\"frontier\":["))
+
     val cfgResume = CrawlConfig(startUrl = seed0, checkpointDir = Some(ckpt))
     val resumed = WaveCrawler.resume(spark, pages, cfgResume)
     val ref = refCrawl(CrawlParams(startUrl = seed0))
