@@ -436,14 +436,14 @@ object WaveCrawler {
             } else {
               val path = UrlNorm.pathOf(url)
               val matched = GlobSet.shouldProcess(matchGlobs, path)
-              val (title, md) =
-                if (matched && doExtract)
-                  Processor.processHTML(url, html, selector)
-                    .fold(_ => ("", ""), pd => (pd.title, pd.markdown))
-                else ("", "")
+              // ONE parse per page, shared by link extraction (read-only,
+              // must run first) and content extraction (mutates the tree)
+              val doc =
+                try graft.html.HtmlParser.parse(html)
+                catch { case _: Throwable => null }
               val links =
-                if (!lm && host == sHost) {
-                  val raw = LinkExtractor.extract(url, sHost, html, followGlobs)
+                if (!lm && host == sHost && doc != null) {
+                  val raw = LinkExtractor.extractFromDoc(url, sHost, doc, followGlobs)
                   raw.zipWithIndex.flatMap { case (dst, pos) =>
                     val dstHost = UrlNorm.hostnameOf(dst)
                     val dstPath = UrlNorm.pathOf(dst)
@@ -454,6 +454,11 @@ object WaveCrawler {
                     if (allowed) Some(ProcLink(dst, dstHost, pos)) else None
                   }
                 } else Nil
+              val (title, md) =
+                if (matched && doExtract && doc != null)
+                  Processor.processParsed(url, html, doc, selector)
+                    .fold(_ => ("", ""), pd => (pd.title, pd.markdown))
+                else ("", "")
               ProcessedRow(url, host, d, seq, ok = true, matched = matched, title, md, links)
             }
           }

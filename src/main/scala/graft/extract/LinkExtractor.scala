@@ -29,15 +29,30 @@ object LinkExtractor {
       startHost: String,
       html: String,
       followGlobs: Seq[CompiledGlob]): Vector[String] = {
+    val doc =
+      try HtmlParser.parse(html)
+      catch { case _: Throwable => return Vector.empty }
+    extractFromDoc(pageUrlStr, startHost, doc, followGlobs)
+  }
+
+  /** Same, over an already-parsed document (the crawl loop parses each page
+    * once and shares the tree between link extraction and content
+    * extraction). Must run BEFORE any mutating extraction step.
+    */
+  def extractFromDoc(
+      pageUrlStr: String,
+      startHost: String,
+      doc: graft.html.HDocument,
+      followGlobs: Seq[CompiledGlob]): Vector[String] = {
     GoUrl.parse(pageUrlStr) match {
       case Left(_) => Vector.empty
       case Right(pageUrl) =>
-        val doc =
-          try HtmlParser.parse(html)
-          catch { case _: Throwable => return Vector.empty }
         val seen = scala.collection.mutable.HashSet[String]()
         val out = Vector.newBuilder[String]
-        doc.find("a[href]").foreach { a =>
+        // a[href] in document order — direct pre-order walk, no selector engine
+        doc.root.selfAndDescendants
+          .filter(e => e.tag == "a" && e.attr("href").isDefined)
+          .foreach { a =>
           a.attr("href").foreach { href =>
             pageUrl.parseRef(href) match {
               case Left(_) => // unparseable href → skipped (crawler.go:503)

@@ -29,37 +29,52 @@ final case class PageData(
   */
 object Processor {
 
-  private val preFilterSelectors = Seq("script", "style", "link", "img", "video")
+  private val preFilterTags = Set("script", "style", "link", "img", "video")
 
   def processHTML(
       pageUrl: String,
       rawHtml: String,
+      contentSelector: String): Either[String, PageData] =
+    processParsed(pageUrl, rawHtml, HtmlParser.parse(rawHtml), contentSelector)
+
+  /** processHTML over an already-parsed tree of rawHtml — the crawl loop
+    * parses each page exactly once and shares the tree with link extraction
+    * (which must run first: the pre-filter MUTATES `doc`).
+    */
+  def processParsed(
+      pageUrl: String,
+      rawHtml: String,
+      doc: graft.html.HDocument,
       contentSelector: String): Either[String, PageData] = {
     val parsedUrl = GoUrl.parse(pageUrl) match {
       case Right(u) => u
       case Left(e)  => return Left(s"failed to parse page URL $pageUrl: $e")
     }
 
-    var htmlToProcess = rawHtml
-
-    if (contentSelector.nonEmpty) {
-      val doc = HtmlParser.parse(rawHtml)
-      doc.findFirst(contentSelector) match {
-        case Some(sel) => htmlToProcess = sel.outerHtml
-        case None      => // selector miss → full raw HTML, no pre-filter
+    // (htmlToProcess, tree-of-it-or-null): the tree feeds readability's first
+    // attempt directly; the string remains the retry source, so retry
+    // semantics are byte-identical to the serialize→re-parse formulation.
+    val chosen: (String, graft.html.HDocument) =
+      if (contentSelector.nonEmpty) {
+        doc.findFirst(contentSelector) match {
+          case Some(sel) => (sel.outerHtml, null) // sliced fragment: re-parse
+          case None      => (rawHtml, doc) // selector miss → full raw, no pre-filter
+        }
+      } else {
+        // one fused traversal instead of five selector passes
+        val removed = doc.removeTags(preFilterTags)
+        if (removed > 0) doc.mergeAdjacentText() // = serialize→re-parse text adjacency
+        val modified = doc.outerHtml
+        if (rawHtml.length != modified.length && removed > 0) (modified, doc)
+        else if (removed == 0) (rawHtml, doc) // doc is still the pristine tree
+        else (rawHtml, null) // mutated but rejected (length tie) → re-parse raw
       }
-    } else {
-      val doc = HtmlParser.parse(rawHtml)
-      var removedAny = false
-      preFilterSelectors.foreach { sel =>
-        if (doc.removeAll(sel) > 0) removedAny = true
-      }
-      val modified = doc.outerHtml
-      if (rawHtml.length != modified.length && removedAny)
-        htmlToProcess = modified
-    }
 
-    val (article, resultEl) = Readability.parseToDom(htmlToProcess, parsedUrl)
+    val htmlToProcess = chosen._1
+    val preparsed = chosen._2
+    val (article, resultEl) =
+      if (preparsed != null) Readability.parseToDom(htmlToProcess, parsedUrl, preparsed)
+      else Readability.parseToDom(htmlToProcess, parsedUrl)
     // consume the readability DOM directly — no serialize→re-parse round trip
     val markdown =
       (if (resultEl != null) Markdown.convertElement(resultEl)

@@ -58,9 +58,14 @@ object Readability {
     * (Markdown conversion) can consume the DOM without a serialize→re-parse
     * round trip.
     */
-  def parseToDom(rawHtml: String, pageUrl: GoUrl): (Article, HElement) = {
+  /** @param preparsed optional already-parsed tree OF rawHtml — used for the
+    *                   first (read-only-until-grab) attempt so the caller's
+    *                   parse is not repeated; retries still re-parse rawHtml.
+    */
+  def parseToDom(rawHtml: String, pageUrl: GoUrl,
+      preparsed: HDocument = null): (Article, HElement) = {
     // metadata title is read from the pristine document
-    val metaDoc = HtmlParser.parse(rawHtml)
+    val metaDoc = if (preparsed != null) preparsed else HtmlParser.parse(rawHtml)
     val metaTitle = getArticleMetadataTitle(metaDoc)
     val articleTitle = if (metaTitle.nonEmpty) metaTitle else getArticleTitle(metaDoc)
 

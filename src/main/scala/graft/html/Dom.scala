@@ -151,6 +151,38 @@ final class HDocument(val preamble: Vector[HNode], val root: HElement) {
     hits.foreach(_.remove())
     hits.size
   }
+  /** Remove every element whose tag is in `names` — one traversal, no
+    * selector machinery. Equivalent to sequential removeAll over plain tag
+    * selectors (tag sets are disjoint; nested hits detach with their
+    * ancestors either way).
+    */
+  def removeTags(names: Set[String]): Int = {
+    val hits = root.selfAndDescendants.filter(e => names.contains(e.tag)).toVector
+    hits.foreach(_.remove())
+    hits.size
+  }
+  /** Merge adjacent text-node siblings. Node removal can leave two HText
+    * siblings where a serialize→re-parse round trip (the reference pipeline:
+    * goquery doc.Html() → readability.FromReader) would yield one — and
+    * downstream whitespace collapse is sensitive to that boundary. Run after
+    * mutating removals when the tree is consumed DOM-directly.
+    */
+  def mergeAdjacentText(): Unit = {
+    def walk(e: HElement): Unit = {
+      var i = 0
+      while (i < e.children.length - 1) {
+        (e.children(i), e.children(i + 1)) match {
+          case (a: HText, b: HText) =>
+            a.data = a.data + b.data
+            b.parent = null
+            e.children.remove(i + 1): Unit
+          case _ => i += 1
+        }
+      }
+      e.children.foreach { case c: HElement => walk(c); case _ => }
+    }
+    walk(root)
+  }
   /** Full-document serialization (goquery.OuterHtml(doc.Selection)). */
   def outerHtml: String = {
     val sb = new StringBuilder
