@@ -50,10 +50,9 @@ object LinkExtractor {
         val seen = scala.collection.mutable.HashSet[String]()
         val out = Vector.newBuilder[String]
         // a[href] in document order — direct pre-order walk, no selector engine
-        doc.root.selfAndDescendants
-          .filter(e => e.tag == "a" && e.attr("href").isDefined)
-          .foreach { a =>
-          a.attr("href").foreach { href =>
+        doc.root.foreachElement { a =>
+          val href = if (a.tag == "a") a.attrOrNull("href") else null
+          if (href != null) {
             pageUrl.parseRef(href) match {
               case Left(_) => // unparseable href → skipped (crawler.go:503)
               case Right(abs) =>

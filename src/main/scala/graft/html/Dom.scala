@@ -26,8 +26,34 @@ final class HElement(val tag: String) extends HNode {
   var attrs: ArrayBuffer[(String, String)] = ArrayBuffer.empty
   val children: ArrayBuffer[HNode] = ArrayBuffer.empty
 
-  def attr(name: String): Option[String] =
-    attrs.collectFirst { case (n, v) if n == name => v }
+  def attr(name: String): Option[String] = Option(attrOrNull(name))
+
+  /** Allocation-free attribute lookup for hot paths. */
+  def attrOrNull(name: String): String = {
+    var i = 0
+    val a = attrs
+    while (i < a.length) {
+      if (a(i)._1 == name) return a(i)._2
+      i += 1
+    }
+    null
+  }
+
+  /** Pre-order recursive walk over element descendants — cheaper than the
+    * lazy [[descendants]] iterator for full-tree scans (no stack/iterator
+    * allocation). Do not mutate the tree during the walk.
+    */
+  def foreachElement(f: HElement => Unit): Unit = {
+    var i = 0
+    val cs = children
+    while (i < cs.length) {
+      cs(i) match {
+        case e: HElement => f(e); e.foreachElement(f)
+        case _           =>
+      }
+      i += 1
+    }
+  }
 
   def setAttr(name: String, value: String): Unit = {
     val i = attrs.indexWhere(_._1 == name)
@@ -157,9 +183,12 @@ final class HDocument(val preamble: Vector[HNode], val root: HElement) {
     * ancestors either way).
     */
   def removeTags(names: Set[String]): Int = {
-    val hits = root.selfAndDescendants.filter(e => names.contains(e.tag)).toVector
-    hits.foreach(_.remove())
-    hits.size
+    val hits = Vector.newBuilder[HElement]
+    if (names.contains(root.tag)) hits += root
+    root.foreachElement(e => if (names.contains(e.tag)) hits += e)
+    val v = hits.result()
+    v.foreach(_.remove())
+    v.size
   }
   /** Merge adjacent text-node siblings. Node removal can leave two HText
     * siblings where a serialize→re-parse round trip (the reference pipeline:
