@@ -558,6 +558,12 @@ object WaveCrawler {
       } else {
         frontier.limit(0)
       }).localCheckpoint(false) // lazy: the count below materializes it (1 job)
+
+      // the saved-delta and frontier snapshots are independent DAGs over the
+      // cached `processed` — materialize them as CONCURRENT jobs (the wave is
+      // latency-bound; tasks of both interleave across idle cores)
+      val savedDelta = savedWave.localCheckpoint(false)
+      val savedFut = java.util.concurrent.CompletableFuture.supplyAsync(() => savedDelta.count())
       val newN = timed(s"w$wave frontierCount")(newFrontier.count())
       val dupDropped = linksN - newN // intra-wave dups + already-seen
 
@@ -572,9 +578,8 @@ object WaveCrawler {
         prev.unpersist()
       } else maybeEngageBloom(maxSeq + 1)
 
-      // ---- materialize the wave's saved delta (lazy ckpt + count = 1 job) ----
-      val savedDelta = savedWave.localCheckpoint(false)
-      val savedWaveN = timed(s"w$wave savedDelta")(savedDelta.count())
+      // ---- join the concurrently-materialized saved delta ----
+      val savedWaveN = timed(s"w$wave savedDelta")(savedFut.get())
       if (keptTmp != null) keptTmp.unpersist()
       savedTotal += savedWaveN
       savedParts :+= savedDelta
