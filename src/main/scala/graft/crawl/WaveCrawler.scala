@@ -82,6 +82,12 @@ final case class CrawlConfig(
       * wave. 0 forces the segment path (tests).
       */
     bloomMinSeen: Long = 2000000L,
+    /** Frontier size up to which J1 broadcasts the wave against the corpus;
+      * larger waves fall back to a shuffle join (sort-merge against
+      * url-bucketed pages at the 10^10 design point). 0 forces the shuffle
+      * path (tests).
+      */
+    broadcastFrontierMax: Long = 1000000L,
     cachePages: Boolean = true // re-partition + cache the corpus once per crawl
 )
 
@@ -414,7 +420,7 @@ object WaveCrawler {
       // small (the common case); at 10^10-frontier scale this becomes a
       // sort-merge join against url-bucketed pages.
       val frontierForJoin =
-        if (popped <= 1000000) broadcast(frontier) else frontier
+        if (popped <= config.broadcastFrontierMax) broadcast(frontier) else frontier
       val joined = frontierForJoin.join(pagesSlim, Seq("url"), "inner")
 
       val processed = joined

@@ -153,8 +153,13 @@ object HtmlParser {
 
     while (i < n) {
       val c = html.charAt(i)
-      if (c != '<') { text.append(c); i += 1 }
-      else if (i + 1 >= n) { text.append(c); i += 1 }
+      if (c != '<') {
+        // bulk-append the whole text run (most of the document)
+        val lt = html.indexOf('<', i + 1)
+        val end = if (lt < 0) n else lt
+        text.underlying.append(html, i, end): Unit
+        i = end
+      } else if (i + 1 >= n) { text.append(c); i += 1 }
       else {
         val c1 = html.charAt(i + 1)
         if (c1 == '!') {

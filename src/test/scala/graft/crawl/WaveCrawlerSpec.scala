@@ -220,6 +220,15 @@ class WaveCrawlerSpec extends AnyFunSuite {
     assert(out.seen.select("url").collect().map(_.getString(0)).toSet == ref.visited)
   }
 
+  test("forced shuffle J1 (no frontier broadcast) produces the identical crawl") {
+    val ref = refCrawl(CrawlParams(startUrl = seed0))
+    val out = WaveCrawler.crawl(spark, pages,
+      CrawlConfig(startUrl = seed0, broadcastFrontierMax = 0L)) // sort-merge path
+    val saved = out.saved.orderBy("depth", "seq").select("url")
+      .collect().map(_.getString(0)).toVector
+    assert(saved == ref.savedUrls)
+  }
+
   test("url-list DataFrame source equals the Seq source (scalable --url-file path)") {
     import spark.implicits._
     val urls = Seq(
