@@ -193,6 +193,7 @@ object SparkEntry {
     "dd_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_dup_pairs" -> ((s, d) => Similarity.embeddingDupPairs(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
     "mm_blob_features" -> ((s, d) => Multimodal.blobFeatures(s, d)),
@@ -451,6 +452,28 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id FROM (
          |  SELECT qid AS query_id, nid AS neighbor_id,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS BIGINT) AS rank
+         |  FROM cand)
+         |WHERE rank <= 10""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < ${graft.pipeline.Similarity.IvfLists}),
+         |d AS (SELECT e.vec_id, e.v, c.cid,
+         |        list_cosine_similarity(c.cv, e.v) AS s FROM e CROSS JOIN c),
+         |asg AS (SELECT vec_id, v, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM d)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 20),
+         |qp AS (SELECT qid, qv, cid FROM (
+         |  SELECT q.qid, q.qv, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid
+         |      ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid) AS rn
+         |  FROM q CROSS JOIN c) WHERE rn <= ${graft.pipeline.Similarity.IvfProbes}),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS nid, list_cosine_similarity(p.qv, a.v) AS cos
+         |  FROM qp p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT qid AS query_id, nid AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
          |  FROM cand)
          |WHERE rank <= 10""".stripMargin,
     "ann_dup_pairs" ->

@@ -153,6 +153,68 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** IVF-Flat ANN: coarse quantizer of [[IvfLists]] centroids (the lowest
+    * vec_ids, deterministic — a production build k-means-refines them, the
+    * dataflow is identical), inverted lists = vectors grouped by
+    * nearest-centroid (cosine, ties to the lower centroid id), queries probe
+    * their [[IvfProbes]] nearest lists. The 100-TB shape: assignment is a
+    * narrow map over a broadcast centroid table; candidate evaluation
+    * touches only the probed lists — the corpus is never scanned per query.
+    */
+  val IvfLists = 16
+  val IvfProbes = 4
+
+  def ivfTopK(spark: SparkSession, sfDir: String,
+      nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val all = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val centroids = all.filter(_._1 < IvfLists).collect().sortBy(_._1)
+    val bcC = spark.sparkContext.broadcast(centroids)
+
+    def nearest(v: Array[Float], cs: Array[(Long, Array[Float])]): Long = {
+      var best = -1L
+      var bestC = Double.NegativeInfinity
+      cs.foreach { case (cid, cv) =>
+        val c = cosine(cv, v)
+        if (c > bestC) { bestC = c; best = cid }
+      }
+      best
+    }
+
+    // queries probe their IvfProbes nearest lists
+    val queries = all.orderBy(col("vec_id")).limit(nQueries).collect()
+    val probeOf: Map[Long, Seq[Long]] = queries.map { case (qid, qv) =>
+      qid -> centroids.map { case (cid, cv) => (cid, cosine(cv, qv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(IvfProbes).map(_._1).toSeq
+    }.toMap
+    val listToQueries: Map[Long, Seq[Long]] = probeOf.toSeq
+      .flatMap { case (q, ls) => ls.map(_ -> q) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+    val bcProbes = spark.sparkContext.broadcast(listToQueries)
+    val bcQ = spark.sparkContext.broadcast(queries.toMap)
+
+    val scored = all.mapPartitions { it =>
+      val cs = bcC.value
+      val lq = bcProbes.value
+      val qm = bcQ.value
+      it.flatMap { case (id, vec) =>
+        lq.getOrElse(nearest(vec, cs), Nil).iterator
+          .filter(_ != id)
+          .map(qid => (qid, id, cosine(qm(qid), vec)))
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** The driver-generated embeddings are random (max pairwise cosine ≈ 0.37
     * at sf0.01), so near-dup detection runs over a deterministic
     * duplicate-injected view: every 4th vector appended with tiny

@@ -150,6 +150,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.02, s"recall=$recall")
   }
 
+  test("ivf topk: dense ranks, bounded size, recall above random") {
+    val exact = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rows = Similarity.ivfTopK(spark, sf).collect()
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).toSet == (1L to rs.length).toSet)
+      assert(rs.length <= 10)
+    }
+    // probing 4/16 lists scans ~25% of the corpus; on clusterless random
+    // vectors recall ≈ the scan fraction — assert we beat random-10
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.1, s"recall=$recall")
+  }
+
   test("embedding dup pairs finds the injected perturbed vectors") {
     val pairs = Similarity.embeddingDupPairs(spark, sf).collect()
       .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))).toSet
