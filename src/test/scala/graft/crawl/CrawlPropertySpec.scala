@@ -44,7 +44,7 @@ class CrawlPropertySpec extends AnyFunSuite {
   }
 
   private def runSpark(web: Map[String, String], limit: Int,
-      matches: Seq[String]): (Vector[String], Set[String]) = {
+      matches: Seq[String], follows: Seq[String]): (Vector[String], Set[String]) = {
     val spark2 = spark
     import spark2.implicits._
     val pages = spark.sparkContext
@@ -52,22 +52,27 @@ class CrawlPropertySpec extends AnyFunSuite {
       .toDF("url", "html")
     val out = WaveCrawler.crawl(spark, pages,
       CrawlConfig(startUrl = url(0), pageLimit = limit, matchPatterns = matches,
-        cachePages = false))
+        followPatterns = follows, cachePages = false))
     val saved = out.saved.orderBy("depth", "seq").select("url")
       .collect().map(_.getString(0)).toVector
     val seen = out.seen.select("url").collect().map(_.getString(0)).toSet
     (saved, seen)
   }
 
-  test("random graphs × {limit, match}: wave scheduler ≡ reference FIFO loop") {
-    val prop: Prop = forAll(siteGen, Gen.oneOf(Seq.empty[String], Seq("/a/**"))) {
-      case ((web, limit), matches) =>
+  test("random graphs × {limit, match, follow-match}: wave scheduler ≡ reference FIFO loop") {
+    val flagGen = for {
+      m <- Gen.oneOf(Seq.empty[String], Seq("/a/**"))
+      f <- Gen.oneOf(Seq.empty[String], Seq("/", "/b/**"))
+    } yield (m, f)
+    val prop: Prop = forAll(siteGen, flagGen) {
+      case ((web, limit), (matches, follows)) =>
         val ref = RefCrawler.crawl(web,
-          CrawlParams(startUrl = url(0), pageLimit = limit, matchPatterns = matches))
-        val (saved, seen) = runSpark(web, limit, matches)
+          CrawlParams(startUrl = url(0), pageLimit = limit, matchPatterns = matches,
+            followPatterns = follows))
+        val (saved, seen) = runSpark(web, limit, matches, follows)
         val ok = saved == ref.savedUrls && seen == ref.visited
         if (!ok) {
-          println(s"COUNTEREXAMPLE limit=$limit matches=$matches web=${web.keys.toVector.sorted}")
+          println(s"COUNTEREXAMPLE limit=$limit matches=$matches follows=$follows web=${web.keys.toVector.sorted}")
           println(s"  spark saved=$saved\n  ref   saved=${ref.savedUrls}")
           println(s"  spark seen=${seen.toVector.sorted}\n  ref   seen=${ref.visited.toVector.sorted}")
         }

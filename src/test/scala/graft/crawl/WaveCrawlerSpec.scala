@@ -220,6 +220,18 @@ class WaveCrawlerSpec extends AnyFunSuite {
     assert(out.seen.select("url").collect().map(_.getString(0)).toSet == ref.visited)
   }
 
+  test("resume with forced bloom segments rebuilds seen state distributedly") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graftckptb").toString
+    val cfg = CrawlConfig(startUrl = seed0, checkpointDir = Some(ckpt), bloomMinSeen = 0L)
+    WaveCrawler.crawl(spark, pages, cfg.copy(maxWaves = 2)) // killed after wave 2
+    val resumed = WaveCrawler.resume(spark, pages, cfg)
+    val ref = refCrawl(CrawlParams(startUrl = seed0))
+    val saved = resumed.saved.orderBy("depth", "seq").select("url")
+      .collect().map(_.getString(0)).toVector
+    assert(saved == ref.savedUrls)
+    assert(resumed.seen.select("url").collect().map(_.getString(0)).toSet == ref.visited)
+  }
+
   test("forced shuffle J1 (no frontier broadcast) produces the identical crawl") {
     val ref = refCrawl(CrawlParams(startUrl = seed0))
     val out = WaveCrawler.crawl(spark, pages,
