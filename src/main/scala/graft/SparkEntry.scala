@@ -62,7 +62,7 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id,
       |    array_to_string(
-      |      [CASE WHEN i = CAST((doc_id * 2654435761) % len(ws) AS BIGINT) + 1
+      |      [CASE WHEN i = CAST(((doc_id % 1000003) * 2654435761) % len(ws) AS BIGINT) + 1
       |            THEN 'zzyzx' ELSE ws[i] END
       |       for i in generate_series(1, len(ws))], ' ') AS text
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws

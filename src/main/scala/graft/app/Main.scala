@@ -122,19 +122,42 @@ object Main {
     out.flush()
   }
 
-  def main(argv: Array[String]): Unit = {
-    val args = parse(argv.toList)
-    if (args.version) { println(Version); return }
+  /** Validate the arg combination and resolve the output format (pure —
+    * called before any SparkSession exists so a bad CLI fails fast).
+    */
+  def validateFormat(args: Args): String = {
     require(args.pages.nonEmpty, "--pages <dir> is required (the corpus table)")
     require(args.seed.nonEmpty ^ args.urlFile.nonEmpty,
       "exactly one of <seed-url> or --url-file is required")
     val format = normFormat(args.format)
+    // a sharded write cannot produce one valid JSON array (no cross-shard
+    // brackets/commas); jsonl shards are self-framing and xml-like shards
+    // get per-block framing in run() — json must go through --outfile/stdout
+    require(!(args.outputDir.nonEmpty && format == "json"),
+      "--output-dir cannot emit a single JSON array across shards; " +
+        "use -f jsonl with --output-dir, or --outfile for one json file")
+    format
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parse(argv.toList)
+    if (args.version) { println(Version); return }
+    validateFormat(args)
 
     val spark = SparkSession.builder()
       .appName("graft-crawl")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .getOrCreate()
+    try run(args, spark)
+    finally spark.stop()
+  }
+
+  /** The whole post-session pipeline — separated from main() so tests drive
+    * it against the shared test session (main() stops its session).
+    */
+  def run(args: Args, spark: SparkSession): Unit = {
+    val format = validateFormat(args)
     spark.sparkContext.setLogLevel(if (args.silent) "ERROR" else "WARN")
     import spark.implicits._
 
@@ -181,8 +204,14 @@ object Main {
     if (savedCount > 0) {
       val rows = formattedRows(out.saved, format)
       if (args.outputDir.nonEmpty) {
-        // scale path: distributed ordered write (one ordered shard set)
-        rows.write.mode("overwrite").text(args.outputDir)
+        // scale path: distributed ordered write (one ordered shard set).
+        // xml-like blocks carry a trailing blank line each so concatenating
+        // the shards reproduces the single-file "\n\n" block separation
+        // (modulo one trailing blank line); jsonl rows are self-framing.
+        val framed =
+          if (format == "xml-like") rows.select(concat(col("row"), lit("\n")).as("row"))
+          else rows
+        framed.write.mode("overwrite").text(args.outputDir)
       } else if (args.outfile.nonEmpty) {
         try {
           val os = new BufferedOutputStream(new FileOutputStream(args.outfile), 1 << 16)
@@ -221,7 +250,6 @@ object Main {
             s"links=${m.links_extracted} new=${m.new_urls} dup=${m.duplicates}")
       }
     }
-    spark.stop()
   }
 
   private implicit class IterAsScala[T](it: java.util.Iterator[T]) {

@@ -82,6 +82,18 @@ final case class CrawlConfig(
       * wave. 0 forces the segment path (tests).
       */
     bloomMinSeen: Long = 2000000L,
+    /** Bucket count B for the sharded seen-segments. Sandbox default 32; the
+      * 10^10 design point uses 4096 (≈3 MB/segment at 1% fpp) — tests inject
+      * that value to exercise the real sharding arithmetic.
+      */
+    seenBuckets: Int = WaveCrawler.SeenBuckets,
+    /** Floor for the per-segment Bloom capacity. Segments are sized from the
+      * ACTUAL seen count at engagement (2× headroom) and rebuilt when the
+      * seen set outgrows them — a fixed capacity would silently degrade fpp
+      * toward 1 and turn the pre-filter into pure overhead at exactly the
+      * scale it targets. Tests shrink the floor to force mid-crawl rebuilds.
+      */
+    bloomMinSegCapacity: Long = 1024L,
     /** Frontier size up to which J1 broadcasts the wave against the corpus;
       * larger waves fall back to a shuffle join (sort-merge against
       * url-bucketed pages at the 10^10 design point). 0 forces the shuffle
@@ -121,7 +133,9 @@ final case class CrawlOutput(
     saved: DataFrame, // url, host, depth, seq, wave, title, markdown
     seen: DataFrame, // url, host, depth, seq
     metrics: Seq[WaveMetrics],
-    stopReason: String)
+    stopReason: String,
+    /** Times the seen-segment Bloom filter was rebuilt (resized) mid-crawl. */
+    bloomRebuilds: Int = 0)
 
 object WaveCrawler {
 
@@ -142,20 +156,29 @@ object WaveCrawler {
 
   /** Bloom seen-filter sharding (SURVEY §4.3). The filter is never a single
     * driver-side object: it lives as a `(bucket, bloom_bytes)` Dataset of
-    * [[SeenBuckets]] segments, bucket = url_hash %% B, built/merged/probed
-    * entirely on executors (groupByKey/mapGroups for build+merge, cogroup
-    * for the probe — the segment bytes are deserialized once per task, never
-    * joined row-wise onto links).
+    * B segments, bucket = url_hash %% B, built/merged/probed entirely on
+    * executors (groupByKey/mapGroups for build+merge, cogroup for the
+    * probe — the segment bytes are deserialized once per task, never joined
+    * row-wise onto links).
     *
     * Sizing at the 10^10-url design point: 1%% fpp → ~9.6 bits/url ≈ 12 GB
     * of segments total; B = 4096 buckets → ~3 MB/segment, each probe task
-    * reads exactly one segment for its co-partitioned slice of links. In the
-    * sandbox B = 32 and capacity 2^22 (≈150 KB/segment).
+    * reads exactly one segment for its co-partitioned slice of links. The
+    * sandbox default is B = 32; capacity is NOT fixed — segments are sized
+    * from the actual seen count at engagement ([[segCapacityFor]], 2×
+    * headroom) and rebuilt at double size when outgrown, so fpp stays ≈1%%
+    * however large the seen set grows.
     */
   val SeenBuckets = 32
-  val BloomExpected = 1L << 22
   val BloomFpp = 0.01
-  val SegCapacity: Long = math.max(1024L, BloomExpected / SeenBuckets)
+
+  /** Per-segment capacity for `seenTotal` urls over `buckets` segments:
+    * 2× headroom over the mean occupancy, floored (tiny crawls shouldn't
+    * produce degenerate 10-bit filters; tests shrink the floor to force the
+    * rebuild path).
+    */
+  def segCapacityFor(seenTotal: Long, buckets: Int, floor: Long): Long =
+    math.max(floor, 2L * seenTotal / buckets + 1)
 
   private def nParts(spark: SparkSession, rows: Long): Int =
     math.max(1, math.min(spark.sparkContext.defaultParallelism.toLong,
@@ -182,19 +205,22 @@ object WaveCrawler {
 
   // ---- sharded Bloom seen-segments (no driver-side filter, ever) ----------
 
-  private def bucketCol(urlCol: Column): Column =
-    pmod(xxhash64(urlCol), lit(SeenBuckets)).cast("int")
+  private def bucketCol(urlCol: Column, buckets: Int): Column =
+    pmod(xxhash64(urlCol), lit(buckets)).cast("int")
 
   /** Build per-bucket Bloom segments from a url table — one streaming pass
-    * per bucket group, memory bounded by the segment (not the group).
+    * per bucket group, memory bounded by the segment (not the group). All
+    * segments of one filter generation share `segCapacity` (mergeInPlace
+    * compatibility).
     */
-  private def buildSegs(spark: SparkSession, urls: DataFrame): DataFrame = {
+  private[crawl] def buildSegs(spark: SparkSession, urls: DataFrame,
+      buckets: Int, segCapacity: Long): DataFrame = {
     import spark.implicits._
-    urls.select($"url", bucketCol($"url").as("bucket"))
+    urls.select($"url", bucketCol($"url", buckets).as("bucket"))
       .as[(String, Int)]
       .groupByKey(_._2)
       .mapGroups { (b, it) =>
-        val bf = BloomFilter.create(SegCapacity, BloomFpp)
+        val bf = BloomFilter.create(segCapacity, BloomFpp)
         it.foreach(t => bf.putString(t._1))
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)
@@ -204,7 +230,7 @@ object WaveCrawler {
   }
 
   /** Merge segment tables (same capacity/fpp → mergeInPlace-compatible). */
-  private def mergeSegs(spark: SparkSession, a: DataFrame, b: DataFrame): DataFrame = {
+  private[crawl] def mergeSegs(spark: SparkSession, a: DataFrame, b: DataFrame): DataFrame = {
     import spark.implicits._
     a.unionByName(b).as[(Int, Array[Byte])]
       .groupByKey(_._1)
@@ -225,10 +251,11 @@ object WaveCrawler {
     * deserializes each segment once per task and flags every link
     * maybe-seen / definitely-new. Input needs (url, host, parent_seq, pos).
     */
-  private def probeSegs(spark: SparkSession, links: DataFrame, segs: DataFrame): DataFrame = {
+  private[crawl] def probeSegs(spark: SparkSession, links: DataFrame, segs: DataFrame,
+      buckets: Int): DataFrame = {
     import spark.implicits._
     val linksKV = links
-      .select($"url", $"host", $"parent_seq", $"pos", bucketCol($"url").as("bucket"))
+      .select($"url", $"host", $"parent_seq", $"pos", bucketCol($"url", buckets).as("bucket"))
       .as[(String, String, Long, Int, Int)]
       .groupByKey(_._5)
     val segsKV = segs.as[(Int, Array[Byte])].groupByKey(_._1)
@@ -348,14 +375,17 @@ object WaveCrawler {
     val bcSelector = spark.sparkContext.broadcast(config.contentSelector)
     val bcExtract = spark.sparkContext.broadcast(config.extractContent)
 
-    // robots rules: tiny per-host prefix table → broadcast (north star)
-    val robotsMap: Map[String, Seq[String]] =
-      if (config.useRobots) loadRobots(spark, pages) else Map.empty
-    val bcRobots = spark.sparkContext.broadcast(robotsMap)
-
     val startHost =
       if (config.isUrlListMode) ""
       else UrlNorm.hostnameOf(normalizeOrThrow(config.startUrl))
+
+    // robots rules scoped to the crawl's reachable hosts → broadcast (north
+    // star); list mode never expands links, so it needs no rules at all
+    val robotsMap: Map[String, Seq[String]] =
+      if (config.useRobots && !config.isUrlListMode)
+        loadRobots(spark, pages, Seq(startHost))
+      else Map.empty
+    val bcRobots = spark.sparkContext.broadcast(robotsMap)
     val bcStartHost = spark.sparkContext.broadcast(startHost)
     val listMode = config.isUrlListMode
 
@@ -372,13 +402,24 @@ object WaveCrawler {
     // Sharded Bloom pre-filter over every seen url (SURVEY §4.3): a segment
     // Dataset, (re)built distributedly — the resume path never materializes
     // a single url on the driver. Engages lazily once the seen set outgrows
-    // config.bloomMinSeen (below that the exact anti-join wins).
+    // config.bloomMinSeen (below that the exact anti-join wins). Segments
+    // are sized from the ACTUAL seen count at (re)build time and rebuilt at
+    // 2× when the seen set outgrows them, so fpp never silently degrades.
+    val buckets = config.seenBuckets
     var bloomSegs: DataFrame = null
+    var bloomSegCap = 0L // per-segment capacity of the live generation
+    var bloomRebuilds = 0
+    def buildAllSegs(seenTotal: Long): Unit = {
+      bloomSegCap = segCapacityFor(seenTotal, buckets, config.bloomMinSegCapacity)
+      val prev = bloomSegs
+      bloomSegs = buildSegs(spark, unionParts(spark, seenParts, frontier),
+        buckets, bloomSegCap).localCheckpoint(true)
+      if (prev != null) prev.unpersist()
+    }
     def maybeEngageBloom(seenTotal: Long): Unit =
       if (bloomSegs == null && config.useBloom && !listMode &&
         seenTotal >= config.bloomMinSeen)
-        bloomSegs = buildSegs(spark, unionParts(spark, seenParts, frontier))
-          .localCheckpoint(true)
+        buildAllSegs(seenTotal)
     maybeEngageBloom(state0.maxSeq + 1)
 
     var hostCounts: DataFrame =
@@ -397,9 +438,8 @@ object WaveCrawler {
     // once — caching it would only add a copy.
     val doCachePages = config.cachePages && !listMode
     val pagesSlim = {
-      val hostOf = udf((u: String) => UrlNorm.hostnameOf(u))
       val slim = pages.select($"url", $"html")
-      val pruned = if (!listMode) slim.filter(hostOf($"url") === startHost) else slim
+      val pruned = if (!listMode) slim.filter(hostPrunePredicate(startHost)) else slim
       if (doCachePages) pruned.persist(StorageLevel.MEMORY_AND_DISK) else pruned
     }
 
@@ -546,7 +586,7 @@ object WaveCrawler {
       val fresh =
         if (bloomSegs != null && linksN > 0) {
           // persisted: both branches (definitely-new, maybe) consume it
-          val flagged = probeSegs(spark, winners, bloomSegs)
+          val flagged = probeSegs(spark, winners, bloomSegs, buckets)
             .persist(StorageLevel.MEMORY_AND_DISK)
           flaggedTmp = flagged
           val maybe = flagged.filter($"maybe_seen")
@@ -575,14 +615,6 @@ object WaveCrawler {
 
       maxSeq += newN
       if (flaggedTmp != null) flaggedTmp.unpersist()
-      if (bloomSegs != null && newN > 0) {
-        // fold the wave's new urls into the segment table (one small job on
-        // the already-checkpointed frontier; output is SeenBuckets rows)
-        val prev = bloomSegs
-        bloomSegs = timed(s"w$wave bloom")(
-          mergeSegs(spark, bloomSegs, buildSegs(spark, newFrontier)).localCheckpoint(true))
-        prev.unpersist()
-      } else maybeEngageBloom(maxSeq + 1)
 
       // ---- join the concurrently-materialized saved delta ----
       val savedWaveN = timed(s"w$wave savedDelta")(savedFut.get())
@@ -625,6 +657,30 @@ object WaveCrawler {
       popped = newN
       seenParts :+= newFrontier
       seenSinceCompact += 1
+
+      // ---- seen-side Bloom maintenance — strictly AFTER newFrontier joins
+      // seenParts, so a filter (re)built here covers THIS wave's new urls
+      // too (building one wave earlier would leave the engagement wave's
+      // urls permanently absent: links to them would probe definitely-new,
+      // skip the exact anti-join, and re-enter the frontier) ----
+      if (bloomSegs != null && newN > 0) {
+        if (maxSeq + 1 > bloomSegCap * buckets) {
+          // seen set outgrew the generation's sizing → fpp would degrade
+          // toward 1 (every probe falling through to the exact anti-join);
+          // rebuild all segments at 2× the current seen count
+          timed(s"w$wave bloomRebuild")(buildAllSegs(maxSeq + 1))
+          bloomRebuilds += 1
+        } else {
+          // fold the wave's new urls into the segment table (one small job
+          // on the already-checkpointed frontier; output is `buckets` rows)
+          val prev = bloomSegs
+          bloomSegs = timed(s"w$wave bloom")(
+            mergeSegs(spark, bloomSegs, buildSegs(spark, newFrontier, buckets, bloomSegCap))
+              .localCheckpoint(true))
+          prev.unpersist()
+        }
+      } else maybeEngageBloom(maxSeq + 1)
+
       if (seenSinceCompact >= SeenCompactEvery) {
         // compact the parts union so the anti-join plan stays shallow
         val compacted = unionParts(spark, seenParts, frontier).localCheckpoint(true)
@@ -647,10 +703,40 @@ object WaveCrawler {
     if (bloomSegs != null) bloomSegs.unpersist()
     val savedAll = unionParts(spark, savedParts, emptySaved(spark))
     val seenAll = unionParts(spark, seenParts, frontier) // frontier ∈ seenParts
-    CrawlOutput(savedAll, seenAll, metrics.result(), stopReason)
+    CrawlOutput(savedAll, seenAll, metrics.result(), stopReason, bloomRebuilds)
   }
 
-  private def loadRobots(spark: SparkSession, pages: DataFrame): Map[String, Seq[String]] = {
+  /** Native (Catalyst-pushable) prune of the pages scan to the seed's host.
+    * Crawl mode never leaves the seed's hostname (reference
+    * crawler.go:516-518), and the J1 join is an exact url equi-join, so the
+    * corpus side only needs page rows whose url could equal a same-host
+    * frontier url. A normalized url's authority is followed by `/` (path is
+    * forced to "/" when empty) or `:` (port), so the four StartsWith
+    * disjuncts are precise — `host0.test` never matches `host0.testx` — and
+    * they reach the parquet scan as PushedFilters: foreign-host row groups
+    * (url AND html bytes) are never read. Common-Crawl-style page keys are
+    * canonical (no userinfo), so a frontier url outside this shape cannot
+    * exist in the key space — pruning changes nothing for it.
+    *
+    * At 10^10 pages this is the difference between scanning one host's
+    * row groups and decoding the whole web's html once per crawl.
+    */
+  def hostPrunePredicate(host: String): Column = {
+    val prefixes =
+      for (scheme <- Seq("http://", "https://"); delim <- Seq("/", ":"))
+        yield col("url").startsWith(scheme + host + delim)
+    prefixes.reduce(_ || _)
+  }
+
+  /** Robots rules scoped to the hosts the crawl can actually touch — never a
+    * whole-table collect: at 10^8 hosts the full rule map is tens of GB, but
+    * hosts-in-crawl ≪ total hosts. Crawl mode reaches exactly the seed's
+    * host (links are same-host-filtered before the robots check), so the
+    * semi-join degenerates to one host's rules; a future multi-host frontier
+    * would pass the wave's distinct hosts here per wave.
+    */
+  private def loadRobots(spark: SparkSession, pages: DataFrame,
+      hosts: Seq[String]): Map[String, Seq[String]] = {
     // robots.parquet lives next to pages.parquet when the corpus provides it
     import spark.implicits._
     val loc = pages.inputFiles.headOption
@@ -658,6 +744,7 @@ object WaveCrawler {
     loc.map { dir =>
       try {
         spark.read.parquet(s"$dir/robots.parquet")
+          .filter($"host".isin(hosts: _*))
           .as[(String, String)].collect()
           .groupBy(_._1).map { case (h, rs) => h -> rs.map(_._2).toSeq }
       } catch { case _: Throwable => Map.empty[String, Seq[String]] }

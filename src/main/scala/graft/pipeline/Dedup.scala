@@ -32,7 +32,10 @@ object Dedup {
     *   - every 5th doc appended with one word swapped (near dup ≈ 0.85
     *     Jaccard on 3-shingles, id + 1_000_000)
     * The mutation index uses plain 64-bit modular arithmetic (no wrapping
-    * multiply) so the DuckDB oracle reproduces the view exactly in SQL.
+    * multiply) so the DuckDB oracle reproduces the view exactly in SQL: the
+    * id is reduced mod 1_000_003 BEFORE the Knuth multiplier, keeping the
+    * product < 2^52 — no Long wrap (negative array index) on the Scala side
+    * and no BIGINT overflow on the DuckDB side, at any doc_id up to 2^63.
     */
   def docsWithDups(spark: SparkSession, sfDir: String): DataFrame = {
     val base = docs(spark, sfDir).select(col("doc_id"), col("text"))
@@ -40,7 +43,8 @@ object Dedup {
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
     val mutate = udf { (id: Long, text: String) =>
       val words = text.split(" ")
-      if (words.nonEmpty) words(((id * 2654435761L) % words.length).toInt) = "zzyzx"
+      if (words.nonEmpty)
+        words((((id % 1000003L) * 2654435761L) % words.length).toInt) = "zzyzx"
       words.mkString(" ")
     }
     val near = base.filter(col("doc_id") % 5 === 0)

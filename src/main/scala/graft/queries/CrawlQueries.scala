@@ -334,14 +334,17 @@ object CrawlQueries {
         CrawlConfig(urlListDf = Some(urlLines(spark, dir, section = "articles")),
           isUrlListMode = true))
     }
-    val pages = out.saved
+    // items are formatted per-row on executors; the driver streams them
+    // partition-at-a-time (Main.streamOut shape) — never a collected array
+    val item = udf((t: String, u: String, m: String) =>
+      graft.sinks.Sinks.jsonItem(t, u, m))
+    val items = out.saved
       .orderBy(col("seq"))
-      .select(col("title"), col("url"), col("markdown"))
-      .as[(String, String, String)].collect()
-      .map { case (t, u, m) =>
-        graft.extract.PageData(t, u, m, rawHtml = "", articleHtml = "")
-      }.toSeq
-    Seq(graft.sinks.Sinks.json(pages)).toDF("json_payload")
+      .select(item(col("title"), col("url"), col("markdown")).as("item"))
+      .as[String]
+    import scala.jdk.CollectionConverters.IteratorHasAsScala
+    val payload = graft.sinks.Sinks.jsonFromItems(items.toLocalIterator().asScala)
+    Seq(payload).toDF("json_payload")
   }
 
   /** F5 glob matching over every corpus path × a fixed pattern set. */

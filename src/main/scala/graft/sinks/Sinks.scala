@@ -69,4 +69,22 @@ object Sinks {
     if (pages.isEmpty) return "[]"
     "[\n" + pages.map(p => jsonItem(p.title, p.url, p.markdown)).mkString(",\n") + "\n]"
   }
+
+  /** Same payload from per-row [[jsonItem]] strings streamed
+    * partition-at-a-time (`toLocalIterator`) — items are formatted on
+    * executors and never materialize as a collected row array; only the
+    * payload string itself (inherent to a one-payload sink) lives on the
+    * driver.
+    */
+  def jsonFromItems(items: Iterator[String]): String = {
+    val sb = new StringBuilder
+    var first = true
+    items.foreach { r =>
+      sb.append(if (first) "[\n" else ",\n")
+      first = false
+      sb.append(r)
+    }
+    sb.append(if (first) "[]" else "\n]")
+    sb.toString
+  }
 }

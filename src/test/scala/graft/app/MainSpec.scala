@@ -70,4 +70,44 @@ class MainSpec extends AnyFunSuite {
     Main.streamOut(Iterator.empty, "json", bos)
     assert(bos.toString("UTF-8") == "[]")
   }
+
+  test("--output-dir rejects -f json (shards cannot form one valid array)") {
+    val a = Main.parse(List("http://h.test/", "--pages", "/p",
+      "-f", "json", "--output-dir", "/tmp/d"))
+    intercept[IllegalArgumentException](Main.validateFormat(a))
+    // jsonl and xml-like stay accepted
+    assert(Main.validateFormat(a.copy(format = "jsonl")) == "jsonl")
+    assert(Main.validateFormat(a.copy(format = "xml")) == "xml-like")
+  }
+
+  test("--output-dir shards carry per-format framing (concat reproduces the single file)") {
+    import graft.SparkTestBase
+    import graft.corpus.{CorpusGen, CorpusSpec}
+    val spark = SparkTestBase.spark
+    val spec = CorpusSpec(nHosts = 2, totalPages = 20, seed = 11L)
+    val dir = java.nio.file.Files.createTempDirectory("graftmain").toString
+    CorpusGen.ensure(spark, dir, spec)
+    val urlFile = java.nio.file.Files.createTempFile("urls", ".txt")
+    java.nio.file.Files.writeString(urlFile,
+      (0 until 6).map(i => CorpusGen.pageUrl(0, i)).mkString("\n"))
+
+    def concatShards(out: String): String = {
+      val files = new java.io.File(out).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      files.map(f => java.nio.file.Files.readString(f.toPath)).mkString
+    }
+
+    for (fmt <- Seq("xml-like", "jsonl")) {
+      val single = java.nio.file.Files.createTempFile("graftout", ".txt").toString
+      val sharded = java.nio.file.Files.createTempDirectory("graftshards").toString
+      val base = List("--pages", s"$dir/pages.parquet",
+        "--url-file", urlFile.toString, "-f", fmt, "--silent")
+      Main.run(Main.parse(base ++ List("-o", single)), spark)
+      Main.run(Main.parse(base ++ List("--output-dir", sharded)), spark)
+      val one = java.nio.file.Files.readString(java.nio.file.Paths.get(single))
+      val cat = concatShards(sharded)
+      val expected = if (fmt == "xml-like") one + "\n\n" else one
+      assert(cat == expected, s"shard framing drift for $fmt")
+    }
+  }
 }
