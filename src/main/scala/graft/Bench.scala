@@ -34,22 +34,38 @@ object Bench {
     val pages = CorpusGen.pages(spark, dir)
     val nPages = pages.count()
 
-    // best-of-N to shrug off ambient VM noise (SPARK_GRAFT_REPEATS, default 1)
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "1").toInt
+    // This JSON line is the round's PERMANENT performance record, measured
+    // on a shared virtualized host whose ambient load moves wall-clock by
+    // ±40% (BASELINE.md noise note). Defenses: every phase is best-of-N
+    // with N ≥ 3 UNCONDITIONALLY (SPARK_GRAFT_REPEATS can only raise it),
+    // the per-repeat times are embedded so an outlier run self-diagnoses,
+    // and /proc/loadavg is stamped at start and end.
+    val repeats = math.max(sys.env.getOrElse("SPARK_GRAFT_REPEATS", "1").toInt, 3)
 
-    def time[T](body: => T): (T, Double) = {
+    def loadavg(): String =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg()
+
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val allRepeats = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+
+    def timeN[T](label: String, n: Int)(body: => T): (T, Double) = {
       var best = Double.MaxValue
       var out: Option[T] = None
-      (1 to repeats).foreach { _ =>
+      val runs = Seq.newBuilder[Double]
+      (1 to n).foreach { _ =>
         val t0 = System.nanoTime()
         val r = body
         val dt = (System.nanoTime() - t0) / 1e9
+        runs += dt
         if (dt < best) { best = dt; out = Some(r) }
       }
+      allRepeats += label -> runs.result()
       (out.get, best)
     }
-
-    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def time[T](label: String)(body: => T): (T, Double) = timeN(label, repeats)(body)
 
     // release all crawl state (localCheckpoint RDDs) between phases so one
     // measurement's cache doesn't pressure the next
@@ -71,7 +87,7 @@ object Bench {
       CrawlConfig(urlListDf = Some(warm), isUrlListMode = true)).saved.count()
     dropCaches()
 
-    val (extracted, tList) = time {
+    val (extracted, tList) = time("list_extract_all") {
       val n = WaveCrawler.crawl(spark, pages,
         CrawlConfig(urlListDf = Some(allUrls), isUrlListMode = true)).saved.count()
       dropCaches()
@@ -79,23 +95,8 @@ object Bench {
     }
     times += "list_extract_all" -> tList
 
-    // the BFS phases are latency- (not throughput-) bound, so they are the
-    // noise-sensitive ones: always best-of-≥3 regardless of SPARK_GRAFT_REPEATS
-    val bfsRepeats = math.max(repeats, 3)
-    def timeBfs[T](body: => T): (T, Double) = {
-      var best = Double.MaxValue
-      var out: Option[T] = None
-      (1 to bfsRepeats).foreach { _ =>
-        val t0 = System.nanoTime()
-        val r = body
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (dt < best) { best = dt; out = Some(r) }
-      }
-      (out.get, best)
-    }
-
     // BFS wave crawl of host0 (scheduler + extraction end-to-end)
-    val (bfsSaved, tBfs) = timeBfs {
+    val (bfsSaved, tBfs) = time("bfs_crawl_host0") {
       val n = WaveCrawler.crawl(spark, pages, CrawlConfig(startUrl = CrawlQueries.Seed))
         .saved.count()
       dropCaches()
@@ -104,7 +105,7 @@ object Bench {
     times += "bfs_crawl_host0" -> tBfs
 
     // scheduling-only BFS (no readability) isolates frontier overhead
-    val (_, tSched) = timeBfs {
+    val (_, tSched) = time("bfs_sched_host0") {
       val n = WaveCrawler.crawl(spark, pages,
         CrawlConfig(startUrl = CrawlQueries.Seed, extractContent = false)).saved.count()
       dropCaches()
@@ -113,22 +114,26 @@ object Bench {
     times += "bfs_sched_host0" -> tSched
 
     // component: link extraction over every page
-    val (_, tLinks) = time(CrawlQueries.linkExtract(spark, sfDir).count())
+    val (_, tLinks) = time("link_extract_all")(CrawlQueries.linkExtract(spark, sfDir).count())
     times += "link_extract_all" -> tLinks
 
     // supporting relational queries over the sf tables (skipped for
     // corpus-only scaling dirs like sf1 that have no TPC-H tables)
     if (new java.io.File(s"$sfDir/lineitem.parquet").exists()) {
-      times += "q1_agg" -> time(AnalyticsQueries.q1Agg(spark, sfDir).count())._2
-      times += "q_join_agg" -> time(AnalyticsQueries.joinAgg(spark, sfDir).count())._2
-      times += "q_window_running" -> time(AnalyticsQueries.windowRunning(spark, sfDir).count())._2
+      times += "q1_agg" -> time("q1_agg")(AnalyticsQueries.q1Agg(spark, sfDir).count())._2
+      times += "q_join_agg" -> time("q_join_agg")(AnalyticsQueries.joinAgg(spark, sfDir).count())._2
+      times += "q_window_running" ->
+        time("q_window_running")(AnalyticsQueries.windowRunning(spark, sfDir).count())._2
     }
 
     val urlsPerSec = extracted / tList
     val bfsPerSec = bfsSaved / tBfs
     val qs = times.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val reps = allRepeats.map { case (k, vs) =>
+      "\"" + k + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"urls_fetched_extracted_per_sec","value":$urlsPerSec%.1f,"unit":"urls/sec","total_sec":${times.values.sum}%.3f,"corpus_pages":$nPages,"extracted":$extracted,"bfs_urls_per_sec":$bfsPerSec%.1f,"cores":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"urls_fetched_extracted_per_sec","value":$urlsPerSec%.1f,"unit":"urls/sec","total_sec":${times.values.sum}%.3f,"corpus_pages":$nPages,"extracted":$extracted,"bfs_urls_per_sec":$bfsPerSec%.1f,"cores":$cpus,"queries":$qs,"repeats":$reps,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}"""
     // machine-readable copy at a known path — sbt/log4j noise on stdout must
     // never cost the round its bench parse (driver reads either)
     val benchFile = java.nio.file.Paths.get(

@@ -129,6 +129,31 @@ object CorpusGen {
     sb.toString
   }
 
+  /** Adversarial-HTML decoration variant for page (h, i) — real-web shapes
+    * the reference pipeline (go-readability + html-to-markdown) handles and
+    * the engine must too. Each variant has a known, independently-derived
+    * markdown effect (see [[expectedMarkdown]]); none adds or reorders
+    * anchors, so the `links` ground truth is untouched.
+    *
+    *   0: clean page (the v3 baseline template)
+    *   1: HTML comments in head/body/article + a bogus `<![CDATA[...]]>`
+    *      (HTML parses it as a bogus comment) — no markdown effect
+    *   2: unlikely-candidate chrome: `class="comment"` and `class="sidebar"`
+    *      divs as siblings of the article — stripped by readability
+    *   3: article wrapped in two nested layout divs (div soup) — transparent
+    *   4: extra paragraph carrying named/numeric character references —
+    *      decoded text appears in the markdown
+    *   5: mis-nested inline tags `<strong><em>…</strong></em>` — recovered
+    *      as nested strong/em (the content both Go's x/net/html and any
+    *      HTML5 parser yield), rendering `***…***`
+    *   6: unclosed `<em>` at the very end of the last filler paragraph —
+    *      the only following content is chrome readability drops, so
+    *      recovery differences cannot leak into the markdown
+    *   7: blockquote + fenced-code pre block inside the article
+    */
+  def decoOf(spec: CorpusSpec, h: Int, i: Int): Int =
+    (mix(spec.seed, h, i, 7) % 8).toInt
+
   /** The page HTML. Anchors appear in a known document order with noise the
     * extractor must drop interleaved.
     */
@@ -157,23 +182,53 @@ object CorpusGen {
         """<table><tr><th>Key</th><th>Value</th></tr><tr><td>depth</td><td>tree</td></tr><tr><td>kind</td><td>synthetic</td></tr></table>"""
       else ""
 
-    s"""<html><head><title>${pageTitle(h, i)}</title>
+    val deco = decoOf(spec, h, i)
+    val headDeco = if (deco == 1) "\n<!-- build 4721: head metadata comment -->" else ""
+    val preArticle = deco match {
+      case 1 => "<!-- layout boundary --><![CDATA[tracker:noise-4721]]>\n"
+      case 2 => "<div class=\"comment\">User comment chrome dropped by readability.</div>\n"
+      case _ => ""
+    }
+    val postArticle = deco match {
+      case 2 => s"""<div class="sidebar">Related sidebar chrome for host $h.</div>\n"""
+      case _ => ""
+    }
+    val afterP0 = if (deco == 1) "\n<!-- inline separator comment -->" else ""
+    val midExtra = deco match {
+      case 4 =>
+        "<p>Entity check &#8212; AT&amp;T says &quot;crawl&quot; &hellip; now.</p>\n"
+      case 5 =>
+        "<p>Closing notes are <strong><em>deeply mis-nested</strong></em> here.</p>\n"
+      case 7 =>
+        s"<blockquote><p>Quoted wisdom about page $i of host $h.</p></blockquote>\n" +
+          s"<pre>val page = $i\nval host = $h</pre>\n"
+      case _ => ""
+    }
+    val lastFiller =
+      if (deco == 6)
+        s"<p>${filler(spec, h, i, 2)} Trailing <em>emphasis unclosed.</p>"
+      else s"<p>${filler(spec, h, i, 2)}</p>"
+    val (wrapOpen, wrapClose) =
+      if (deco == 3) ("<div class=\"outer-wrap\"><div class=\"inner-wrap\">\n", "\n</div></div>")
+      else ("", "")
+
+    s"""<html><head><title>${pageTitle(h, i)}</title>$headDeco
        |<style>body { margin: 0; }</style>
        |<link rel="stylesheet" href="/static/site.css">
        |</head><body>
        |<script>window.__noise = ${i};</script>
        |<nav class="menu"><a href="/">Home</a></nav>
-       |<article>
+       |$preArticle$wrapOpen<article>
        |<h1>Heading for page $i of host $h</h1>
-       |<p>${filler(spec, h, i, 0)}</p>
+       |<p>${filler(spec, h, i, 0)}</p>$afterP0
        |<p>${filler(spec, h, i, 1)} It also links related pages, <strong>important</strong> ones, with <em>notes</em>.</p>
        |$maybeTable
-       |<ul class="links">
+       |$midExtra<ul class="links">
        |${anchors.toString}</ul>
-       |<p>${filler(spec, h, i, 2)}</p>
+       |$lastFiller
        |${(3 until spec.paragraphs).map(k => s"<p>${filler(spec, h, i, k)}</p>").mkString("\n")}
-       |</article>
-       |<img src="/static/banner-$i.png" alt="banner">
+       |</article>$wrapClose
+       |$postArticle<img src="/static/banner-$i.png" alt="banner">
        |<footer><p>Generated corpus page. Host $h.</p></footer>
        |</body></html>""".stripMargin
   }
@@ -191,13 +246,28 @@ object CorpusGen {
     */
   def expectedMarkdown(spec: CorpusSpec, h: Int, i: Int): String = {
     if (isEmptyPage(spec, h, i)) return ""
+    val deco = decoOf(spec, h, i)
     val sb = new StringBuilder
     sb.append("## Heading for page ").append(i).append(" of host ").append(h)
     sb.append("\n\n").append(filler(spec, h, i, 0))
     sb.append("\n\n").append(filler(spec, h, i, 1))
       .append(" It also links related pages, **important** ones, with *notes*.")
     if (i % 5 == 1) sb.append("\n\n").append(TableMd)
+    // decoration effects, derived from the HTML-template semantics (comments
+    // and chrome vanish; entities decode; mis-nesting recovers; blockquote
+    // and pre render as GFM) — see decoOf for the variant catalog
+    deco match {
+      case 4 => sb.append("\n\nEntity check — AT&T says \"crawl\" … now.")
+      case 5 => sb.append("\n\nClosing notes are ***deeply mis-nested*** here.")
+      case 7 =>
+        sb.append("\n\n> Quoted wisdom about page ").append(i)
+          .append(" of host ").append(h).append('.')
+        sb.append("\n\n```\nval page = ").append(i)
+          .append("\nval host = ").append(h).append("\n```")
+      case _ =>
+    }
     sb.append("\n\n").append(filler(spec, h, i, 2))
+    if (deco == 6) sb.append(" Trailing *emphasis unclosed.*")
     (3 until spec.paragraphs).foreach(k => sb.append("\n\n").append(filler(spec, h, i, k)))
     sb.toString
   }
@@ -253,7 +323,7 @@ object CorpusGen {
   /** Bumped whenever the emitted schema/content changes so stale on-disk
     * corpora regenerate instead of silently serving the old shape.
     */
-  val FormatVersion = 3
+  val FormatVersion = 4
 
   def ensure(spark: SparkSession, dir: String, spec: CorpusSpec): Unit = {
     val marker = new java.io.File(s"$dir/_CORPUS_READY")

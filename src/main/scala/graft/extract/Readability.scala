@@ -74,13 +74,16 @@ object Readability {
     var result: HElement = null
     var done = false
     var firstAttempt = true
+    // Readability.js keeps _articleByline across grab attempts: only the
+    // FIRST matching byline node is ever captured+removed
+    val byline = new BylineState
     while (!done) {
       // the first attempt reuses the (read-only-so-far) metadata tree; later
       // attempts re-parse because grabArticle mutates the document
       val doc = if (firstAttempt) metaDoc else HtmlParser.parse(rawHtml)
       firstAttempt = false
       prepDocument(doc)
-      val content = grabArticle(doc, flags, articleTitle)
+      val content = grabArticle(doc, flags, articleTitle, byline)
       val textLen = content.map(normTextLen).getOrElse(0)
       if (content.isDefined && textLen >= CharThreshold) {
         result = content.get
@@ -101,12 +104,12 @@ object Readability {
       }
     }
 
-    if (result == null) return (Article(articleTitle, "", "", ""), null)
+    if (result == null) return (Article(articleTitle, byline.text, "", ""), null)
 
     postProcess(result, pageUrl)
     (Article(
       title = articleTitle,
-      byline = "",
+      byline = byline.text,
       content = result.innerHtml,
       textContent = result.text), result)
   }
@@ -353,12 +356,46 @@ object Readability {
 
   // ---- grabArticle ----
 
-  private def grabArticle(doc: HDocument, flags: Int, articleTitle: String): Option[HElement] = {
+  /** Captured-at-most-once byline state shared across grab attempts
+    * (Readability.js `_articleByline` / go-readability `articleByline`).
+    */
+  private final class BylineState {
+    var found = false
+    var text = ""
+  }
+
+  /** Readability.js `_isValidByline`: non-empty and under 100 chars. */
+  private def isValidByline(s: String): Boolean = {
+    val t = s.trim
+    t.nonEmpty && t.length < 100
+  }
+
+  private def grabArticle(doc: HDocument, flags: Int, articleTitle: String,
+      byline: BylineState): Option[HElement] = {
     val body = doc.body.getOrElse(return None)
     val stripUnlikely = (flags & FlagStripUnlikelys) != 0
 
     // 1) walk and clean; collect elements to score
     val elementsToScore = mutable.ArrayBuffer[HElement]()
+
+    /** Readability.js `_checkByline` (called after the visibility check and
+      * before unlikely-candidates): rel=author / itemprop~author / byline-ish
+      * class-or-id with plausible text → capture and REMOVE the node.
+      */
+    def checkByline(e: HElement, matchString: String): Boolean = {
+      if (byline.found) return false
+      val rel = e.attrOrNull("rel")
+      val itemprop = e.attrOrNull("itemprop")
+      val matches = (rel != null && rel == "author") ||
+        (itemprop != null && itemprop.contains("author")) ||
+        rxByline.findFirstIn(matchString).isDefined
+      if (matches && isValidByline(e.text)) {
+        byline.found = true
+        byline.text = e.text.trim
+        e.remove()
+        true
+      } else false
+    }
 
     def walk(node: HElement): Unit = {
       // iterate over a snapshot: children may be removed/replaced
@@ -367,6 +404,7 @@ object Readability {
         case e: HElement =>
           val matchString = e.className + " " + e.id
           if (!isVisible(e)) e.remove()
+          else if (checkByline(e, matchString)) ()
           else if (stripUnlikely &&
             rxUnlikelyCandidates.findFirstIn(matchString).isDefined &&
             rxOkMaybeCandidate.findFirstIn(matchString).isEmpty &&
@@ -540,11 +578,17 @@ object Readability {
     clean(article, "link")
     clean(article, "aside")
 
-    // share elements at top level of article children
+    // share elements anywhere inside each top-level candidate
+    // (Readability.js _cleanMatchedNodes over articleContent.children:
+    // strict descendants, raw textContent length vs charThreshold)
     article.children.toVector.foreach {
-      case e: HElement =>
-        val ms = e.className + " " + e.id
-        if (rxShare.findFirstIn(ms).isDefined && normTextLen(e) < 500) e.remove()
+      case top: HElement =>
+        top.selfAndDescendants.toVector.foreach { e =>
+          if (!(e eq top)) {
+            val ms = e.className + " " + e.id
+            if (rxShare.findFirstIn(ms).isDefined && e.text.length < CharThreshold) e.remove()
+          }
+        }
       case _ =>
     }
 

@@ -20,7 +20,7 @@ object GoldenFixtures {
   private val commonLink = "<link rel='stylesheet' href='style.css'>"
 
   /** (name, pageUrl, rawHtml, contentSelector) */
-  val cases: Seq[(String, String, String, String)] = Seq(
+  lazy val cases: Seq[(String, String, String, String)] = Seq(
     ("simple_prefilter", "http://example.com/simple",
       s"<html><head><title>Simple Page</title>$commonStyle$commonScript$commonLink</head><body>" +
         commonNav + commonImg + commonVideo +
@@ -68,6 +68,195 @@ object GoldenFixtures {
         |<p>これは日本語の本文です。読みやすさアルゴリズムがこの段落を本物のコンテンツとして採点できるよう、十分に長いテキストを含み、読点、句点、そして複数の文を備えています。</p>
         |<p>二つ目の段落です。<a href="/日本語/次の記事">次の記事</a>へのリンクがあります。こちらも長さのしきい値を超えるよう、追加の説明文をいくつか含んでいます。</p>
         |</article></body></html>""".stripMargin, "")
+  ) ++ realWorldCases
+
+  // ---- real-world-HTML fixtures (round-3 breadth: retry-flag paths,
+  // byline/share/chrome removal, malformed nesting, entities, GFM corners;
+  // reference behavior anchors: Readability.js/go-readability semantics as
+  // exercised by /root/reference/processor.go:86-108) ----
+
+  /** Three long, comma-rich paragraphs (~750 chars total) so a block
+    * containing them passes readability's 500-char threshold on its own.
+    */
+  val P1 = "Signal corpus frontier lattice harbor, index vector shard beacon crawler, " +
+    "anchor cache meridian passage. This long paragraph exists so the readability " +
+    "scorer treats the enclosing block as genuine article content, with clauses, " +
+    "commas, and full sentences that comfortably pass the scoring thresholds."
+  val P2 = "A second paragraph continues the discussion of wave scheduling, frontier " +
+    "state, and politeness budgets, adding commas, more clauses, and further " +
+    "sentences so the candidate block accumulates a healthy content score from " +
+    "length and punctuation alike, just as a genuine article would."
+  val P3 = "The third paragraph closes the argument with measurements, caveats, and a " +
+    "summary, once again long enough, and with enough commas, to contribute to the " +
+    "readability score of its container and push the total text comfortably past " +
+    "the five hundred character threshold used by the retry loop."
+
+  private val longContent = s"<p>$P1</p>\n<p>$P2</p>\n<p>$P3</p>"
+
+  /** (name, pageUrl, rawHtml, contentSelector) */
+  val realWorldCases: Seq[(String, String, String, String)] = Seq(
+    // -- readability retry-flag paths --
+    ("retry_sidebar_content", "http://example.com/retry-sidebar",
+      s"""<html><head><title>Sidebar Holds The Content</title></head><body>
+         |<nav><a href="/home">Home</a></nav>
+         |<div class="sidebar">
+         |<h1>Real Heading</h1>
+         |$longContent
+         |</div>
+         |<footer><p>footer chrome</p></footer>
+         |</body></html>""".stripMargin, ""),
+    ("short_article", "http://example.com/short",
+      """<html><head><title>Short Article</title></head><body><article>
+        |<p>Only a short line of genuine content lives here, well under threshold.</p>
+        |</article></body></html>""".stripMargin, ""),
+    // -- byline / share / chrome removal --
+    ("byline_class", "http://example.com/byline",
+      s"""<html><head><title>Byline Page</title></head><body><article>
+         |<p class="byline">By Jane Doe</p>
+         |$longContent
+         |</article></body></html>""".stripMargin, ""),
+    ("byline_rel_author", "http://example.com/byline-rel",
+      s"""<html><head><title>Rel Author Page</title></head><body><article>
+         |<p><a rel="author" href="/about/jane">Jane Roe</a></p>
+         |$longContent
+         |</article></body></html>""".stripMargin, ""),
+    ("share_widget", "http://example.com/share",
+      s"""<html><head><title>Share Widget Page</title></head><body><article>
+         |$longContent
+         |<div class="share">Share this article on your networks</div>
+         |</article></body></html>""".stripMargin, ""),
+    ("pagination_chrome", "http://example.com/pagination",
+      s"""<html><head><title>Pagination Page</title></head><body>
+         |<article>$longContent</article>
+         |<div class="pagination"><a href="/p/1">1</a> <a href="/p/2">2</a> <a href="/p/3">3</a></div>
+         |</body></html>""".stripMargin, ""),
+    ("unlikely_chrome_page", "http://example.com/chrome",
+      s"""<html><head><title>Chrome Laden Page</title></head><body>
+         |<div class="comment">A user comment that is pure chrome.</div>
+         |<article>$longContent</article>
+         |<div class="sidebar">Related sidebar chrome text.</div>
+         |</body></html>""".stripMargin, ""),
+    // -- structure soup --
+    ("div_soup_deep", "http://example.com/soup",
+      s"""<html><head><title>Deep Soup</title></head><body>
+         |<div class="l1"><div class="l2"><div class="l3"><div class="l4"><div class="l5">
+         |<h1>Soup Heading</h1>
+         |$longContent
+         |</div></div></div></div></div>
+         |</body></html>""".stripMargin, ""),
+    ("two_h1s", "http://example.com/two-h1",
+      s"""<html><head><title>Two Headings</title></head><body><article>
+         |<h1>First Heading</h1>
+         |<p>$P1</p>
+         |<h1>Second Heading</h1>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ""),
+    ("nested_table", "http://example.com/nested-table",
+      s"""<html><head><title>Nested Table</title></head><body><article>
+         |<p>$P1</p>
+         |<table><tr><th>Outer</th><th>Col</th></tr>
+         |<tr><td><table><tr><td>inner-a</td><td>inner-b</td></tr></table></td><td>plain</td></tr></table>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ""),
+    // -- comments / CDATA / malformed nesting --
+    ("comments_cdata", "http://example.com/comments",
+      s"""<html><head><title>Comment Page</title><!-- head comment --></head><body>
+         |<!-- layout boundary --><![CDATA[tracker:noise]]>
+         |<article>
+         |<p>$P1</p>
+         |<!-- interstitial comment -->
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ""),
+    ("misnested_strong_em", "http://example.com/misnested",
+      s"""<html><head><title>Misnested Inline</title></head><body><article>
+         |<p>$P1</p>
+         |<p>Closing order is <strong><em>inverted right here</strong></em> in this line.</p>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ""),
+    ("unclosed_em_last", "http://example.com/unclosed",
+      s"""<html><head><title>Unclosed Inline</title></head><body><article>
+         |<p>$P1</p><p>$P2</p>
+         |<p>$P3 Trailing <em>emphasis left open.</p>
+         |</article></body></html>""".stripMargin, ""),
+    // -- entities --
+    ("entities_sampler", "http://example.com/entities",
+      s"""<html><head><title>Entity Sampler</title></head><body><article>
+         |<p>$P1</p>
+         |<p>Dash &#8212; heart &#x2764; half &frac12; amp AT&amp;T legacy AT&amp bogus &bogus; quote &quot;q&quot; nbsp&nbsp;end.</p>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ""),
+    // -- GFM corners --
+    ("task_list", "http://example.com/tasks",
+      s"""<html><head><title>Task List</title></head><body><article>
+         |<p>$P1</p>
+         |<ul><li><input type="checkbox" checked> done item</li><li><input type="checkbox"> open item</li></ul>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ""),
+    ("dl_definitions", "http://example.com/dl",
+      s"""<html><head><title>Definition List</title></head><body><article>
+         |<p>$P1</p>
+         |<dl><dt>frontier</dt><dd>the urls not yet fetched</dd><dt>seen</dt><dd>the urls already enqueued</dd></dl>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ""),
+    ("hr_and_br", "http://example.com/hr-br",
+      s"""<html><head><title>Rule And Break</title></head><body><article>
+         |<p>$P1</p>
+         |<hr>
+         |<p>line one<br>line two</p>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ""),
+    ("inline_code_kbd", "http://example.com/code",
+      s"""<html><head><title>Inline Code</title></head><body><article>
+         |<p>$P1</p>
+         |<p>Run <code>sbt -batch test</code> then press <kbd>Ctrl+C</kbd> to stop the run.</p>
+         |<pre>val frontier = seen.unionByName(next)
+         |frontier.count()</pre>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ""),
+    ("strike_sub_sup", "http://example.com/strike",
+      s"""<html><head><title>Strike Sub Sup</title></head><body><article>
+         |<p>$P1</p>
+         |<p>Old claim <s>now retracted</s> holds for H<sub>2</sub>O at 10<sup>3</sup> pascals.</p>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ""),
+    ("blockquote_nested", "http://example.com/bq",
+      s"""<html><head><title>Nested Quote</title></head><body><article>
+         |<p>$P1</p>
+         |<blockquote><p>Outer wisdom.</p><blockquote><p>Inner wisdom.</p></blockquote></blockquote>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ""),
+    ("image_only_paragraph", "http://example.com/img-para",
+      s"""<html><head><title>Image Paragraph</title></head><body><article>
+         |<p>$P1</p>
+         |<p><img src="/charts/throughput.png" alt="throughput chart"></p>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ""),
+    // -- titles --
+    ("title_separator", "http://example.com/title-sep",
+      s"""<html><head><title>The Very Long Article Name Here | ExampleSite</title></head><body><article>
+         |$longContent
+         |</article></body></html>""".stripMargin, ""),
+    ("title_separator_short", "http://example.com/title-sep-short",
+      s"""<html><head><title>Short Name Only | ExampleSite</title></head><body><article>
+         |$longContent
+         |</article></body></html>""".stripMargin, ""),
+    ("title_hierarchy", "http://example.com/title-hier",
+      s"""<html><head><title>ExampleSite » Section » Article Piece Here</title></head><body><article>
+         |$longContent
+         |</article></body></html>""".stripMargin, ""),
+    // -- relative URI fixups against a deep page url --
+    ("relative_uris", "http://example.com/a/b/page.html",
+      s"""<html><head><title>Relative Uris</title></head><body><article>
+         |<p>$P1 See <a href="../up">the parent doc</a> and <a href="./sib">a sibling doc</a> and <a href="/root">the root doc</a> for details.</p>
+         |<p>$P2 <img src="../../i.png" alt="relative image"></p>
+         |<p>$P3</p>
+         |</article></body></html>""".stripMargin, ""),
+    // -- conditional cleaning stays bounded: promo block beside real content --
+    ("negative_promo_block", "http://example.com/promo",
+      s"""<html><head><title>Promo Beside Content</title></head><body><article>
+         |$longContent
+         |<div class="promo related">Buy the thing now, limited offer.</div>
+         |</article></body></html>""".stripMargin, "")
   )
 }
 

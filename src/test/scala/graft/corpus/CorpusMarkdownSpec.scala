@@ -16,6 +16,16 @@ class CorpusMarkdownSpec extends AnyFunSuite {
     val specs = Seq(
       CorpusGen.specFor("/x/sf0.001"),
       CorpusSpec(nHosts = 2, totalPages = 40, seed = 7L, paragraphs = 24))
+    // the grid must exercise every adversarial decoration variant (comments/
+    // CDATA, unlikely-candidate chrome, div soup, entities, mis-nesting,
+    // unclosed inline, blockquote+pre) — not just the clean template
+    val decos = (for {
+      spec <- specs
+      h <- 0 until spec.nHosts
+      i <- 0 until math.min(spec.hostSizes(h), 12)
+      if !CorpusGen.isEmptyPage(spec, h, i)
+    } yield CorpusGen.decoOf(spec, h, i)).toSet
+    assert(decos == (0 until 8).toSet, s"grid covers only variants $decos")
     for {
       spec <- specs
       h <- 0 until spec.nHosts
