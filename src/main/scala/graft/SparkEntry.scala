@@ -164,6 +164,7 @@ object SparkEntry {
     "crawl_extract_markdown" -> ((s, d) => C.extractMarkdown(s, d)),
     "crawl_selector_md" -> ((s, d) => C.selectorMd(s, d)),
     "crawl_limit_prefix" -> ((s, d) => C.limitPrefix(s, d, 100)),
+    "crawl_limit_set" -> ((s, d) => C.limitSet(s, d, 100)),
     "crawl_robots_blocked" -> ((s, d) => C.robotsBlocked(s, d)),
     "crawl_host_budget" -> ((s, d) => C.hostBudget(s, d, 50)),
     "crawl_list_dedup" -> ((s, d) => C.listDedup(s, d)),
@@ -230,6 +231,30 @@ object SparkEntry {
          |SELECT r.url, CAST(r.depth AS BIGINT) AS depth
          |FROM seen r JOIN ${gt("meta")} m ON m.url = r.url, cutd
          |WHERE m.empty_html = 0 AND r.depth < cutd.d""".stripMargin,
+    // the EXACT --limit saved set incl. the partial cut depth's FIFO prefix:
+    // a url's within-depth rank is the lexicographic min over its
+    // shortest-path link-pos arrays (enqueue order = depth, parent_seq, pos)
+    "crawl_limit_set" ->
+      s"""WITH RECURSIVE paths(url, depth, path) AS (
+         |  SELECT CAST('http://host0.test/' AS VARCHAR), 0, CAST([] AS BIGINT[])
+         |  UNION
+         |  SELECT l.dst_url, p.depth + 1, list_append(p.path, CAST(l.pos AS BIGINT))
+         |  FROM paths p JOIN ${gt("links")} l ON l.src_url = p.url
+         |  WHERE p.depth < 8
+         |),
+         |mind AS (SELECT url, MIN(depth) AS depth FROM paths GROUP BY url),
+         |keyed AS (
+         |  SELECT p.url, p.depth, MIN(p.path) AS sortkey
+         |  FROM paths p JOIN mind m ON m.url = p.url AND m.depth = p.depth
+         |  GROUP BY p.url, p.depth
+         |),
+         |sv AS (
+         |  SELECT k.url, k.depth, k.sortkey
+         |  FROM keyed k JOIN ${gt("meta")} mt ON mt.url = k.url
+         |  WHERE mt.empty_html = 0
+         |),
+         |ranked AS (SELECT url, depth, ROW_NUMBER() OVER (ORDER BY depth, sortkey) AS rn FROM sv)
+         |SELECT url, CAST(depth AS BIGINT) AS depth FROM ranked WHERE rn <= 100""".stripMargin,
     "crawl_robots_seen" ->
       s"""WITH RECURSIVE reach(url, depth) AS (
          |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url, 0 AS depth

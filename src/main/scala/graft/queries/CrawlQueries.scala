@@ -127,6 +127,16 @@ object CrawlQueries {
     Seq(limitCrawl(spark, sfDir, limit).saved.count()).toDF("saved_cnt")
   }
 
+  /** The EXACT saved url set under --limit K, including the partial cut
+    * depth's within-wave FIFO prefix (reference crawler.go:326-330): enqueue
+    * order is (depth, parent_seq, link_pos), so a url's rank is the
+    * lexicographic min over its shortest-path pos-arrays — which the oracle
+    * recomputes in recursive SQL over the ground-truth link graph.
+    */
+  def limitSet(spark: SparkSession, sfDir: String, limit: Int): DataFrame =
+    limitCrawl(spark, sfDir, limit).saved
+      .select(col("url"), col("depth").cast("long").as("depth"))
+
   /** Seen set of the interrupted+resumed crawl — must equal bfsSeen. */
   def resumedSeen(spark: SparkSession, sfDir: String): DataFrame =
     resumedCrawl(spark, sfDir).seen
