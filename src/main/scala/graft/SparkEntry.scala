@@ -507,21 +507,13 @@ object SparkEntry {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          |FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND hamming(a.s, b.s) <= 2
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
-    "mm_blob_features" -> {
-      val sums = (0 until 8).map(d =>
-        s"  CAST(SUM(CASE WHEN dim = $d THEN code ELSE 0 END) AS BIGINT) AS f$d").mkString(",\n")
-      s"""WITH s AS (SELECT url, decode(html) AS t FROM ${gt("pages")}),
-         |b AS (
-         |  SELECT url, (i-1) % 8 AS dim, unicode(substr(t, i, 1)) AS code
-         |  FROM (SELECT url, t, unnest(generate_series(1, length(t))) AS i FROM s)),
-         |f AS (
-         |  SELECT url,
-         |$sums
-         |  FROM b GROUP BY url)
-         |SELECT f.url, f.f0, f.f1, f.f2, f.f3, f.f4, f.f5, f.f6, f.f7,
-         |  CAST(length(s.t) AS BIGINT) AS n_bytes
-         |FROM f JOIN s ON s.url = f.url""".stripMargin
-    },
+    // engine decodes the opaque payload bytes (from-scratch BMP/WAV
+    // parsers); oracle reads the features the generator computed while
+    // ENCODING them — a decode bug cannot self-confirm
+    "mm_blob_features" ->
+      s"""SELECT blob_id, kind, width, height, sum_r, sum_g, sum_b,
+         |  sample_rate, n_samples, amp_sum, n_bytes
+         |FROM ${gt("blob_meta")}""".stripMargin,
     "dd_token_count" ->
       """SELECT doc_id,
         |  CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)

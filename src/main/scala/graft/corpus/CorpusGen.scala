@@ -46,6 +46,17 @@ final case class MetaRow(url: String, host: String, host_idx: Int, page_idx: Int
     empty_html: Int)
 final case class RobotsRow(host: String, disallow_prefix: String)
 
+/** Opaque multimodal payload — the ONLY columns the engine sees. */
+final case class BlobRow(blob_id: Long, payload: Array[Byte])
+
+/** Ground-truth decoded features, oracle-side only: the generator computes
+  * them while ENCODING the payload, the engine must re-derive them by
+  * DECODING the bytes. Non-applicable fields are 0.
+  */
+final case class BlobMetaRow(blob_id: Long, kind: String, width: Long, height: Long,
+    sum_r: Long, sum_g: Long, sum_b: Long, sample_rate: Long, n_samples: Long,
+    amp_sum: Long, n_bytes: Long)
+
 object CorpusGen {
 
   val Sections: Vector[String] = Vector("articles", "products", "docs", "misc")
@@ -306,6 +317,91 @@ object CorpusGen {
       LinkRow(pageUrl(h, i), dst, pos)
     }
 
+  // ---- multimodal blobs (real binary formats, built + decoded from
+  // scratch: 24-bit BMP images and 16-bit PCM WAV audio, plus corrupt
+  // payloads exercising the graceful-failure path) ----
+
+  def blobCount(spec: CorpusSpec): Long = math.max(64L, spec.actualTotal / 10)
+
+  private def putU16(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def putU32(b: Array[Byte], i: Int, v: Long): Unit = {
+    b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+    b(i + 2) = ((v >> 16) & 0xff).toByte; b(i + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  private def buildBmp(spec: CorpusSpec, id: Long): (Array[Byte], BlobMetaRow) = {
+    val w = 2 + (mix(spec.seed, id, 0, 30) % 6).toInt // 2..7
+    val h = 2 + (mix(spec.seed, id, 1, 30) % 4).toInt // 2..5
+    val rowSize = (3 * w + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val bytes = new Array[Byte](54 + dataSize)
+    bytes(0) = 'B'; bytes(1) = 'M'
+    putU32(bytes, 2, 54L + dataSize); putU32(bytes, 10, 54)
+    putU32(bytes, 14, 40); putU32(bytes, 18, w); putU32(bytes, 22, h)
+    putU16(bytes, 26, 1); putU16(bytes, 28, 24); putU32(bytes, 30, 0)
+    putU32(bytes, 34, dataSize); putU32(bytes, 38, 2835); putU32(bytes, 42, 2835)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = mix(spec.seed, id, (y.toLong << 16) | x.toLong, 31)
+        val bb = (px & 0xff).toInt; val gg = ((px >> 8) & 0xff).toInt
+        val rr = ((px >> 16) & 0xff).toInt
+        val o = 54 + y * rowSize + 3 * x
+        bytes(o) = bb.toByte; bytes(o + 1) = gg.toByte; bytes(o + 2) = rr.toByte
+        sumB += bb; sumG += gg; sumR += rr
+        x += 1
+      }
+      y += 1
+    }
+    (bytes, BlobMetaRow(id, "bmp", w, h, sumR, sumG, sumB, 0, 0, 0, bytes.length))
+  }
+
+  private def buildWav(spec: CorpusSpec, id: Long): (Array[Byte], BlobMetaRow) = {
+    val rate = 8000 + (mix(spec.seed, id, 0, 32) % 4).toInt * 4000
+    val n = 16 + (mix(spec.seed, id, 1, 32) % 50).toInt
+    val bytes = new Array[Byte](44 + 2 * n)
+    "RIFF".getBytes.copyToArray(bytes, 0)
+    putU32(bytes, 4, 36L + 2 * n)
+    "WAVE".getBytes.copyToArray(bytes, 8)
+    "fmt ".getBytes.copyToArray(bytes, 12)
+    putU32(bytes, 16, 16); putU16(bytes, 20, 1); putU16(bytes, 22, 1)
+    putU32(bytes, 24, rate); putU32(bytes, 28, rate.toLong * 2)
+    putU16(bytes, 32, 2); putU16(bytes, 34, 16)
+    "data".getBytes.copyToArray(bytes, 36)
+    putU32(bytes, 40, 2L * n)
+    var ampSum = 0L
+    var k = 0
+    while (k < n) {
+      val s = (mix(spec.seed, id, k, 33) % 65536).toInt - 32768
+      putU16(bytes, 44 + 2 * k, s & 0xffff)
+      ampSum += math.abs(s)
+      k += 1
+    }
+    (bytes, BlobMetaRow(id, "wav", 0, 0, 0, 0, 0, rate, n, ampSum, bytes.length))
+  }
+
+  private def buildCorrupt(spec: CorpusSpec, id: Long): (Array[Byte], BlobMetaRow) = {
+    val n = 8 + (mix(spec.seed, id, 0, 34) % 24).toInt
+    val bytes = Array.tabulate(n)(k => (mix(spec.seed, id, k, 35) & 0xff).toByte)
+    bytes(0) = 0x7f.toByte // guaranteed neither "BM" nor "RIFF"
+    (bytes, BlobMetaRow(id, "unknown", 0, 0, 0, 0, 0, 0, 0, 0, n))
+  }
+
+  /** The blob with global id — every 13th is corrupt, the rest alternate
+    * BMP / WAV.
+    */
+  def blobRow(spec: CorpusSpec, id: Long): (BlobRow, BlobMetaRow) = {
+    val (payload, meta) =
+      if (id % 13 == 12) buildCorrupt(spec, id)
+      else if (id % 2 == 0) buildBmp(spec, id)
+      else buildWav(spec, id)
+    (BlobRow(id, payload), meta)
+  }
+
   /** Map a global row id to (host_idx, page_idx). */
   def locate(spec: CorpusSpec, globalIdx: Long): (Int, Int) = {
     var lo = 0
@@ -323,7 +419,7 @@ object CorpusGen {
   /** Bumped whenever the emitted schema/content changes so stale on-disk
     * corpora regenerate instead of silently serving the old shape.
     */
-  val FormatVersion = 4
+  val FormatVersion = 5
 
   def ensure(spark: SparkSession, dir: String, spec: CorpusSpec): Unit = {
     val marker = new java.io.File(s"$dir/_CORPUS_READY")
@@ -354,6 +450,17 @@ object CorpusGen {
     }.write.mode("overwrite").parquet(s"$dir/meta.parquet")
 
     robotsRules(spec).toDS().write.mode("overwrite").parquet(s"$dir/robots.parquet")
+
+    val blobIds = spark.range(0, blobCount(spec), 1,
+      math.max(4, spark.sparkContext.defaultParallelism))
+    blobIds.mapPartitions { it =>
+      val s = bcSpec.value
+      it.map(id => CorpusGen.blobRow(s, id)._1)
+    }.write.mode("overwrite").parquet(s"$dir/blobs.parquet")
+    blobIds.mapPartitions { it =>
+      val s = bcSpec.value
+      it.map(id => CorpusGen.blobRow(s, id)._2)
+    }.write.mode("overwrite").parquet(s"$dir/blob_meta.parquet")
 
     marker.getParentFile.mkdirs()
     java.nio.file.Files.writeString(marker.toPath,

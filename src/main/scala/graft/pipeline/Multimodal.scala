@@ -5,15 +5,16 @@ import org.apache.spark.sql.functions._
 
 import graft.corpus.CorpusGen
 
-/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
-  * batched feature extraction.
+/** Multimodal-column operators: opaque `binary` payloads + typed metadata,
+  * batched REAL decode (no stubs).
   *
-  * The corpus `pages.html` binary column stands in for image/audio/video
-  * payloads — the Spark-side mechanics (schema, partitioning, batched
-  * per-partition processing, fixed-width feature vectors) are identical.
-  * Real codec decode is STUBBED with a deterministic fake (this container
-  * has no image/audio libraries); the stub is clearly marked and isolated in
-  * [[fakeDecode]] so a real decoder drops in without touching the dataflow.
+  * Feature extraction runs the from-scratch [[Decoders]] (24-bit BMP,
+  * 16-bit PCM WAV) inside a mapPartitions batch — the Spark shape a heavier
+  * codec/model pipeline (mapInPandas etc.) would use, with per-partition
+  * init amortized once. The engine sees ONLY (blob_id, payload); the
+  * ground-truth features the oracle compares against were computed by the
+  * corpus generator while ENCODING the payloads (blob_meta.parquet), so a
+  * decode bug cannot self-confirm.
   */
 object Multimodal {
 
@@ -30,46 +31,45 @@ object Multimodal {
         .otherwise(0L).as("is_html"))
   }
 
-  /** STUB decoder: a real implementation would decode the image/audio frame
-    * here (e.g. via javax.imageio / ffmpeg bindings). The fake is a
-    * deterministic 8-bin byte histogram-sum from the payload bytes so the
-    * plumbing — batch iteration, fixed-width output schema, partition
-    * independence — is real and testable. Integer accumulators keep the
-    * result exactly reproducible by the SQL oracle (no float summation
-    * order dependence).
+  final case class BlobFeatures(blob_id: Long, kind: String, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, sample_rate: Long, n_samples: Long,
+      amp_sum: Long, n_bytes: Long)
+
+  /** Sniff + decode one payload; decode failures classify as `unknown`
+    * with zeroed features — a corrupt blob must never fail the task.
     */
-  def fakeDecode(payload: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](8)
-    if (payload != null) {
-      var i = 0
-      while (i < payload.length) {
-        out(i % 8) += payload(i) & 0xff
-        i += 1
+  def decodeOne(id: Long, payload: Array[Byte]): BlobFeatures = {
+    val nBytes = if (payload == null) 0L else payload.length.toLong
+    if (payload != null && payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') {
+      Decoders.decodeBmp(payload) match {
+        case Right(b) =>
+          return BlobFeatures(id, "bmp", b.width, b.height, b.sumR, b.sumG, b.sumB,
+            0, 0, 0, nBytes)
+        case Left(_) =>
+      }
+    } else if (payload != null && payload.length >= 4 && payload(0) == 'R' &&
+      payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F') {
+      Decoders.decodeWav(payload) match {
+        case Right(w) =>
+          return BlobFeatures(id, "wav", 0, 0, 0, 0, 0, w.sampleRate, w.nSamples,
+            w.ampSum, nBytes)
+        case Left(_) =>
       }
     }
-    out
+    BlobFeatures(id, "unknown", 0, 0, 0, 0, 0, 0, 0, 0, nBytes)
   }
 
-  /** Batched feature extraction over the binary column: mapPartitions so a
-    * real decoder can amortize per-batch setup (model load, codec init) —
-    * the Spark-side shape a Pandas-UDF/mapInPandas pipeline would have.
-    * One scalar column per feature dim (fixed-width vectors belong in
-    * columns at the query surface; arrays crash generic comparators).
-    */
+  /** Batched real decode over the opaque blobs table. */
   def blobFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
     val dir = CorpusGen.ensureFor(spark, sfDir)
-    CorpusGen.pages(spark, dir)
-      .select(col("url"), col("html")).as[(String, Array[Byte])]
+    spark.read.parquet(s"$dir/blobs.parquet")
+      .select(col("blob_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition "codec init" happens once here
-        it.map { case (url, payload) =>
-          val f = fakeDecode(payload)
-          val n = if (payload == null) 0L else payload.length.toLong
-          (url, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7), n)
-        }
+        // per-partition decoder/model init would happen once here
+        it.map { case (id, payload) => decodeOne(id, payload) }
       }
-      .toDF("url", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7", "n_bytes")
+      .toDF()
   }
 }

@@ -66,13 +66,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextAnalysis.fingerprintRowsOf("tiny").isEmpty)
   }
 
-  test("fakeDecode is deterministic with fixed width") {
-    val p = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
-    assert(Multimodal.fakeDecode(p).sameElements(Multimodal.fakeDecode(p)))
-    assert(Multimodal.fakeDecode(p).length == 8)
-    assert(Multimodal.fakeDecode(Array.empty[Byte]).length == 8)
-    // bin d sums bytes at positions ≡ d (mod 8): d=0 → 1+9, d=1 → 2+10, …
-    assert(Multimodal.fakeDecode(p).toSeq == Seq(10L, 12L, 3L, 4L, 5L, 6L, 7L, 8L))
+  test("decodeOne sniffs magic bytes and never throws on garbage") {
+    val junk = Multimodal.decodeOne(1L, Array[Byte](0x7f, 1, 2, 3, 4, 5))
+    assert(junk.kind == "unknown" && junk.n_bytes == 6)
+    val nul = Multimodal.decodeOne(2L, null)
+    assert(nul.kind == "unknown" && nul.n_bytes == 0)
+    // BM magic but truncated headers → graceful unknown, not an exception
+    val truncated = Multimodal.decodeOne(3L, "BMxxxx".getBytes)
+    assert(truncated.kind == "unknown")
+    val riffJunk = Multimodal.decodeOne(4L, "RIFFxxxxJUNK".getBytes)
+    assert(riffJunk.kind == "unknown")
   }
 
   // ------------------------------------------------------- Spark operators
@@ -196,9 +199,24 @@ class PipelineSpec extends AnyFunSuite {
       (0 until spec.hostSizes(h)).count(i => !CorpusGen.isEmptyPage(spec, h, i))).sum
     assert(meta.count() > 0)
     assert(meta.filter("is_html = 1").count() == nonEmpty.toLong)
+  }
+
+  test("real blob decode reproduces the generator's encode-side ground truth") {
+    import graft.corpus.CorpusGen
+    val dir = CorpusGen.ensureFor(spark, sf)
     val feats = Multimodal.blobFeatures(spark, sf)
-    val row = feats.head()
-    assert((0 until 8).forall(d => row.getLong(row.fieldIndex(s"f$d")) >= 0L))
-    assert(row.getLong(row.fieldIndex("n_bytes")) > 0L)
+    val truth = spark.read.parquet(s"$dir/blob_meta.parquet")
+    assert(feats.count() == CorpusGen.blobCount(CorpusGen.specFor(sf)))
+    // engine features must equal the encode-side truth row-for-row
+    val cols = Seq("blob_id", "kind", "width", "height", "sum_r", "sum_g", "sum_b",
+      "sample_rate", "n_samples", "amp_sum", "n_bytes")
+      .map(org.apache.spark.sql.functions.col)
+    assert(feats.select(cols: _*).exceptAll(truth.select(cols: _*)).count() == 0)
+    assert(truth.select(cols: _*).exceptAll(feats.select(cols: _*)).count() == 0)
+    // all three kinds present: real BMPs, real WAVs, and corrupt payloads
+    val kinds = feats.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet == Set("bmp", "wav", "unknown"))
+    assert(kinds.values.forall(_ > 0))
   }
 }
