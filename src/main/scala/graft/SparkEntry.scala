@@ -153,6 +153,7 @@ object SparkEntry {
     // ---- crawl engine (SURVEY §2.1-§2.9 over the synthetic corpus) ----
     "crawl_bfs_seen" -> ((s, d) => C.bfsSeen(s, d)),
     "crawl_saved_titles" -> ((s, d) => C.savedTitles(s, d)),
+    "crawl_article_html" -> ((s, d) => C.savedArticleHtml(s, d)),
     "crawl_saved_articles" -> ((s, d) => C.savedArticles(s, d)),
     "crawl_limit_cut" -> ((s, d) => C.limitCut(s, d, 100)),
     "crawl_robots_seen" -> ((s, d) => C.robotsSeen(s, d)),
@@ -216,6 +217,10 @@ object SparkEntry {
       s"""$reachCte
          |SELECT m.url, m.title FROM seen r JOIN ${gt("meta")} m ON m.url = r.url
          |WHERE m.section = 'articles' AND m.empty_html = 0""".stripMargin,
+    "crawl_article_html" ->
+      s"""$reachCte
+         |SELECT m.url, m.article_html FROM seen r JOIN ${gt("meta")} m ON m.url = r.url
+         |WHERE m.empty_html = 0""".stripMargin,
     "crawl_limit_cut" ->
       s"""$reachCte
          |SELECT CAST(LEAST(100, COUNT(*)) AS BIGINT) AS saved_cnt

@@ -43,7 +43,7 @@ final case class PageRow(url: String, warc_ts: Timestamp, html: Array[Byte],
 final case class LinkRow(src_url: String, dst_url: String, pos: Int)
 final case class MetaRow(url: String, host: String, host_idx: Int, page_idx: Int,
     section: String, title: String, n_links: Int, markdown: String,
-    empty_html: Int)
+    article_html: String, empty_html: Int)
 final case class RobotsRow(host: String, disallow_prefix: String)
 
 /** Opaque multimodal payload — the ONLY columns the engine sees. */
@@ -283,6 +283,56 @@ object CorpusGen {
     sb.toString
   }
 
+  /** Ground-truth readability article HTML (reference PageData.articleHtml
+    * parity) for page (h, i), derived from the template by the readability +
+    * serializer rules the reference applies (go-readability then
+    * outerHTML): the `<article>` subtree is the top candidate, wrapped in
+    * the readability page div; boilerplate (nav, link list, footer, chrome)
+    * is removed leaving the template's newline text nodes in place; `<h1>`
+    * demotes to `<h2>`; classes are stripped; text serialization escapes
+    * `&` and `"`. Decoration effects mirror [[expectedMarkdown]]; for the
+    * div-soup variant the single-child wrapper joins the candidate
+    * (Readability.js parent-climb), serialized class-less.
+    */
+  def expectedArticleHtml(spec: CorpusSpec, h: Int, i: Int): String = {
+    if (isEmptyPage(spec, h, i)) return ""
+    val deco = decoOf(spec, h, i)
+    val sb = new StringBuilder
+    sb.append("<div id=\"readability-page-1\" class=\"page\">")
+    if (deco == 3) sb.append("<div>\n")
+    sb.append("<article>\n")
+    sb.append("<h2>Heading for page ").append(i).append(" of host ").append(h)
+      .append("</h2>\n")
+    sb.append("<p>").append(filler(spec, h, i, 0)).append("</p>")
+    if (deco == 1) sb.append("\n<!-- inline separator comment -->")
+    sb.append('\n')
+    sb.append("<p>").append(filler(spec, h, i, 1))
+      .append(" It also links related pages, <strong>important</strong> ones, with <em>notes</em>.</p>\n")
+    if (i % 5 == 1)
+      sb.append("<table><tr><th>Key</th><th>Value</th></tr><tr><td>depth</td><td>tree</td></tr><tr><td>kind</td><td>synthetic</td></tr></table>")
+    sb.append('\n')
+    deco match {
+      case 4 => sb.append("<p>Entity check — AT&amp;T says &#34;crawl&#34; … now.</p>\n")
+      case 5 => sb.append("<p>Closing notes are <strong><em>deeply mis-nested</em></strong> here.</p>\n")
+      case 7 =>
+        sb.append("<blockquote><p>Quoted wisdom about page ").append(i)
+          .append(" of host ").append(h).append(".</p></blockquote>\n")
+        sb.append("<pre>val page = ").append(i).append("\nval host = ").append(h)
+          .append("</pre>\n")
+      case _ =>
+    }
+    sb.append('\n') // the removed link list leaves its trailing newline
+    sb.append("<p>").append(filler(spec, h, i, 2))
+    if (deco == 6) sb.append(" Trailing <em>emphasis unclosed.</em>")
+    sb.append("</p>\n")
+    sb.append((3 until spec.paragraphs)
+      .map(k => s"<p>${filler(spec, h, i, k)}</p>").mkString("\n"))
+    sb.append("\n</article>")
+    if (deco == 3) sb.append("\n</div>")
+    sb.append("</div>")
+    sb.toString
+  }
+
   def pageRow(spec: CorpusSpec, h: Int, i: Int): PageRow = {
     val ts = new Timestamp(1700000000000L + (mix(spec.seed, h, i, 9) % 86400000L))
     PageRow(
@@ -304,6 +354,7 @@ object CorpusGen {
       title = if (empty) "" else pageTitle(h, i),
       n_links = if (empty) 0 else linkTargets(spec, h, i).size,
       markdown = if (spec.emitMarkdownTruth) expectedMarkdown(spec, h, i) else "",
+      article_html = if (spec.emitMarkdownTruth) expectedArticleHtml(spec, h, i) else "",
       empty_html = if (empty) 1 else 0)
   }
 
@@ -419,7 +470,7 @@ object CorpusGen {
   /** Bumped whenever the emitted schema/content changes so stale on-disk
     * corpora regenerate instead of silently serving the old shape.
     */
-  val FormatVersion = 5
+  val FormatVersion = 6
 
   def ensure(spark: SparkSession, dir: String, spec: CorpusSpec): Unit = {
     val marker = new java.io.File(s"$dir/_CORPUS_READY")

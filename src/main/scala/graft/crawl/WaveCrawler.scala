@@ -72,6 +72,12 @@ final case class CrawlConfig(
     maxWaves: Int = 1000,
     checkpointDir: Option[String] = None,
     extractContent: Boolean = true, // false → scheduling-only (no readability)
+    /** Keep the readability article HTML in the saved table (reference
+      * PageData parity, /root/reference/processor.go:15-21) — off by
+      * default: at 10^10 pages the extra column roughly doubles the saved
+      * table's bytes, so downstream consumers opt in.
+      */
+    keepArticleHtml: Boolean = false,
     useBloom: Boolean = true,
     /** Seen-set size at which the sharded Bloom segments engage. Below it the
       * plain anti-join is strictly cheaper (the bloom costs a cogroup + a
@@ -113,6 +119,7 @@ final case class ProcessedRow(
     matched: Boolean,
     title: String,
     markdown: String,
+    articleHtml: String, // "" unless config.keepArticleHtml
     links: Seq[ProcLink])
 
 final case class WaveMetrics(
@@ -130,7 +137,7 @@ final case class WaveMetrics(
     new_urls: Long)
 
 final case class CrawlOutput(
-    saved: DataFrame, // url, host, depth, seq, wave, title, markdown
+    saved: DataFrame, // url, host, depth, seq, wave, title, markdown, article_html
     seen: DataFrame, // url, host, depth, seq
     metrics: Seq[WaveMetrics],
     stopReason: String,
@@ -283,8 +290,8 @@ object WaveCrawler {
 
   private def emptySaved(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.emptyDataset[(String, String, Int, Long, Int, String, String)]
-      .toDF("url", "host", "depth", "seq", "wave", "title", "markdown")
+    spark.emptyDataset[(String, String, Int, Long, Int, String, String, String)]
+      .toDF("url", "host", "depth", "seq", "wave", "title", "markdown", "article_html")
   }
 
   /** Start a crawl from scratch. */
@@ -374,6 +381,7 @@ object WaveCrawler {
     val bcFollow = spark.sparkContext.broadcast(config.followPatterns)
     val bcSelector = spark.sparkContext.broadcast(config.contentSelector)
     val bcExtract = spark.sparkContext.broadcast(config.extractContent)
+    val bcKeepAH = spark.sparkContext.broadcast(config.keepArticleHtml)
 
     val startHost =
       if (config.isUrlListMode) ""
@@ -472,13 +480,14 @@ object WaveCrawler {
           val robots = bcRobots.value
           val selector = bcSelector.value
           val doExtract = bcExtract.value
+          val keepAH = bcKeepAH.value
           val sHost = bcStartHost.value
           val lm = listMode
           it.map { case (url, host, d, seq, htmlBytes) =>
             val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
             if (html.trim.isEmpty) {
               // P8: empty/whitespace HTML ≙ fetch error → skip
-              ProcessedRow(url, host, d, seq, ok = false, matched = false, "", "", Nil)
+              ProcessedRow(url, host, d, seq, ok = false, matched = false, "", "", "", Nil)
             } else {
               val path = UrlNorm.pathOf(url)
               val matched = GlobSet.shouldProcess(matchGlobs, path)
@@ -500,12 +509,13 @@ object WaveCrawler {
                     if (allowed) Some(ProcLink(dst, dstHost, pos)) else None
                   }
                 } else Nil
-              val (title, md) =
+              val (title, md, ah) =
                 if (matched && doExtract && doc != null)
                   Processor.processParsed(url, html, doc, selector)
-                    .fold(_ => ("", ""), pd => (pd.title, pd.markdown))
-                else ("", "")
-              ProcessedRow(url, host, d, seq, ok = true, matched = matched, title, md, links)
+                    .fold(_ => ("", "", ""),
+                      pd => (pd.title, pd.markdown, if (keepAH) pd.articleHtml else ""))
+                else ("", "", "")
+              ProcessedRow(url, host, d, seq, ok = true, matched = matched, title, md, ah, links)
             }
           }
         }
@@ -522,7 +532,8 @@ object WaveCrawler {
 
       // ---- saved rows: per-host budget, then the global limit cut ----
       var savedCand = processed.filter($"ok" && $"matched")
-        .select($"url", $"host", $"depth", $"seq", lit(wave).as("wave"), $"title", $"markdown")
+        .select($"url", $"host", $"depth", $"seq", lit(wave).as("wave"), $"title",
+          $"markdown", $"articleHtml".as("article_html"))
 
       if (config.hostPageBudget > 0 && matchedN > 0) {
         // salted two-phase rank: phase 1 bounds every (host, salt) slice to
@@ -537,7 +548,8 @@ object WaveCrawler {
           .join(hostCounts.withColumnRenamed("cnt", "prior"), Seq("host"), "left")
           .withColumn("prior", coalesce($"prior", lit(0L)))
           .filter($"rk" + $"prior" <= config.hostPageBudget)
-          .select($"url", $"host", $"depth", $"seq", $"wave", $"title", $"markdown")
+          .select($"url", $"host", $"depth", $"seq", $"wave", $"title",
+            $"markdown", $"article_html")
       }
       // budget survivors, counted before the limit cut so budget drops and
       // limit drops stay separate in the metrics (extra job only when a

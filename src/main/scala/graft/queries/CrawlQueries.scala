@@ -31,10 +31,13 @@ object CrawlQueries {
       run(CorpusGen.ensureFor(spark, sfDir))
     })
 
-  /** Full-corpus crawl from the host0 seed: save everything fetched. */
+  /** Full-corpus crawl from the host0 seed: save everything fetched,
+    * including the readability article HTML (reference PageData parity).
+    */
   def fullCrawl(spark: SparkSession, sfDir: String): CrawlOutput =
     cached(spark, sfDir, "full") { dir =>
-      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir), CrawlConfig(startUrl = Seed))
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(startUrl = Seed, keepArticleHtml = true))
     }
 
   /** Crawl saving only pages matching the articles doublestar glob. */
@@ -115,6 +118,12 @@ object CrawlQueries {
     */
   def savedTitles(spark: SparkSession, sfDir: String): DataFrame =
     fullCrawl(spark, sfDir).saved.select(col("url"), col("title"))
+
+  /** Saved pages with the readability article HTML column (PageData parity,
+    * config keepArticleHtml) — byte-exact vs the generator's derivation.
+    */
+  def savedArticleHtml(spark: SparkSession, sfDir: String): DataFrame =
+    fullCrawl(spark, sfDir).saved.select(col("url"), col("article_html"))
 
   /** Saved set of the articles-glob crawl (P4 match predicate end-to-end). */
   def savedArticles(spark: SparkSession, sfDir: String): DataFrame =

@@ -43,6 +43,8 @@ class CorpusMarkdownSpec extends AnyFunSuite {
           .fold(e => fail(s"extract failed h=$h i=$i: $e"), identity)
         assert(pd.title == CorpusGen.pageTitle(h, i), s"title h=$h i=$i")
         assert(pd.markdown == CorpusGen.expectedMarkdown(spec, h, i), s"markdown h=$h i=$i")
+        assert(pd.articleHtml == CorpusGen.expectedArticleHtml(spec, h, i),
+          s"article_html h=$h i=$i deco=${CorpusGen.decoOf(spec, h, i)}")
       }
     }
   }
