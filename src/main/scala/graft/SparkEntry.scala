@@ -117,6 +117,49 @@ object SparkEntry {
     }.mkString(" || ")
   }
 
+  /** The k-means-refined IVF coarse quantizer (Similarity.ivfKmeansTopK)
+    * replayed exactly in SQL. Centroids derive ONLY from exact integer sums
+    * of floor(x·2^20)-quantized components (integer addition commutes, so
+    * Spark's partition order and DuckDB's aggregation order cannot diverge);
+    * the mean's long→double rounding + division are IEEE-deterministic; ties
+    * go to the lower cid in both engines. One CTE block per Lloyd iteration,
+    * unrolled [[graft.pipeline.Similarity.KmeansIters]] times; empty
+    * clusters keep their previous centroid via the COALESCE join.
+    */
+  private val ivfKmeansCtes: String = {
+    import graft.pipeline.Similarity
+    val iters = Similarity.KmeansIters
+    val scale = Similarity.KmeansScale.toLong
+    val head =
+      s"""e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale) AS BIGINT)
+         |     for i in generate_series(1, len(embedding))] AS q
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id AS cid, CAST(q AS DOUBLE[]) AS m
+         |  FROM e WHERE vec_id < ${Similarity.IvfLists})""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""a$k AS (
+         |  SELECT vec_id, q, cid FROM (
+         |    SELECT e.vec_id, e.q, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(c.m, CAST(e.q AS DOUBLE[])) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c${k - 1} c) WHERE rn = 1),
+         |s$k AS (
+         |  SELECT cid, i AS dim, SUM(q[i]) AS s, COUNT(*) AS cnt
+         |  FROM a$k CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
+         |  GROUP BY cid, i),
+         |n$k AS (
+         |  SELECT cid, list(CAST(s AS DOUBLE) / cnt ORDER BY dim) AS m
+         |  FROM s$k GROUP BY cid),
+         |c$k AS (
+         |  SELECT p.cid, COALESCE(n.m, p.m) AS m
+         |  FROM c${k - 1} p LEFT JOIN n$k n ON n.cid = p.cid)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   /** The duplicate-injected embeddings view
     * (graft.pipeline.Similarity.embWithDups) in SQL, as DOUBLE[] vectors.
     */
@@ -196,6 +239,7 @@ object SparkEntry {
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "ann_ivf_kmeans_topk" -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     "ann_dup_pairs" -> ((s, d) => Similarity.embeddingDupPairs(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
     "mm_blob_features" -> ((s, d) => Multimodal.blobFeatures(s, d)),
@@ -501,6 +545,29 @@ object SparkEntry {
          |cand AS (
          |  SELECT p.qid, a.vec_id AS nid, list_cosine_similarity(p.qv, a.v) AS cos
          |  FROM qp p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT qid AS query_id, nid AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+         |  FROM cand)
+         |WHERE rank <= 10""".stripMargin,
+    "ann_ivf_kmeans_topk" ->
+      s"""WITH $ivfKmeansCtes,
+         |af AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(c.m, CAST(e.q AS DOUBLE[])) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c${graft.pipeline.Similarity.KmeansIters} c) WHERE rn = 1),
+         |qx AS (SELECT vec_id AS qid, v AS qv, q AS qq FROM e ORDER BY vec_id LIMIT 20),
+         |qp AS (SELECT qid, qv, cid FROM (
+         |  SELECT q.qid, q.qv, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid
+         |      ORDER BY list_cosine_similarity(c.m, CAST(q.qq AS DOUBLE[])) DESC, c.cid) AS rn
+         |  FROM qx q CROSS JOIN c${graft.pipeline.Similarity.KmeansIters} c)
+         |  WHERE rn <= ${graft.pipeline.Similarity.IvfProbes}),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS nid, list_cosine_similarity(p.qv, a.v) AS cos
+         |  FROM qp p JOIN af a ON a.cid = p.cid AND a.vec_id <> p.qid)
          |SELECT query_id, rank, neighbor_id FROM (
          |  SELECT qid AS query_id, nid AS neighbor_id,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank

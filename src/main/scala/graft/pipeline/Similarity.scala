@@ -215,6 +215,156 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  // ---- k-means-refined IVF ------------------------------------------------
+
+  /** Lloyd iterations for the IVF coarse quantizer. Deliberately small: the
+    * sandbox corpus is uniform-random (centroids barely move); the point is
+    * the DATAFLOW — per-iteration cost is one narrow assignment map over a
+    * broadcast K×D centroid table plus one (cid, dim) integer-sum shuffle of
+    * K×D rows, exactly the shape that scales to 10^10 vectors.
+    */
+  val KmeansIters = 3
+
+  /** Quantization scale for k-means arithmetic. Components are quantized to
+    * floor(x · 2^20) BEFORE any aggregation so every centroid is derived from
+    * exact integer sums — integer addition commutes, so the result is
+    * independent of partitioning/aggregation order AND bit-reproducible by
+    * the DuckDB oracle (float summation order would differ between engines).
+    */
+  val KmeansScale = 1048576.0
+
+  def quantize(v: Array[Float]): Array[Long] = {
+    val q = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) { q(i) = math.floor(v(i).toDouble * KmeansScale).toLong; i += 1 }
+    q
+  }
+
+  /** Cosine between a centroid mean (exact-integer-derived doubles) and a
+    * quantized vector — the assignment metric both engines evaluate
+    * identically.
+    */
+  def cosineQ(m: Array[Double], q: Array[Long]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(m.length, q.length)
+    while (i < n) {
+      val a = m(i); val b = q(i).toDouble
+      dot += a * b; na += a * a; nb += b * b
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Nearest centroid by [[cosineQ]], ties to the lower cid. */
+  private def nearestQ(cs: Array[Array[Double]], q: Array[Long]): Int = {
+    var best = 0
+    var bestC = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      val s = cosineQ(cs(c), q)
+      if (s > bestC) { bestC = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF-Flat with a k-means-refined coarse quantizer (the production form of
+    * [[ivfTopK]]'s lowest-vec_id seeding). Lloyd's algorithm, [[KmeansIters]]
+    * rounds, seeded from the [[IvfLists]] lowest vec_ids:
+    *
+    *   assign  — narrow map over a broadcast K×D centroid table (K·D doubles;
+    *             at K=2^16, D=1024 still ≤ 0.5 GB — broadcastable)
+    *   update  — per-partition partial (cid, dim) → sum/count rows, combined
+    *             by an integer groupBy-sum (map-side combine, K×D result
+    *             rows), collected to the driver (K×D, not O(n))
+    *
+    * All arithmetic the centroids derive from is exact-integer ([[quantize]]:
+    * sums of floor(x·2^20) longs; the mean's single long→double rounding and
+    * division are IEEE-deterministic), so the refinement is partitioning-
+    * independent and the DuckDB oracle replays it bit-for-bit — empty
+    * clusters deterministically keep their previous centroid. Final search =
+    * [[ivfTopK]]'s probe shape over the refined lists.
+    */
+  def ivfKmeansTopK(spark: SparkSession, sfDir: String,
+      nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val all = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+
+    // seed: quantized vectors of the K lowest vec_ids (count-1 means)
+    var centroids: Array[Array[Double]] = all.filter(_._1 < IvfLists).collect()
+      .sortBy(_._1).map { case (_, v) => quantize(v).map(_.toDouble) }
+    val dims = centroids.head.length
+
+    for (_ <- 1 to KmeansIters) {
+      val bcC = spark.sparkContext.broadcast(centroids)
+      // per-partition partial sums: (cid, dim, partial_sum, partial_cnt);
+      // dim = -1 carries the count (cnt is per-cid, replicated per dim rows
+      // would shuffle D× more). Integer sums → order-independent.
+      val partials = all.mapPartitions { it =>
+        val cs = bcC.value
+        val sums = Array.fill(cs.length)(new Array[Long](dims))
+        val cnts = new Array[Long](cs.length)
+        it.foreach { case (_, v) =>
+          val q = quantize(v)
+          val c = nearestQ(cs, q)
+          cnts(c) += 1
+          var d = 0
+          while (d < dims) { sums(c)(d) += q(d); d += 1 }
+        }
+        (0 until cs.length).iterator.flatMap { c =>
+          if (cnts(c) == 0) Iterator.empty
+          else Iterator.single((c, -1, cnts(c))) ++
+            (0 until dims).iterator.map(d => (c, d, sums(c)(d)))
+        }
+      }.toDF("cid", "dim", "s")
+      val rows = partials.groupBy($"cid", $"dim").agg(sum($"s").as("s"))
+        .as[(Int, Int, Long)].collect()
+      val cnts = new Array[Long](IvfLists)
+      val sums = Array.fill(IvfLists)(new Array[Long](dims))
+      rows.foreach { case (c, d, s) => if (d == -1) cnts(c) = s else sums(c)(d) = s }
+      centroids = Array.tabulate(IvfLists) { c =>
+        if (cnts(c) == 0) centroids(c) // empty cluster keeps its centroid
+        else sums(c).map(_.toDouble / cnts(c))
+      }
+    }
+
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val queries = all.orderBy(col("vec_id")).limit(nQueries).collect()
+    val probeOf: Map[Long, Seq[Int]] = queries.map { case (qid, qv) =>
+      val q = quantize(qv)
+      qid -> centroids.zipWithIndex
+        .map { case (m, cid) => (cid, cosineQ(m, q)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(IvfProbes).map(_._1).toSeq
+    }.toMap
+    val listToQueries: Map[Int, Seq[Long]] = probeOf.toSeq
+      .flatMap { case (q, ls) => ls.map(_ -> q) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+    val bcProbes = spark.sparkContext.broadcast(listToQueries)
+    val bcQ = spark.sparkContext.broadcast(queries.toMap)
+
+    val scored = all.mapPartitions { it =>
+      val cs = bcC.value
+      val lq = bcProbes.value
+      val qm = bcQ.value
+      it.flatMap { case (id, vec) =>
+        lq.getOrElse(nearestQ(cs, quantize(vec)), Nil).iterator
+          .filter(_ != id)
+          .map(qid => (qid, id, cosine(qm(qid), vec)))
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** The driver-generated embeddings are random (max pairwise cosine ≈ 0.37
     * at sf0.01), so near-dup detection runs over a deterministic
     * duplicate-injected view: every 4th vector appended with tiny

@@ -168,6 +168,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.1, s"recall=$recall")
   }
 
+  test("ivf kmeans topk: dense ranks, recall above random, partitioning-independent") {
+    val exact = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rows = Similarity.ivfKmeansTopK(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).toSet == (1L to rs.length).toSet)
+      assert(rs.length <= 10)
+    }
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.1, s"recall=$recall")
+    // the refinement must be bit-reproducible across runs (integer-sum
+    // centroids): a second run over the same session yields the exact rows —
+    // this is the property the DuckDB oracle replay depends on
+    val again = Similarity.ivfKmeansTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
+  test("kmeans quantization: floor semantics and exact integer sums") {
+    // floor, not round: round-half-away vs round-half-even would diverge
+    // between engines on exact .5 boundaries (float × 2^20 is exact in
+    // double, so boundaries DO occur)
+    assert(Similarity.quantize(Array(1.5f / 1048576f)).head == 1L)
+    assert(Similarity.quantize(Array(-1.5f / 1048576f)).head == -2L)
+    assert(Similarity.quantize(Array(0.0f)).head == 0L)
+    // cosineQ is scale-aware: mean centroid vs raw quantized vector
+    val m = Array(2.0, 4.0, 6.0)
+    val q = Array(1L, 2L, 3L)
+    assert(math.abs(Similarity.cosineQ(m, q) - 1.0) < 1e-12)
+  }
+
   test("embedding dup pairs finds the injected perturbed vectors") {
     val pairs = Similarity.embeddingDupPairs(spark, sf).collect()
       .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))).toSet
