@@ -200,6 +200,8 @@ object SparkEntry {
     "crawl_saved_articles" -> ((s, d) => C.savedArticles(s, d)),
     "crawl_limit_cut" -> ((s, d) => C.limitCut(s, d, 100)),
     "crawl_robots_seen" -> ((s, d) => C.robotsSeen(s, d)),
+    "crawl_multihost_seen" -> ((s, d) => C.multihostSeen(s, d)),
+    "crawl_xlink_extract" -> ((s, d) => C.xlinkExtract(s, d)),
     "crawl_follow_seen" -> ((s, d) => C.followSeen(s, d)),
     "crawl_resume_seen" -> ((s, d) => C.resumedSeen(s, d)),
     "crawl_wave_metrics" -> ((s, d) => C.waveMetrics(s, d)),
@@ -315,6 +317,22 @@ object SparkEntry {
          |    WHERE l.dst_url LIKE 'http://' || rb.host || rb.disallow_prefix || '%')
          |)
          |SELECT url, CAST(MIN(depth) AS BIGINT) AS depth FROM reach GROUP BY url""".stripMargin,
+    // multi-host BFS reachability with robots: the frontier crosses hosts
+    // along the ground-truth xlinks graph; a robots-disallowed url is never
+    // enqueued (same rule semantics as crawl_robots_seen)
+    "crawl_multihost_seen" ->
+      s"""WITH RECURSIVE reach(url, depth) AS (
+         |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url, 0 AS depth
+         |  UNION
+         |  SELECT l.dst_url, r.depth + 1
+         |  FROM reach r JOIN ${gt("xlinks")} l ON l.src_url = r.url
+         |  WHERE r.depth < 64 AND NOT EXISTS (
+         |    SELECT 1 FROM ${gt("robots")} rb
+         |    WHERE l.dst_url LIKE 'http://' || rb.host || rb.disallow_prefix || '%')
+         |)
+         |SELECT url, CAST(MIN(depth) AS BIGINT) AS depth FROM reach GROUP BY url""".stripMargin,
+    "crawl_xlink_extract" ->
+      s"SELECT src_url, dst_url, CAST(pos AS BIGINT) AS pos FROM ${gt("xlinks")}",
     "crawl_follow_seen" ->
       s"""WITH RECURSIVE reach(url, depth) AS (
          |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url, 0 AS depth

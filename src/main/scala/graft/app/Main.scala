@@ -20,15 +20,17 @@ import graft.sinks.Sinks
   *     [--limit N] [--content-selector css] \
   *     [--output-format|-f xml-like|json|jsonl] [--outfile|-o path] \
   *     [--output-dir dir] [--silent] [--version] \
-  *     [--host-budget N] [--robots] [--checkpoint dir] [--resume]
+  *     [--host-budget N] [--robots] [--all-hosts] [--checkpoint dir] [--resume]
   *
   * Flag semantics match the reference: --match gates saving (never
   * crawling), --follow-match gates link expansion (ignored in list mode,
   * README.md:109), --limit is the global saved-page budget with
   * FIFO-prefix-cut semantics (crawler.go:326-330), SIGINT stops after the
   * current wave and still emits output + summary (scraping_handler.go:180-186,
-  * integration_test.go:278-332). --host-budget/--robots/--checkpoint/
-  * --output-dir are the north-rule scale additions.
+  * integration_test.go:278-332). --host-budget/--robots/--all-hosts/
+  * --checkpoint/--output-dir are the north-rule scale additions
+  * (--all-hosts = multi-host Common-Crawl-shaped frontier; the reference is
+  * strictly same-host).
   *
   * Output paths never materialize the full payload on the driver:
   * single-file/stdout emission streams partition-at-a-time through
@@ -55,6 +57,7 @@ object Main {
       version: Boolean = false,
       hostBudget: Int = 0,
       robots: Boolean = false,
+      allHosts: Boolean = false,
       checkpoint: String = "",
       resume: Boolean = false)
 
@@ -74,6 +77,7 @@ object Main {
     case "--version" :: rest => parse(rest, acc.copy(version = true))
     case "--host-budget" :: v :: rest => parse(rest, acc.copy(hostBudget = v.toInt))
     case "--robots" :: rest => parse(rest, acc.copy(robots = true))
+    case "--all-hosts" :: rest => parse(rest, acc.copy(allHosts = true))
     case "--checkpoint" :: v :: rest => parse(rest, acc.copy(checkpoint = v))
     case "--resume" :: rest => parse(rest, acc.copy(resume = true))
     case seed :: rest if !seed.startsWith("-") && acc.seed.isEmpty =>
@@ -191,6 +195,7 @@ object Main {
       contentSelector = args.selector,
       hostPageBudget = args.hostBudget,
       useRobots = args.robots,
+      sameHostOnly = !args.allHosts,
       checkpointDir = if (args.checkpoint.nonEmpty) Some(args.checkpoint) else None)
 
     val out: CrawlOutput =

@@ -118,6 +118,42 @@ object CorpusGen {
     seen.toVector
   }
 
+  /** The page's single cross-host anchor target, when it has one (~1/3 of
+    * pages): a deterministic page on a DIFFERENT host. Rendered inside the
+    * readability-dropped link list, so it changes neither the markdown nor
+    * the same-host `links` ground truth — only the multi-host `xlinks`
+    * graph (the Common-Crawl-shaped frontier the engine's
+    * sameHostOnly=false mode walks).
+    */
+  def crossTarget(spec: CorpusSpec, h: Int, i: Int): Option[String] =
+    if (spec.nHosts > 1 && mix(spec.seed, h, i, 8) % 3 == 0) {
+      val h2 = ((h + 1 + (mix(spec.seed, h, i, 11) % (spec.nHosts - 1))) % spec.nHosts).toInt
+      val j = (mix(spec.seed, h, i, 12) % spec.hostSizes(h2)).toInt
+      Some(pageUrl(h2, j))
+    } else None
+
+  /** Ordered, deduped link targets of page (h, i) for the MULTI-HOST
+    * extractor (scheme-only predicate): document order is the nav Home
+    * anchor, the external-host noise anchor (kept now — it is http, just
+    * dangling), the same-host list anchors, then the cross-host anchor;
+    * mailto/ftp stay dropped. First-wins dedup like [[linkTargets]].
+    */
+  def xlinkTargets(spec: CorpusSpec, h: Int, i: Int): Vector[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    seen += pageUrl(h, 0) // nav "Home"
+    seen += "http://other.example/offsite"
+    linkTargets(spec, h, i).foreach(seen += _)
+    crossTarget(spec, h, i).foreach(seen += _)
+    seen.toVector
+  }
+
+  /** Ground-truth multi-host extractor output per page (cf. [[linkRows]]). */
+  def xlinkRows(spec: CorpusSpec, h: Int, i: Int): Seq[LinkRow] =
+    if (isEmptyPage(spec, h, i)) Nil
+    else xlinkTargets(spec, h, i).zipWithIndex.map { case (dst, pos) =>
+      LinkRow(pageUrl(h, i), dst, pos)
+    }
+
   /** Deterministic filler text with commas/sentences so readability scores
     * the paragraphs as content.
     */
@@ -184,6 +220,9 @@ object CorpusGen {
       anchors.append(s"""<li><a href="$href">Link $idx</a></li>\n""")
       if (idx == 0) // duplicate anchor, first-wins dedup must drop it
         anchors.append(s"""<li><a href="$href">Link $idx again</a></li>\n""")
+    }
+    crossTarget(spec, h, i).foreach { t =>
+      anchors.append(s"""<li><a href="$t">Partner site</a></li>\n""")
     }
     anchors.append("<li><a href=\"mailto:team@host.test\">Mail us</a></li>\n")
     anchors.append("<li><a href=\"ftp://host.test/file\">FTP</a></li>\n")
@@ -470,7 +509,7 @@ object CorpusGen {
   /** Bumped whenever the emitted schema/content changes so stale on-disk
     * corpora regenerate instead of silently serving the old shape.
     */
-  val FormatVersion = 6
+  val FormatVersion = 7
 
   def ensure(spark: SparkSession, dir: String, spec: CorpusSpec): Unit = {
     val marker = new java.io.File(s"$dir/_CORPUS_READY")
@@ -494,6 +533,11 @@ object CorpusGen {
       val s = bcSpec.value
       it.flatMap { id => val (h, i) = CorpusGen.locate(s, id); CorpusGen.linkRows(s, h, i) }
     }.write.mode("overwrite").parquet(s"$dir/links.parquet")
+
+    ids.mapPartitions { it =>
+      val s = bcSpec.value
+      it.flatMap { id => val (h, i) = CorpusGen.locate(s, id); CorpusGen.xlinkRows(s, h, i) }
+    }.write.mode("overwrite").parquet(s"$dir/xlinks.parquet")
 
     ids.mapPartitions { it =>
       val s = bcSpec.value

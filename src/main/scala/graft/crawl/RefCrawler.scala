@@ -15,7 +15,11 @@ final case class CrawlParams(
     isUrlListMode: Boolean = false,
     pageLimit: Int = 0,
     matchPatterns: Seq[String] = Nil,
-    followPatterns: Seq[String] = Nil)
+    followPatterns: Seq[String] = Nil,
+    /** false = multi-host frontier (engine's sameHostOnly=false mode). */
+    sameHostOnly: Boolean = true,
+    /** host → disallowed path prefixes (engine's useRobots rule set). */
+    robots: Map[String, Seq[String]] = Map.empty)
 
 final case class RefResult(
     savedUrls: Vector[String], // save order
@@ -84,10 +88,17 @@ object RefCrawler {
             }
             if (!params.isUrlListMode) {
               val curHost = UrlNorm.hostnameOf(current)
-              if (curHost == startHost) {
-                val links = LinkExtractor.extract(current, startHost, html, followGlobs)
+              if (!params.sameHostOnly || curHost == startHost) {
+                val links = LinkExtractor.extract(current, startHost, html, followGlobs,
+                  allHosts = !params.sameHostOnly)
                 links.foreach { link =>
-                  if (!visited.contains(link)) {
+                  val allowed = params.robots.get(UrlNorm.hostnameOf(link)) match {
+                    case Some(prefixes) =>
+                      val p = UrlNorm.pathOf(link)
+                      !prefixes.exists(p.startsWith)
+                    case None => true
+                  }
+                  if (allowed && !visited.contains(link)) {
                     visited += link
                     depthOf(link) = depthOf(current) + 1
                     queue = queue.enqueue(link)

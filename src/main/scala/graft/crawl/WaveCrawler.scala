@@ -69,6 +69,14 @@ final case class CrawlConfig(
     contentSelector: String = "",
     hostPageBudget: Int = 0, // 0 = unlimited (reference parity)
     useRobots: Boolean = false,
+    /** Reference parity: follow only the seed's hostname
+      * (crawler.go:516-518). false = multi-host (Common-Crawl-shaped)
+      * frontier: every http(s) link is followed across hosts; robots
+      * filtering then runs as a broadcast anti-join of the discovered-link
+      * winners against the rules TABLE (no driver-side rule map at any
+      * host count), and the corpus scan is not host-pruned.
+      */
+    sameHostOnly: Boolean = true,
     maxWaves: Int = 1000,
     checkpointDir: Option[String] = None,
     extractContent: Boolean = true, // false → scheduling-only (no readability)
@@ -387,15 +395,26 @@ object WaveCrawler {
       if (config.isUrlListMode) ""
       else UrlNorm.hostnameOf(normalizeOrThrow(config.startUrl))
 
-    // robots rules scoped to the crawl's reachable hosts → broadcast (north
-    // star); list mode never expands links, so it needs no rules at all
+    // robots rules. Same-host mode: the crawl touches exactly the seed's
+    // host, so its (tiny) rule set rides the extraction broadcast.
+    // Multi-host mode: rules for any host may be needed at link-discovery
+    // time, so the rules stay a TABLE — discovered-link winners anti-join
+    // it per wave (broadcast hash join on host). No driver-side rule map at
+    // any host count; at 10^8 hosts the join shuffles instead of
+    // broadcasting, same plan shape.
+    val listMode = config.isUrlListMode
     val robotsMap: Map[String, Seq[String]] =
-      if (config.useRobots && !config.isUrlListMode)
+      if (config.useRobots && !listMode && config.sameHostOnly)
         loadRobots(spark, pages, Seq(startHost))
       else Map.empty
+    val robotsDf: DataFrame =
+      if (config.useRobots && !listMode && !config.sameHostOnly) {
+        val df = loadRobotsDf(spark, pages)
+        if (df != null) df.persist(StorageLevel.MEMORY_AND_DISK) else null
+      } else null
     val bcRobots = spark.sparkContext.broadcast(robotsMap)
     val bcStartHost = spark.sparkContext.broadcast(startHost)
-    val listMode = config.isUrlListMode
+    val sameHostOnly = config.sameHostOnly
 
     var frontier = state0.frontier
     var popped = state0.frontierRows
@@ -447,7 +466,9 @@ object WaveCrawler {
     val doCachePages = config.cachePages && !listMode
     val pagesSlim = {
       val slim = pages.select($"url", $"html")
-      val pruned = if (!listMode) slim.filter(hostPrunePredicate(startHost)) else slim
+      // multi-host crawls can reach any host — no host prune
+      val pruned =
+        if (!listMode && sameHostOnly) slim.filter(hostPrunePredicate(startHost)) else slim
       if (doCachePages) pruned.persist(StorageLevel.MEMORY_AND_DISK) else pruned
     }
 
@@ -483,6 +504,7 @@ object WaveCrawler {
           val keepAH = bcKeepAH.value
           val sHost = bcStartHost.value
           val lm = listMode
+          val sho = sameHostOnly
           it.map { case (url, host, d, seq, htmlBytes) =>
             val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
             if (html.trim.isEmpty) {
@@ -497,8 +519,9 @@ object WaveCrawler {
                 try graft.html.HtmlParser.parse(html)
                 catch { case _: Throwable => null }
               val links =
-                if (!lm && host == sHost && doc != null) {
-                  val raw = LinkExtractor.extractFromDoc(url, sHost, doc, followGlobs)
+                if (!lm && (!sho || host == sHost) && doc != null) {
+                  val raw = LinkExtractor.extractFromDoc(url, sHost, doc, followGlobs,
+                    allHosts = !sho)
                   raw.zipWithIndex.flatMap { case (dst, pos) =>
                     val dstHost = UrlNorm.hostnameOf(dst)
                     val dstPath = UrlNorm.pathOf(dst)
@@ -583,12 +606,24 @@ object WaveCrawler {
         .select($"l.dst".as("url"), $"l.dstHost".as("host"), $"parent_seq", $"l.pos".as("pos"))
 
       // A2/U3: first discoverer owns the url → min (parent_seq, pos)
-      val winners = linkCand
+      val winnersAll = linkCand
         .groupBy($"url")
         .agg(
           min(struct($"parent_seq", $"pos")).as("ord"),
           first($"host").as("host"))
         .select($"url", $"host", $"ord.parent_seq".as("parent_seq"), $"ord.pos".as("pos"))
+
+      // J3 multi-host: robots filtering as a broadcast ANTI-join against the
+      // rules table — a blocked url never enters seen/frontier. (Same-host
+      // mode filters inside extraction via the seed host's tiny rule set.)
+      val winners =
+        if (robotsDf != null)
+          winnersAll.join(broadcast(robotsDf),
+            winnersAll("host") === robotsDf("host") &&
+              regexp_replace(winnersAll("url"), "^https?://[^/]*", "")
+                .startsWith(robotsDf("disallow_prefix")),
+            "left_anti")
+        else winnersAll
 
       // J2 with sharded Bloom pre-filter: links cogroup with the segment
       // table on url-hash bucket (each task deserializes its one segment);
@@ -712,6 +747,7 @@ object WaveCrawler {
     }
 
     if (doCachePages) pagesSlim.unpersist()
+    if (robotsDf != null) robotsDf.unpersist()
     if (bloomSegs != null) bloomSegs.unpersist()
     val savedAll = unionParts(spark, savedParts, emptySaved(spark))
     val seenAll = unionParts(spark, seenParts, frontier) // frontier ∈ seenParts
@@ -749,18 +785,26 @@ object WaveCrawler {
     */
   private def loadRobots(spark: SparkSession, pages: DataFrame,
       hosts: Seq[String]): Map[String, Seq[String]] = {
-    // robots.parquet lives next to pages.parquet when the corpus provides it
     import spark.implicits._
+    Option(loadRobotsDf(spark, pages)).map { df =>
+      try df.filter($"host".isin(hosts: _*))
+        .as[(String, String)].collect()
+        .groupBy(_._1).map { case (h, rs) => h -> rs.map(_._2).toSeq }
+      catch { case _: Throwable => Map.empty[String, Seq[String]] }
+    }.getOrElse(Map.empty)
+  }
+
+  /** The robots rules TABLE (host, disallow_prefix) — lives next to
+    * pages.parquet when the corpus provides one; null when absent. The
+    * multi-host crawl joins it directly (never a whole-table collect).
+    */
+  private def loadRobotsDf(spark: SparkSession, pages: DataFrame): DataFrame = {
     val loc = pages.inputFiles.headOption
       .map(f => f.substring(0, f.lastIndexOf("/pages.parquet")))
     loc.map { dir =>
-      try {
-        spark.read.parquet(s"$dir/robots.parquet")
-          .filter($"host".isin(hosts: _*))
-          .as[(String, String)].collect()
-          .groupBy(_._1).map { case (h, rs) => h -> rs.map(_._2).toSeq }
-      } catch { case _: Throwable => Map.empty[String, Seq[String]] }
-    }.getOrElse(Map.empty)
+      try spark.read.parquet(s"$dir/robots.parquet").select("host", "disallow_prefix")
+      catch { case _: Throwable => null }
+    }.orNull
   }
 
   private def normalizeOrThrow(u: String): String =

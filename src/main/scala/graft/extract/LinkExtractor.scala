@@ -28,22 +28,30 @@ object LinkExtractor {
       pageUrlStr: String,
       startHost: String,
       html: String,
-      followGlobs: Seq[CompiledGlob]): Vector[String] = {
+      followGlobs: Seq[CompiledGlob],
+      allHosts: Boolean = false): Vector[String] = {
     val doc =
       try HtmlParser.parse(html)
       catch { case _: Throwable => return Vector.empty }
-    extractFromDoc(pageUrlStr, startHost, doc, followGlobs)
+    extractFromDoc(pageUrlStr, startHost, doc, followGlobs, allHosts)
   }
 
   /** Same, over an already-parsed document (the crawl loop parses each page
     * once and shares the tree between link extraction and content
     * extraction). Must run BEFORE any mutating extraction step.
     */
+  /** @param allHosts multi-host (Common-Crawl-shaped) frontier mode: drop
+    *   the P3 same-host gate, keep the scheme + follow-match predicates.
+    *   The reference is strictly same-host (crawler.go:516-518); this is a
+    *   north-rule scale extension, oracle-checked against the corpus
+    *   `xlinks` ground truth.
+    */
   def extractFromDoc(
       pageUrlStr: String,
       startHost: String,
       doc: graft.html.HDocument,
-      followGlobs: Seq[CompiledGlob]): Vector[String] = {
+      followGlobs: Seq[CompiledGlob],
+      allHosts: Boolean = false): Vector[String] = {
     GoUrl.parse(pageUrlStr) match {
       case Left(_) => Vector.empty
       case Right(pageUrl) =>
@@ -64,7 +72,7 @@ object LinkExtractor {
                       case Right(resolved) =>
                         val ok =
                           (resolved.scheme == "http" || resolved.scheme == "https") &&
-                            resolved.hostname == startHost &&
+                            (allHosts || resolved.hostname == startHost) &&
                             GlobSet.shouldFollow(followGlobs, resolved.path)
                         if (ok && !seen.contains(norm)) {
                           seen += norm

@@ -73,6 +73,25 @@ object CrawlQueries {
           followPatterns = Seq("/", "/articles/**", "/docs/**")))
     }
 
+  /** Multi-host (Common-Crawl-shaped) crawl: sameHostOnly=false follows
+    * every http(s) link across hosts from the host0 seed, with robots rules
+    * enforced via the broadcast anti-join against the rules table (J3 at its
+    * scale shape — no driver-side rule map). Scheduling-only: the seen set
+    * is the oracle target; readability is exercised by the same-host
+    * queries.
+    */
+  def multihostCrawl(spark: SparkSession, sfDir: String): CrawlOutput =
+    cached(spark, sfDir, "multihost") { dir =>
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(startUrl = Seed, sameHostOnly = false, useRobots = true,
+          extractContent = false))
+    }
+
+  /** Seen set of the multi-host crawl. */
+  def multihostSeen(spark: SparkSession, sfDir: String): DataFrame =
+    multihostCrawl(spark, sfDir).seen
+      .select(col("url"), col("depth").cast("long").as("depth"))
+
   /** Seen set of the robots-aware crawl. */
   def robotsSeen(spark: SparkSession, sfDir: String): DataFrame =
     robotsCrawl(spark, sfDir).seen
@@ -174,6 +193,25 @@ object CrawlQueries {
         val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
         val host = UrlNorm.hostnameOf(url)
         LinkExtractor.extract(url, host, html, Nil).zipWithIndex
+          .map { case (dst, pos) => (url, dst, pos.toLong) }
+      }
+      .toDF("src_url", "dst_url", "pos")
+  }
+
+  /** H1 in multi-host mode over every page: all http(s) links regardless of
+    * host, first-wins page order — checked against the `xlinks` ground
+    * truth.
+    */
+  def xlinkExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    CorpusGen.pages(spark, dir)
+      .select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, htmlBytes) =>
+        val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
+        LinkExtractor.extract(url, "", html, Nil, allHosts = true).zipWithIndex
           .map { case (dst, pos) => (url, dst, pos.toLong) }
       }
       .toDF("src_url", "dst_url", "pos")

@@ -131,6 +131,48 @@ class WaveCrawlerSpec extends AnyFunSuite {
     assert(!seenRobots.exists(_.contains("/misc/")))
   }
 
+  test("multi-host ground truth matches the allHosts extractor (oracle validity)") {
+    for (h <- 0 until spec.nHosts; i <- Seq(0, 1, 2, spec.hostSizes(h) - 1)) {
+      val url = CorpusGen.pageUrl(h, i)
+      val extracted = LinkExtractor.extract(url, "", CorpusGen.pageHtml(spec, h, i),
+        Nil, allHosts = true)
+      val truth = CorpusGen.xlinkRows(spec, h, i).map(_.dst_url)
+      assert(extracted == truth, s"xlink drift at host=$h page=$i")
+    }
+    // the corpus must actually have cross-host edges for the mode to exercise
+    val crossEdges = (0 until spec.nHosts).flatMap(h =>
+      (0 until spec.hostSizes(h)).flatMap(i => CorpusGen.crossTarget(spec, h, i)))
+    assert(crossEdges.nonEmpty)
+  }
+
+  test("multi-host crawl: save order, seen set, and depths match the FIFO oracle") {
+    val (saved, seen, depths) = sparkCrawl(CrawlConfig(startUrl = seed0, sameHostOnly = false))
+    val ref = refCrawl(CrawlParams(startUrl = seed0, sameHostOnly = false))
+    assert(saved == ref.savedUrls)
+    assert(seen == ref.visited)
+    ref.visitDepth.foreach { case (u, d) => assert(depths(u) == d, s"depth drift for $u") }
+    // the crawl actually left the seed host
+    assert(seen.exists(_.startsWith("http://host1.test/")))
+    assert(seen.exists(_.startsWith("http://host2.test/")))
+    assert(seen.contains("http://other.example/offsite")) // dangling cross-host url
+  }
+
+  test("multi-host robots: the anti-join against the rules table matches the oracle") {
+    val rules = CorpusGen.robotsRules(spec)
+      .groupBy(_.host).map { case (h, rs) => h -> rs.map(_.disallow_prefix) }
+    val (saved, seen, depths) =
+      sparkCrawl(CrawlConfig(startUrl = seed0, sameHostOnly = false, useRobots = true))
+    val ref = refCrawl(CrawlParams(startUrl = seed0, sameHostOnly = false, robots = rules))
+    assert(saved == ref.savedUrls)
+    assert(seen == ref.visited)
+    ref.visitDepth.foreach { case (u, d) => assert(depths(u) == d, s"depth drift for $u") }
+    // rules bind per destination host: host0 (idx%3==0) blocks /misc there,
+    // host1/host2 stay open
+    assert(!seen.exists(u => u.startsWith("http://host0.test/misc/")))
+    assert(seen.exists(u => u.startsWith("http://host1.test/misc/")
+      || u.startsWith("http://host2.test/misc/")))
+  }
+
   test("per-host budget caps saved pages per host (list mode over all hosts)") {
     val allUrls = (0 until spec.nHosts).flatMap(h =>
       (0 until spec.hostSizes(h)).map(i => CorpusGen.pageUrl(h, i)))
