@@ -469,7 +469,15 @@ object WaveCrawler {
       // multi-host crawls can reach any host — no host prune
       val pruned =
         if (!listMode && sameHostOnly) slim.filter(hostPrunePredicate(startHost)) else slim
-      if (doCachePages) pruned.persist(StorageLevel.MEMORY_AND_DISK) else pruned
+      // coalesce the cached corpus down to the core count: the parquet scan
+      // may carry hundreds of splits, and EVERY wave's J1+extract job
+      // schedules one task per cached partition — at ~3-5 ms/task the empty
+      // tasks, not the work, dominate small-wave latency. coalesce (not
+      // repartition) keeps it shuffle-free; on a cluster the same knob is
+      // partitions ≈ total executor cores.
+      val sized =
+        if (doCachePages) pruned.coalesce(spark.sparkContext.defaultParallelism) else pruned
+      if (doCachePages) sized.persist(StorageLevel.MEMORY_AND_DISK) else sized
     }
 
     var stopReason = "Completed"

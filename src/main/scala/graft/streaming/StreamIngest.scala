@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.extract.Processor
+
+/** Structured-Streaming ingest: the crawl engine's extraction kernel as a
+  * continuous pipeline over a landing directory of page files (the shape a
+  * WARC-drop / fetch-fleet feed has at 100 TB: fetchers append files; the
+  * extractor is a long-running incremental job).
+  *
+  * The reference has no streaming surface (SURVEY §2.10 — its state is one
+  * process's memory); this is a north-rule scale extension that reuses the
+  * SAME deterministic per-page kernel (graft.extract.Processor), so every
+  * batch row matches the batch engine's output byte-for-byte — the spec
+  * pins streamed markdown against the corpus generator's ground truth.
+  *
+  * Pieces:
+  *   - [[pagesStream]]: `readStream.parquet` over `pages(url, warc_ts,
+  *     html, text, lang)` (BASELINE.json input_hint) — file-source
+  *     micro-batches, exactly-once per file.
+  *   - [[extracted]]: typed mapPartitions running readability→markdown —
+  *     narrow, stateless, scales with executors; identical code path to the
+  *     wave crawler's matched-page extraction.
+  *   - [[dedupedByUrl]]: streaming first-wins url dedup (A3 in streaming
+  *     form) via dropDuplicates + event-time watermark, so the url-seen
+  *     state is BOUNDED: a url re-fetched after the watermark lapses is
+  *     treated as new (re-crawl semantics), everything inside it dedups
+  *     exactly.
+  *   - [[hostWindowCounts]]: watermarked sliding-window per-host throughput
+  *     metrics (late pages beyond the watermark are dropped, state expires).
+  *   - [[run]]: wires source → extract → dedup → append parquet sink with a
+  *     checkpointLocation, the streaming analogue of the wave crawler's
+  *     TableIO resume.
+  */
+object StreamIngest {
+
+  /** BASELINE.json input_hint schema — readStream needs it explicitly
+    * (streaming sources never infer).
+    */
+  val PagesSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  def pagesStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream
+      .schema(PagesSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** The extraction kernel over a (streaming or batch) pages frame:
+    * (url, warc_ts, host, title, markdown), empty/unparseable pages dropped
+    * (P8 skip semantics). Pure narrow map — no shuffle, no state.
+    */
+  def extracted(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .select($"url", $"warc_ts", $"html")
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (url, ts, htmlBytes) =>
+          val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
+          if (html.trim.isEmpty) None
+          else Processor.processHTML(url, html, "").toOption.map { pd =>
+            (url, ts, graft.url.UrlNorm.hostnameOf(url), pd.title, pd.markdown)
+          }
+        }
+      }
+      .toDF("url", "warc_ts", "host", "title", "markdown")
+  }
+
+  /** Streaming first-wins dedup on url with bounded state: rows carry their
+    * event time; urls older than the watermark age out of the state store.
+    */
+  def dedupedByUrl(extractedDf: DataFrame, watermark: String = "1 hour"): DataFrame =
+    extractedDf
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("url")
+
+  /** Per-host page counts over tumbling event-time windows; late data past
+    * the watermark is dropped and window state expires (the streaming
+    * analogue of the wave-metrics rollup A5).
+    */
+  def hostWindowCounts(pages: DataFrame, windowLen: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    pages
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window(col("warc_ts"), windowLen), col("host"))
+      .agg(count(lit(1)).as("pages"))
+      .select(col("window.start").as("win_start"), col("host"), col("pages"))
+
+  /** Source → extract → dedup → append parquet, with checkpoint/resume.
+    * Trigger.AvailableNow drains everything currently in the landing dir
+    * then stops — the batch-friendly mode the specs (and a backfill) use; a
+    * live deployment passes a processing-time trigger instead.
+    */
+  def run(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
+    val q = dedupedByUrl(extracted(pagesStream(spark, inDir)))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+    (if (availableNow) q.trigger(Trigger.AvailableNow()) else q).start()
+  }
+}
