@@ -209,6 +209,7 @@ object SparkEntry {
     "crawl_extract_titles" -> ((s, d) => C.extractTitles(s, d)),
     "crawl_extract_markdown" -> ((s, d) => C.extractMarkdown(s, d)),
     "crawl_selector_md" -> ((s, d) => C.selectorMd(s, d)),
+    "stream_extract" -> ((s, d) => C.streamExtract(s, d)),
     "crawl_limit_prefix" -> ((s, d) => C.limitPrefix(s, d, 100)),
     "crawl_limit_set" -> ((s, d) => C.limitSet(s, d, 100)),
     "crawl_robots_blocked" -> ((s, d) => C.robotsBlocked(s, d)),
@@ -360,6 +361,11 @@ object SparkEntry {
       s"SELECT src_url, dst_url, CAST(pos AS BIGINT) AS pos FROM ${gt("links")}",
     "crawl_extract_titles" ->
       s"SELECT url, title FROM ${gt("meta")}",
+    // streaming surface parity: the StreamIngest pipeline (micro-batched
+    // file source + watermarked url dedup + checkpointed append sink) must
+    // land exactly the batch kernel's rows for every non-empty page
+    "stream_extract" ->
+      s"SELECT url, title, markdown FROM ${gt("meta")} WHERE empty_html = 0",
     "crawl_extract_markdown" ->
       s"SELECT url, markdown FROM ${gt("meta")}",
     "crawl_selector_md" ->

@@ -339,6 +339,27 @@ object CrawlQueries {
     lines.groupBy(col("url")).agg(min(col("line_no")).as("first_line"))
   }
 
+  /** Structured-Streaming parity at the driver gate: drain the corpus pages
+    * through the StreamIngest pipeline (file-source micro-batches over the
+    * parquet parts, Trigger.AvailableNow, checkpointed sink) and return the
+    * extracted table — byte-equal to the batch kernel's ground truth, so
+    * the streaming surface carries the same per-row invariant as the batch
+    * one.
+    */
+  def streamExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    val label = sfDir.replaceAll("/+$", "").split('/').last
+    val out = s"/root/repo/work/stream/$label"
+    deleteRecursively(new java.io.File(out))
+    // the corpus's warc_ts spans 24 h and parquet parts stream in file
+    // order (not event-time order) — the dedup watermark must exceed that
+    // disorder or the tail of each micro-batch is discarded as late
+    graft.streaming.StreamIngest.run(spark, s"$dir/pages.parquet",
+      s"$out/docs", s"$out/ck", watermark = "48 hours").awaitTermination()
+    spark.read.parquet(s"$out/docs")
+      .select(col("url"), col("title"), col("markdown"))
+  }
+
   /** F1 url normalization over constructed denormalized variants. */
   def urlNormalize(spark: SparkSession, sfDir: String): DataFrame = {
     val spark2 = spark

@@ -102,9 +102,18 @@ object StreamIngest {
     * then stops — the batch-friendly mode the specs (and a backfill) use; a
     * live deployment passes a processing-time trigger instead.
     */
+  /** @param watermark how far event time may lag the stream's maximum
+    *   before a page counts as late and is dropped by the dedup state.
+    *   MUST exceed the feed's event-time disorder: micro-batches arrive in
+    *   file order, not warc_ts order, so a watermark smaller than the
+    *   fetch-fleet's timestamp spread silently discards the tail (a
+    *   backfill over a 24 h corpus needs > 24 h; a live feed needs the
+    *   fetcher lag bound).
+    */
   def run(spark: SparkSession, inDir: String, outDir: String,
-      checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
-    val q = dedupedByUrl(extracted(pagesStream(spark, inDir)))
+      checkpointDir: String, availableNow: Boolean = true,
+      watermark: String = "1 hour"): StreamingQuery = {
+    val q = dedupedByUrl(extracted(pagesStream(spark, inDir)), watermark)
       .writeStream
       .format("parquet")
       .option("path", outDir)

@@ -36,10 +36,15 @@ class StreamIngestSpec extends AnyFunSuite {
   }
 
   test("streamed extraction equals the batch kernel and the ground truth") {
-    val (in, _) = landing(batches = 3)
+    // 12 files / maxFilesPerTrigger=4 → multiple micro-batches, so the
+    // watermark genuinely advances between batches; warc_ts spans 24 h in
+    // FILE order (not time order), so the dedup watermark must exceed the
+    // disorder — the parity contract the 48 h setting encodes
+    val (in, _) = landing(batches = 12)
     val out = java.nio.file.Files.createTempDirectory("graftstreamout").toString
     val ck = java.nio.file.Files.createTempDirectory("graftstreamck").toString
-    val q = StreamIngest.run(spark, s"$in/*.parquet/*.parquet", s"$out/docs", s"$ck/docs")
+    val q = StreamIngest.run(spark, s"$in/*.parquet/*.parquet", s"$out/docs", s"$ck/docs",
+      watermark = "48 hours")
     q.awaitTermination()
 
     val got = spark.read.parquet(s"$out/docs")
@@ -68,6 +73,20 @@ class StreamIngestSpec extends AnyFunSuite {
     val n2 = spark.read.parquet(s"$out/docs").count()
     assert(n1 == n2, s"resume re-emitted rows: $n1 -> $n2")
     assert(n1 > 0)
+  }
+
+  test("a watermark smaller than the feed's event-time disorder drops late pages") {
+    val (in, total) = landing(batches = 12)
+    val out = java.nio.file.Files.createTempDirectory("graftstreamout3").toString
+    val ck = java.nio.file.Files.createTempDirectory("graftstreamck3").toString
+    // warc_ts spans ~24 h across unordered files: a 1-minute watermark
+    // classifies most of each later batch as late → silently dropped.
+    // This is the designed semantics (bounded state) and exactly why the
+    // parity query must size the watermark to the feed's disorder.
+    StreamIngest.run(spark, s"$in/*.parquet/*.parquet", s"$out/docs", s"$ck/docs",
+      watermark = "1 minute").awaitTermination()
+    val n = spark.read.parquet(s"$out/docs").count()
+    assert(n < total, s"expected late-dropping under a tiny watermark, got $n of $total")
   }
 
   test("windowed per-host counts respect event-time windows") {
