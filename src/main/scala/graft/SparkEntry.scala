@@ -234,6 +234,8 @@ object SparkEntry {
     "dd_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dd_repeated_ngrams" -> ((s, d) => Dedup.repeatedNgrams(s, d)),
+    "dd_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
     "dd_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "dd_subword_count" -> ((s, d) => TextAnalysis.subwordCounts(s, d)),
     "dd_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -508,6 +510,43 @@ object SparkEntry {
          |SELECT doc_a, doc_b,
          |  CAST(floor(CAST(it AS DOUBLE) / (la + lb - it) * 100 + 0.5) AS BIGINT) AS jaccard_pct
          |FROM jx""".stripMargin,
+    // exact repeated-span dedup (Lee et al. 2022 at word granularity):
+    // 8-token windows over the dup-injected view; the oracle rebuilds the
+    // same windows with list slicing (ws[i:i+7] is 1-based inclusive)
+    "dd_repeated_ngrams" ->
+      s"""WITH $dupDocsCte,
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\W+'), w -> w <> '') AS ws
+         |  FROM dup_docs),
+         |win AS (
+         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+         |  FROM toks WHERE len(ws) >= 8),
+         |wing AS (
+         |  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS g FROM win)
+         |SELECT g AS gram_md5,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  COUNT(*) AS n_occ,
+         |  MIN(doc_id) AS keeper_doc
+         |FROM wing GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
+    "dd_span_coverage" ->
+      s"""WITH $dupDocsCte,
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\W+'), w -> w <> '') AS ws
+         |  FROM dup_docs),
+         |win AS (
+         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+         |  FROM toks WHERE len(ws) >= 8),
+         |wing AS (
+         |  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS g FROM win),
+         |rep AS (
+         |  SELECT g FROM wing GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT w.doc_id,
+         |  COUNT(*) AS n_windows,
+         |  CAST(SUM(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
+         |FROM wing w LEFT JOIN rep r ON r.g = w.g
+         |GROUP BY w.doc_id""".stripMargin,
     "dd_simhash_pairs" ->
       s"""WITH $dupDocsCte,
          |$simhashCte

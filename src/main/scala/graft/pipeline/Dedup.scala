@@ -300,4 +300,76 @@ object Dedup {
       .toDF("doc_a", "doc_b")
       .distinct()
   }
+
+  // ------------------------------------- exact repeated-span (n-gram) dedup
+
+  /** Window width for exact substring-level dedup: spans of [[GramW]]
+    * consecutive word tokens repeated across documents (the
+    * "deduplicate repeated training-data substrings" operation of
+    * Lee et al. 2022, at word rather than BPE granularity).
+    */
+  val GramW = 8
+
+  /** (doc_id, pos, gram_md5) for every [[GramW]]-token window of the
+    * dup-injected documents view — pos is the 1-based window start in token
+    * space. One narrow map; the text itself never shuffles.
+    */
+  private def ngramWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    docsWithDups(spark, sfDir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val words =
+            if (text == null) Array.empty[String]
+            else text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+          (0 to words.length - GramW).iterator.map { i =>
+            val gram = words.slice(i, i + GramW).mkString(" ")
+            val h = TextAnalysis.hexOf(
+              md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            (id, (i + 1).toLong, h)
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "gram_md5")
+  }
+
+  /** Cross-document repeated spans: every [[GramW]]-token gram occurring in
+    * ≥ 2 distinct documents, with occurrence counts and the keeper (lowest
+    * doc_id). Scale shape: one (gram_md5, doc_id) shuffle with map-side
+    * partial aggregation — grams are 32-byte hashes, never text; at 100 TB
+    * the group-by key space shards evenly (md5 is uniform), and the ≥2-docs
+    * filter happens in the aggregation itself, so singleton grams (the vast
+    * majority) never leave their reducer.
+    */
+  def repeatedNgrams(spark: SparkSession, sfDir: String): DataFrame =
+    ngramWindows(spark, sfDir)
+      .groupBy(col("gram_md5"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("keeper_doc"))
+      .filter(col("n_docs") >= 2)
+
+  /** Per-document span coverage: how much of each document is made of
+    * cross-document repeated spans — n_windows total, n_repeated of them
+    * sharing their gram with another document. The per-doc statistic a
+    * training-data pipeline thresholds to drop boilerplate-heavy documents.
+    */
+  def spanCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val windows = ngramWindows(spark, sfDir)
+    val repeated = windows
+      .groupBy(col("gram_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("gram_md5"))
+    windows
+      .join(repeated.withColumn("rep", lit(1L)), Seq("gram_md5"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        coalesce(sum(col("rep")), lit(0L)).as("n_repeated"))
+  }
 }

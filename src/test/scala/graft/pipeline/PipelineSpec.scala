@@ -200,6 +200,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(Similarity.cosineQ(m, q) - 1.0) < 1e-12)
   }
 
+  test("repeated ngrams: exact dups share every window; coverage is bounded") {
+    import spark.implicits._
+    val rep = Dedup.repeatedNgrams(spark, sf).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r => assert(r.getLong(1) >= 2) } // n_docs >= 2 by contract
+    // an exact dup (id+2M) repeats EVERY window of its base doc → coverage
+    // for those docs must be 100%
+    val cov = Dedup.spanCoverage(spark, sf)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val exactDupIds = cov.keys.filter(_ >= 2000000L)
+    assert(exactDupIds.nonEmpty)
+    exactDupIds.foreach { id =>
+      val (w, r) = cov(id)
+      assert(w == r, s"exact dup $id should be fully covered: $r of $w")
+      val (bw, br) = cov(id - 2000000L)
+      assert(bw == br, s"its base ${id - 2000000L} too: $br of $bw")
+    }
+    // coverage is well-formed everywhere
+    cov.values.foreach { case (w, r) => assert(r <= w && w > 0) }
+  }
+
   test("embedding dup pairs finds the injected perturbed vectors") {
     val pairs = Similarity.embeddingDupPairs(spark, sf).collect()
       .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))).toSet
