@@ -625,13 +625,7 @@ object WaveCrawler {
       // rules table — a blocked url never enters seen/frontier. (Same-host
       // mode filters inside extraction via the seed host's tiny rule set.)
       val winners =
-        if (robotsDf != null)
-          winnersAll.join(broadcast(robotsDf),
-            winnersAll("host") === robotsDf("host") &&
-              regexp_replace(winnersAll("url"), "^https?://[^/]*", "")
-                .startsWith(robotsDf("disallow_prefix")),
-            "left_anti")
-        else winnersAll
+        if (robotsDf != null) robotsAntiJoin(winnersAll, robotsDf) else winnersAll
 
       // J2 with sharded Bloom pre-filter: links cogroup with the segment
       // table on url-hash bucket (each task deserializes its one segment);
@@ -801,6 +795,19 @@ object WaveCrawler {
       catch { case _: Throwable => Map.empty[String, Seq[String]] }
     }.getOrElse(Map.empty)
   }
+
+  /** J3 in its multi-host scale shape: drop every discovered link whose
+    * destination host has a rule whose disallow prefix matches the link's
+    * path — an equi-join on host (hash-joinable; broadcast while the rule
+    * table is small, same plan shuffles at 10^8 hosts) with the prefix test
+    * as a native (codegen'd) post-condition. Never a driver-side rule map.
+    */
+  private[crawl] def robotsAntiJoin(links: DataFrame, robotsDf: DataFrame): DataFrame =
+    links.join(broadcast(robotsDf),
+      links("host") === robotsDf("host") &&
+        regexp_replace(links("url"), "^https?://[^/]*", "")
+          .startsWith(robotsDf("disallow_prefix")),
+      "left_anti")
 
   /** The robots rules TABLE (host, disallow_prefix) — lives next to
     * pages.parquet when the corpus provides one; null when absent. The

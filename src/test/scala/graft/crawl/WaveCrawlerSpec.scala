@@ -173,6 +173,25 @@ class WaveCrawlerSpec extends AnyFunSuite {
       || u.startsWith("http://host2.test/misc/")))
   }
 
+  test("multi-host robots anti-join plans as a broadcast hash LeftAnti") {
+    import spark.implicits._
+    val links = Seq(
+      ("http://host0.test/misc/page-3", "host0.test", 0L, 0),
+      ("http://host0.test/articles/page-1", "host0.test", 0L, 1),
+      ("http://host1.test/misc/page-3", "host1.test", 0L, 2))
+      .toDF("url", "host", "parent_seq", "pos")
+    val rules = Seq(("host0.test", "/misc")).toDF("host", "disallow_prefix")
+    val out = WaveCrawler.robotsAntiJoin(links, rules)
+    // rules bind per destination host; host1's /misc stays open
+    assert(out.select("url").collect().map(_.getString(0)).toSet ==
+      Set("http://host0.test/articles/page-1", "http://host1.test/misc/page-3"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"robots filter should be a broadcast anti hash join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "prefix condition must ride the host equi-join, not force a nested loop")
+  }
+
   test("per-host budget caps saved pages per host (list mode over all hosts)") {
     val allUrls = (0 until spec.nHosts).flatMap(h =>
       (0 until spec.hostSizes(h)).map(i => CorpusGen.pageUrl(h, i)))
