@@ -19,8 +19,13 @@ class CrawlPropertySpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestBase.spark
 
+  /** Pages spread across three hosts (i % 3), so random edges naturally
+    * cross hosts: same-host mode must FILTER them, multi-host mode must
+    * FOLLOW them — both against the same reference loop.
+    */
   private def url(i: Int): String =
-    if (i == 0) "http://prop.test/" else s"http://prop.test/${if (i % 2 == 0) "a" else "b"}/p$i"
+    if (i == 0) "http://prop0.test/"
+    else s"http://prop${i % 3}.test/${if (i % 2 == 0) "a" else "b"}/p$i"
 
   /** Random site: n pages, random out-edges (possibly dangling/self), some
     * empty-HTML pages. Page 0 is the seed and never empty.
@@ -44,7 +49,8 @@ class CrawlPropertySpec extends AnyFunSuite {
   }
 
   private def runSpark(web: Map[String, String], limit: Int,
-      matches: Seq[String], follows: Seq[String]): (Vector[String], Set[String]) = {
+      matches: Seq[String], follows: Seq[String],
+      sameHostOnly: Boolean): (Vector[String], Set[String]) = {
     val spark2 = spark
     import spark2.implicits._
     val pages = spark.sparkContext
@@ -52,27 +58,28 @@ class CrawlPropertySpec extends AnyFunSuite {
       .toDF("url", "html")
     val out = WaveCrawler.crawl(spark, pages,
       CrawlConfig(startUrl = url(0), pageLimit = limit, matchPatterns = matches,
-        followPatterns = follows, cachePages = false))
+        followPatterns = follows, cachePages = false, sameHostOnly = sameHostOnly))
     val saved = out.saved.orderBy("depth", "seq").select("url")
       .collect().map(_.getString(0)).toVector
     val seen = out.seen.select("url").collect().map(_.getString(0)).toSet
     (saved, seen)
   }
 
-  test("random graphs × {limit, match, follow-match}: wave scheduler ≡ reference FIFO loop") {
+  test("random graphs × {limit, match, follow-match, multi-host}: wave scheduler ≡ reference FIFO loop") {
     val flagGen = for {
       m <- Gen.oneOf(Seq.empty[String], Seq("/a/**"))
       f <- Gen.oneOf(Seq.empty[String], Seq("/", "/b/**"))
-    } yield (m, f)
+      sho <- Gen.oneOf(true, false)
+    } yield (m, f, sho)
     val prop: Prop = forAll(siteGen, flagGen) {
-      case ((web, limit), (matches, follows)) =>
+      case ((web, limit), (matches, follows, sho)) =>
         val ref = RefCrawler.crawl(web,
           CrawlParams(startUrl = url(0), pageLimit = limit, matchPatterns = matches,
-            followPatterns = follows))
-        val (saved, seen) = runSpark(web, limit, matches, follows)
+            followPatterns = follows, sameHostOnly = sho))
+        val (saved, seen) = runSpark(web, limit, matches, follows, sho)
         val ok = saved == ref.savedUrls && seen == ref.visited
         if (!ok) {
-          println(s"COUNTEREXAMPLE limit=$limit matches=$matches follows=$follows web=${web.keys.toVector.sorted}")
+          println(s"COUNTEREXAMPLE limit=$limit matches=$matches follows=$follows sho=$sho web=${web.keys.toVector.sorted}")
           println(s"  spark saved=$saved\n  ref   saved=${ref.savedUrls}")
           println(s"  spark seen=${seen.toVector.sorted}\n  ref   seen=${ref.visited.toVector.sorted}")
         }
