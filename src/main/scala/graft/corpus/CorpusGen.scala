@@ -546,16 +546,18 @@ object CorpusGen {
 
     robotsRules(spec).toDS().write.mode("overwrite").parquet(s"$dir/robots.parquet")
 
+    // encode each blob ONCE: cache the (payload, meta) pairs, then project
+    // the two tables from the cached set (the second write re-encodes
+    // nothing — previously both jobs ran the pixel/sample loops in full)
     val blobIds = spark.range(0, blobCount(spec), 1,
       math.max(4, spark.sparkContext.defaultParallelism))
-    blobIds.mapPartitions { it =>
+    val blobPairs = blobIds.mapPartitions { it =>
       val s = bcSpec.value
-      it.map(id => CorpusGen.blobRow(s, id)._1)
-    }.write.mode("overwrite").parquet(s"$dir/blobs.parquet")
-    blobIds.mapPartitions { it =>
-      val s = bcSpec.value
-      it.map(id => CorpusGen.blobRow(s, id)._2)
-    }.write.mode("overwrite").parquet(s"$dir/blob_meta.parquet")
+      it.map(id => CorpusGen.blobRow(s, id))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    blobPairs.map(_._1).write.mode("overwrite").parquet(s"$dir/blobs.parquet")
+    blobPairs.map(_._2).write.mode("overwrite").parquet(s"$dir/blob_meta.parquet")
+    blobPairs.unpersist()
 
     marker.getParentFile.mkdirs()
     java.nio.file.Files.writeString(marker.toPath,

@@ -41,14 +41,18 @@ object Decoders {
     if (planes != 1) return Left(s"planes=$planes")
     if (bpp != 24) return Left(s"unsupported bpp=$bpp (24-bit only)")
     if (compression != 0) return Left(s"unsupported compression=$compression")
-    val rows = math.abs(height) // negative height = top-down; sums unaffected
-    val rowSize = (3 * width + 3) / 4 * 4
-    val need = pixelOffset + rowSize.toLong * rows
+    val rows = math.abs(height.toLong) // negative height = top-down; sums unaffected
+    // ALL size arithmetic in Long: header fields are attacker-controlled, and
+    // 3*width or i+8+size overflowing Int would slip a negative value past
+    // the bounds check and crash the task on a crafted payload — the exact
+    // "corrupt blob kills the job" failure this module promises away
+    val rowSize = (3L * width + 3) / 4 * 4
+    val need = pixelOffset + rowSize * rows
     if (need > b.length) return Left(s"pixel data truncated: need $need have ${b.length}")
     var sumR = 0L; var sumG = 0L; var sumB = 0L
     var y = 0
     while (y < rows) {
-      var i = pixelOffset.toInt + y * rowSize
+      var i = (pixelOffset + y * rowSize).toInt
       var x = 0
       while (x < width) {
         sumB += b(i) & 0xff
@@ -59,7 +63,7 @@ object Decoders {
       }
       y += 1
     }
-    Right(BmpInfo(width, rows, sumR, sumG, sumB))
+    Right(BmpInfo(width, rows.toInt, sumR, sumG, sumB)) // rows*rowSize ≤ length ⇒ fits Int
   }
 
   /** 16-bit PCM mono WAV: RIFF/"WAVE" container, "fmt " chunk with
@@ -76,24 +80,27 @@ object Decoders {
     var sampleRate = -1
     var dataStart = -1
     var dataLen = -1
-    var i = 12
+    // cursor and chunk sizes in Long: a u32 size near 2^31 would overflow an
+    // Int cursor past the bounds check (see the BMP note above)
+    var i = 12L
     while (i + 8 <= b.length && (sampleRate < 0 || dataStart < 0)) {
-      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = u32(b, i + 4).toInt
-      if (size < 0 || i + 8 + size > b.length)
+      val ii = i.toInt
+      val id = new String(b, ii, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32(b, ii + 4)
+      if (i + 8 + size > b.length)
         return Left(s"chunk '$id' overruns the payload")
       if (id == "fmt ") {
         if (size < 16) return Left("fmt chunk too small")
-        val audioFormat = u16(b, i + 8)
-        val channels = u16(b, i + 10)
-        val bits = u16(b, i + 22)
+        val audioFormat = u16(b, ii + 8)
+        val channels = u16(b, ii + 10)
+        val bits = u16(b, ii + 22)
         if (audioFormat != 1) return Left(s"unsupported audioFormat=$audioFormat")
         if (channels != 1) return Left(s"unsupported channels=$channels (mono only)")
         if (bits != 16) return Left(s"unsupported bits=$bits (16-bit only)")
-        sampleRate = u32(b, i + 12).toInt
+        sampleRate = u32(b, ii + 12).toInt
       } else if (id == "data") {
-        dataStart = i + 8
-        dataLen = size
+        dataStart = ii + 8
+        dataLen = size.toInt // ≤ b.length by the overrun check ⇒ fits Int
       }
       i += 8 + size + (size & 1) // chunks are word-aligned
     }

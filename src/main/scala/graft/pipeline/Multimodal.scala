@@ -36,26 +36,31 @@ object Multimodal {
       amp_sum: Long, n_bytes: Long)
 
   /** Sniff + decode one payload; decode failures classify as `unknown`
-    * with zeroed features — a corrupt blob must never fail the task.
+    * with zeroed features — a corrupt blob must never fail the task. The
+    * decoders bounds-check in Long arithmetic, and a try/catch backstop
+    * keeps even an unanticipated decoder defect from killing a 100 TB job
+    * (defense in depth: the invariant is the pipeline's, not one parser's).
     */
   def decodeOne(id: Long, payload: Array[Byte]): BlobFeatures = {
     val nBytes = if (payload == null) 0L else payload.length.toLong
-    if (payload != null && payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') {
-      Decoders.decodeBmp(payload) match {
-        case Right(b) =>
-          return BlobFeatures(id, "bmp", b.width, b.height, b.sumR, b.sumG, b.sumB,
-            0, 0, 0, nBytes)
-        case Left(_) =>
+    try {
+      if (payload != null && payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') {
+        Decoders.decodeBmp(payload) match {
+          case Right(b) =>
+            return BlobFeatures(id, "bmp", b.width, b.height, b.sumR, b.sumG, b.sumB,
+              0, 0, 0, nBytes)
+          case Left(_) =>
+        }
+      } else if (payload != null && payload.length >= 4 && payload(0) == 'R' &&
+        payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F') {
+        Decoders.decodeWav(payload) match {
+          case Right(w) =>
+            return BlobFeatures(id, "wav", 0, 0, 0, 0, 0, w.sampleRate, w.nSamples,
+              w.ampSum, nBytes)
+          case Left(_) =>
+        }
       }
-    } else if (payload != null && payload.length >= 4 && payload(0) == 'R' &&
-      payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F') {
-      Decoders.decodeWav(payload) match {
-        case Right(w) =>
-          return BlobFeatures(id, "wav", 0, 0, 0, 0, 0, w.sampleRate, w.nSamples,
-            w.ampSum, nBytes)
-        case Left(_) =>
-      }
-    }
+    } catch { case _: RuntimeException => /* classify below */ }
     BlobFeatures(id, "unknown", 0, 0, 0, 0, 0, 0, 0, 0, nBytes)
   }
 

@@ -242,7 +242,12 @@ object Similarity {
 
   /** Cosine between a centroid mean (exact-integer-derived doubles) and a
     * quantized vector — the assignment metric both engines evaluate
-    * identically.
+    * identically in practice. Caveat on "bit-reproducible": the INPUTS are
+    * exact (integer-sum centroids), but this formula (dot/sqrt(na·nb)) and
+    * DuckDB's list_cosine_similarity may differ in the last ulp; a
+    * divergent assignment/rank needs two similarities within ~1 ulp, which
+    * continuous random embeddings hit with negligible probability (the same
+    * already-proven assumption behind the four other ANN oracles).
     */
   def cosineQ(m: Array[Double], q: Array[Long]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -40,6 +40,18 @@ class DecodersSpec extends AnyFunSuite {
     assert(Decoders.decodeBmp(shortData).isLeft)
   }
 
+  test("BMP: Int-overflow-crafted headers rejected, not thrown") {
+    // width = 715,827,883 makes 3*width overflow Int; the Long bounds check
+    // must reject it as truncated instead of indexing b(negative)
+    val huge = bmp2x2.clone()
+    u32(715827883L).zipWithIndex.foreach { case (b, i) => huge(18 + i) = b }
+    assert(Decoders.decodeBmp(huge).isLeft)
+    // giant pixel-data offset: need > length must fail cleanly too
+    val offs = bmp2x2.clone()
+    u32(0xfffffff0L).zipWithIndex.foreach { case (b, i) => offs(10 + i) = b }
+    assert(Decoders.decodeBmp(offs).isLeft)
+  }
+
   /** Mono 16-bit 8000 Hz WAV with samples [100, -200, 32767, -32768]. */
   private val wav4: Array[Byte] = {
     val samples = Seq(100, -200, 32767, -32768)
@@ -76,5 +88,17 @@ class DecodersSpec extends AnyFunSuite {
     val overrun = wav4.clone()
     overrun(40) = 0x7f // data chunk claims more bytes than exist
     assert(Decoders.decodeWav(overrun).isLeft)
+  }
+
+  test("WAV: Int-overflow-crafted chunk size rejected, not thrown") {
+    // chunk size near 2^31: i + 8 + size must be checked in Long, or the
+    // overflowed negative sum slips past the bounds check
+    val huge = wav4.clone()
+    u32(0x7ffffffdL).zipWithIndex.foreach { case (b, i) => huge(16 + i) = b }
+    assert(Decoders.decodeWav(huge).isLeft)
+    // unsigned size ≥ 2^31 (would be negative as Int)
+    val neg = wav4.clone()
+    u32(0xfffffff0L).zipWithIndex.foreach { case (b, i) => neg(16 + i) = b }
+    assert(Decoders.decodeWav(neg).isLeft)
   }
 }
