@@ -248,6 +248,7 @@ object SparkEntry {
     "ann_dup_pairs" -> ((s, d) => Similarity.embeddingDupPairs(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
     "mm_blob_features" -> ((s, d) => Multimodal.blobFeatures(s, d)),
+    "mm_blob_transform" -> ((s, d) => Multimodal.blobTransforms(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -648,6 +649,12 @@ object SparkEntry {
     "mm_blob_features" ->
       s"""SELECT blob_id, kind, width, height, sum_r, sum_g, sum_b,
          |  sample_rate, n_samples, amp_sum, n_bytes
+         |FROM ${gt("blob_meta")}""".stripMargin,
+    // resize / frame-sample: the engine's strided decode vs the transforms
+    // the generator computed while encoding
+    "mm_blob_transform" ->
+      s"""SELECT blob_id, kind, rs_width, rs_height, rs_sum_r, rs_sum_g, rs_sum_b,
+         |  fs_n_samples, fs_amp_sum
          |FROM ${gt("blob_meta")}""".stripMargin,
     "dd_token_count" ->
       """SELECT doc_id,

@@ -55,7 +55,15 @@ final case class BlobRow(blob_id: Long, payload: Array[Byte])
   */
 final case class BlobMetaRow(blob_id: Long, kind: String, width: Long, height: Long,
     sum_r: Long, sum_g: Long, sum_b: Long, sample_rate: Long, n_samples: Long,
-    amp_sum: Long, n_bytes: Long)
+    amp_sum: Long, n_bytes: Long,
+    /** Resize / frame-sample ground truth (Decoders.ResizeStride /
+      * FrameStride), computed while encoding like the rest: rs_* = the
+      * half-size nearest-neighbor image's dims + channel sums; fs_* = the
+      * every-4th-sample clip's count + amplitude sum. Zero when n/a.
+      */
+    rs_width: Long = 0, rs_height: Long = 0,
+    rs_sum_r: Long = 0, rs_sum_g: Long = 0, rs_sum_b: Long = 0,
+    fs_n_samples: Long = 0, fs_amp_sum: Long = 0)
 
 object CorpusGen {
 
@@ -433,6 +441,8 @@ object CorpusGen {
     putU16(bytes, 26, 1); putU16(bytes, 28, 24); putU32(bytes, 30, 0)
     putU32(bytes, 34, dataSize); putU32(bytes, 38, 2835); putU32(bytes, 42, 2835)
     var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var rsR = 0L; var rsG = 0L; var rsB = 0L
+    val rs = graft.pipeline.Decoders.ResizeStride
     var y = 0
     while (y < h) {
       var x = 0
@@ -443,11 +453,14 @@ object CorpusGen {
         val o = 54 + y * rowSize + 3 * x
         bytes(o) = bb.toByte; bytes(o + 1) = gg.toByte; bytes(o + 2) = rr.toByte
         sumB += bb; sumG += gg; sumR += rr
+        if (y % rs == 0 && x % rs == 0) { rsB += bb; rsG += gg; rsR += rr }
         x += 1
       }
       y += 1
     }
-    (bytes, BlobMetaRow(id, "bmp", w, h, sumR, sumG, sumB, 0, 0, 0, bytes.length))
+    (bytes, BlobMetaRow(id, "bmp", w, h, sumR, sumG, sumB, 0, 0, 0, bytes.length,
+      rs_width = (w + rs - 1) / rs, rs_height = (h + rs - 1) / rs,
+      rs_sum_r = rsR, rs_sum_g = rsG, rs_sum_b = rsB))
   }
 
   private def buildWav(spec: CorpusSpec, id: Long): (Array[Byte], BlobMetaRow) = {
@@ -464,14 +477,19 @@ object CorpusGen {
     "data".getBytes.copyToArray(bytes, 36)
     putU32(bytes, 40, 2L * n)
     var ampSum = 0L
+    var fsAmp = 0L
+    var fsN = 0L
+    val fs = graft.pipeline.Decoders.FrameStride
     var k = 0
     while (k < n) {
       val s = (mix(spec.seed, id, k, 33) % 65536).toInt - 32768
       putU16(bytes, 44 + 2 * k, s & 0xffff)
       ampSum += math.abs(s)
+      if (k % fs == 0) { fsAmp += math.abs(s); fsN += 1 }
       k += 1
     }
-    (bytes, BlobMetaRow(id, "wav", 0, 0, 0, 0, 0, rate, n, ampSum, bytes.length))
+    (bytes, BlobMetaRow(id, "wav", 0, 0, 0, 0, 0, rate, n, ampSum, bytes.length,
+      fs_n_samples = fsN, fs_amp_sum = fsAmp))
   }
 
   private def buildCorrupt(spec: CorpusSpec, id: Long): (Array[Byte], BlobMetaRow) = {
@@ -509,7 +527,7 @@ object CorpusGen {
   /** Bumped whenever the emitted schema/content changes so stale on-disk
     * corpora regenerate instead of silently serving the old shape.
     */
-  val FormatVersion = 7
+  val FormatVersion = 8
 
   def ensure(spark: SparkSession, dir: String, spec: CorpusSpec): Unit = {
     val marker = new java.io.File(s"$dir/_CORPUS_READY")

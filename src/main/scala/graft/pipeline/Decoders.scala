@@ -15,6 +15,13 @@ object Decoders {
   final case class BmpInfo(width: Int, height: Int, sumR: Long, sumG: Long, sumB: Long)
   final case class WavInfo(sampleRate: Int, nSamples: Int, ampSum: Long)
 
+  /** Pipeline-standard strides: images half-size (nearest-neighbor), audio
+    * kept at every 4th sample. The corpus generator computes the
+    * ground-truth features for exactly these strides while ENCODING.
+    */
+  val ResizeStride = 2
+  val FrameStride = 4
+
   private def u16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
   private def u32(b: Array[Byte], i: Int): Long =
@@ -26,7 +33,15 @@ object Decoders {
     * pixel-data offset) + 40-byte BITMAPINFOHEADER (width, height, planes=1,
     * bpp=24, compression=0), rows padded to 4 bytes, pixels stored B,G,R.
     */
-  def decodeBmp(b: Array[Byte]): Either[String, BmpInfo] = {
+  def decodeBmp(b: Array[Byte]): Either[String, BmpInfo] = decodeBmpStrided(b, 1)
+
+  /** Decode with a sampling stride — the RESIZE operator's kernel: stride=2
+    * is a nearest-neighbor half-size downsample (pixels at even x,y), and
+    * the returned dims are the resized image's. stride=1 is the full
+    * decode. Separate row/col strides are a trivial extension; the Spark
+    * side treats this as any other batched per-payload kernel.
+    */
+  def decodeBmpStrided(b: Array[Byte], stride: Int): Either[String, BmpInfo] = {
     if (b == null || b.length < 54) return Left("too short for BMP headers")
     if (b(0) != 'B' || b(1) != 'M') return Left("bad BMP magic")
     val pixelOffset = u32(b, 10)
@@ -49,6 +64,7 @@ object Decoders {
     val rowSize = (3L * width + 3) / 4 * 4
     val need = pixelOffset + rowSize * rows
     if (need > b.length) return Left(s"pixel data truncated: need $need have ${b.length}")
+    if (stride < 1) return Left(s"bad stride $stride")
     var sumR = 0L; var sumG = 0L; var sumB = 0L
     var y = 0
     while (y < rows) {
@@ -58,12 +74,14 @@ object Decoders {
         sumB += b(i) & 0xff
         sumG += b(i + 1) & 0xff
         sumR += b(i + 2) & 0xff
-        i += 3
-        x += 1
+        i += 3 * stride
+        x += stride
       }
-      y += 1
+      y += stride
     }
-    Right(BmpInfo(width, rows.toInt, sumR, sumG, sumB)) // rows*rowSize ≤ length ⇒ fits Int
+    // rows*rowSize ≤ length ⇒ everything fits Int
+    Right(BmpInfo((width + stride - 1) / stride, ((rows + stride - 1) / stride).toInt,
+      sumR, sumG, sumB))
   }
 
   /** 16-bit PCM mono WAV: RIFF/"WAVE" container, "fmt " chunk with
@@ -71,7 +89,13 @@ object Decoders {
     * little-endian signed samples. Chunks may appear in any order; unknown
     * chunks are skipped (word-aligned).
     */
-  def decodeWav(b: Array[Byte]): Either[String, WavInfo] = {
+  def decodeWav(b: Array[Byte]): Either[String, WavInfo] = decodeWavStrided(b, 1)
+
+  /** Decode keeping every stride-th sample — the FRAME-SAMPLE operator's
+    * kernel (stride=4 ≙ downsampling the clip 4×); nSamples/ampSum are the
+    * sampled clip's. stride=1 is the full decode.
+    */
+  def decodeWavStrided(b: Array[Byte], stride: Int): Either[String, WavInfo] = {
     if (b == null || b.length < 44) return Left("too short for WAV headers")
     if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F')
       return Left("bad RIFF magic")
@@ -106,14 +130,17 @@ object Decoders {
     }
     if (sampleRate < 0) return Left("missing fmt chunk")
     if (dataStart < 0) return Left("missing data chunk")
+    if (stride < 1) return Left(s"bad stride $stride")
     val n = dataLen / 2
     var ampSum = 0L
     var k = 0
+    var kept = 0
     while (k < n) {
       val s = (u16(b, dataStart + 2 * k).toShort).toInt
       ampSum += math.abs(s)
-      k += 1
+      kept += 1
+      k += stride
     }
-    Right(WavInfo(sampleRate, n, ampSum))
+    Right(WavInfo(sampleRate, kept, ampSum))
   }
 }

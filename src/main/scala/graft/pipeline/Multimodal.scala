@@ -64,6 +64,48 @@ object Multimodal {
     BlobFeatures(id, "unknown", 0, 0, 0, 0, 0, 0, 0, 0, nBytes)
   }
 
+  final case class BlobTransform(blob_id: Long, kind: String,
+      rs_width: Long, rs_height: Long, rs_sum_r: Long, rs_sum_g: Long, rs_sum_b: Long,
+      fs_n_samples: Long, fs_amp_sum: Long)
+
+  /** RESIZE (images) / FRAME-SAMPLE (audio) over the opaque payloads:
+    * nearest-neighbor half-size for BMP, every-[[Decoders.FrameStride]]-th
+    * sample for WAV — the strided decode IS the transform (no intermediate
+    * full-resolution materialization), which is the shape that matters at
+    * scale: a 100 TB media column is downsampled in one narrow pass.
+    * Oracle: the generator computed the same transforms while ENCODING.
+    */
+  def transformOne(id: Long, payload: Array[Byte]): BlobTransform = {
+    try {
+      if (payload != null && payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') {
+        Decoders.decodeBmpStrided(payload, Decoders.ResizeStride) match {
+          case Right(b) =>
+            return BlobTransform(id, "bmp", b.width, b.height, b.sumR, b.sumG, b.sumB, 0, 0)
+          case Left(_) =>
+        }
+      } else if (payload != null && payload.length >= 4 && payload(0) == 'R' &&
+        payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F') {
+        Decoders.decodeWavStrided(payload, Decoders.FrameStride) match {
+          case Right(w) =>
+            return BlobTransform(id, "wav", 0, 0, 0, 0, 0, w.nSamples, w.ampSum)
+          case Left(_) =>
+        }
+      }
+    } catch { case _: RuntimeException => }
+    BlobTransform(id, "unknown", 0, 0, 0, 0, 0, 0, 0)
+  }
+
+  /** Batched resize/frame-sample over the blobs table. */
+  def blobTransforms(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    spark.read.parquet(s"$dir/blobs.parquet")
+      .select(col("blob_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => transformOne(id, payload) })
+      .toDF()
+  }
+
   /** Batched real decode over the opaque blobs table. */
   def blobFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     val spark2 = spark

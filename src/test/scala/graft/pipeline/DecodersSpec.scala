@@ -40,6 +40,15 @@ class DecodersSpec extends AnyFunSuite {
     assert(Decoders.decodeBmp(shortData).isLeft)
   }
 
+  test("BMP: strided decode = nearest-neighbor downsample dims and sums") {
+    // stride 2 on the 2x2 keeps only storage (x=0, y=0) → pixel (1,2,3)
+    val half = Decoders.decodeBmpStrided(bmp2x2, 2).toOption.get
+    assert(half.width == 1 && half.height == 1)
+    assert(half.sumB == 1 && half.sumG == 2 && half.sumR == 3)
+    // stride 1 ≡ full decode
+    assert(Decoders.decodeBmpStrided(bmp2x2, 1) == Decoders.decodeBmp(bmp2x2))
+  }
+
   test("BMP: Int-overflow-crafted headers rejected, not thrown") {
     // width = 715,827,883 makes 3*width overflow Int; the Long bounds check
     // must reject it as truncated instead of indexing b(negative)
@@ -88,6 +97,13 @@ class DecodersSpec extends AnyFunSuite {
     val overrun = wav4.clone()
     overrun(40) = 0x7f // data chunk claims more bytes than exist
     assert(Decoders.decodeWav(overrun).isLeft)
+  }
+
+  test("WAV: strided decode keeps every stride-th sample") {
+    // samples [100, -200, 32767, -32768], stride 2 keeps [100, 32767]
+    val fs = Decoders.decodeWavStrided(wav4, 2).toOption.get
+    assert(fs.nSamples == 2 && fs.ampSum == 100L + 32767L)
+    assert(Decoders.decodeWavStrided(wav4, 1) == Decoders.decodeWav(wav4))
   }
 
   test("WAV: Int-overflow-crafted chunk size rejected, not thrown") {
