@@ -114,7 +114,19 @@ final case class CrawlConfig(
       * path (tests).
       */
     broadcastFrontierMax: Long = 1000000L,
-    cachePages: Boolean = true // re-partition + cache the corpus once per crawl
+    cachePages: Boolean = true, // re-partition + cache the corpus once per crawl
+    /** EXPERIMENTAL wave-size AQE gate: when > 0, waves with fewer frontier
+      * rows run with spark.sql.adaptive.enabled=false (AQE's per-shuffle
+      * re-planning is pure overhead when every shuffle is tiny) and larger
+      * waves re-enable it (skew-join splitting, partition coalescing); the
+      * caller's session setting is restored on exit. Default 0 = never
+      * touch the session conf: measured A/B (CrawlTimer SPARK_GRAFT_TIMER=
+      * aqe, interleaved same-JVM pairs) shows AQE-off winning ~30% at
+      * sf0.01 but LOSING ~10-25% at sf0.1 on this VM — the crossover is
+      * inside ambient noise, so the engine ships with Spark's default and
+      * leaves the knob for cluster-specific tuning.
+      */
+    aqeMinWaveRows: Long = 0L
 )
 
 final case class ProcLink(dst: String, dstHost: String, pos: Int)
@@ -484,6 +496,16 @@ object WaveCrawler {
     var stopped = false
     val metrics = Seq.newBuilder[WaveMetrics]
 
+    // Wave-size-adaptive AQE (see CrawlConfig.aqeMinWaveRows): restore the
+    // caller's setting whatever happens. Session-scoped conf — callers
+    // running concurrent queries on the same session should pass 0.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeOriginal: Option[String] =
+      try Option(spark.conf.get(aqeKey)) catch { case _: Throwable => None }
+    def setAqe(on: Boolean): Unit =
+      if (config.aqeMinWaveRows > 0) spark.conf.set(aqeKey, on.toString)
+
+    try {
     while (!stopped && wave < config.maxWaves && popped > 0) {
       if (config.cancelled()) {
         // reference SIGINT semantics (crawler.go:317-321): break before the
@@ -492,6 +514,7 @@ object WaveCrawler {
         stopReason = "Cancelled by user"
       } else {
       wave += 1
+      setAqe(popped >= config.aqeMinWaveRows)
 
       // J1: "fetch" = equi-join against the corpus. Waves are broadcast while
       // small (the common case); at 10^10-frontier scale this becomes a
@@ -746,6 +769,13 @@ object WaveCrawler {
         stopReason = s"Page limit reached (${config.pageLimit})"
       }
       } // cancel-check else
+    }
+    } finally {
+      // restore the caller's AQE setting (the loop may have toggled it)
+      if (config.aqeMinWaveRows > 0) aqeOriginal match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None    => spark.conf.unset(aqeKey)
+      }
     }
 
     if (doCachePages) pagesSlim.unpersist()

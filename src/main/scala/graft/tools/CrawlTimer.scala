@@ -37,10 +37,19 @@ object CrawlTimer {
     }
 
     val seed = "http://host0.test/"
-    run("bfs default (adaptive)", CrawlConfig(startUrl = seed))
-    run("bfs default sched-only", CrawlConfig(startUrl = seed, extractContent = false))
-    run("bfs forced-bloom sched", CrawlConfig(startUrl = seed, extractContent = false, bloomMinSeen = 0L))
-    run("bfs forced-bloom+extract", CrawlConfig(startUrl = seed, bloomMinSeen = 0L))
+    // SPARK_GRAFT_TIMER=aqe runs only the interleaved AQE A/B (same JVM,
+    // shared JIT/cache, alternating order → ambient-load-resistant)
+    if (sys.env.get("SPARK_GRAFT_TIMER").contains("aqe")) {
+      (1 to repeats).foreach { _ =>
+        run("bfs small-wave-AQE-off", CrawlConfig(startUrl = seed, aqeMinWaveRows = 100000L))
+        run("bfs session-AQE (dflt)", CrawlConfig(startUrl = seed))
+      }
+    } else {
+      run("bfs default (adaptive)", CrawlConfig(startUrl = seed))
+      run("bfs default sched-only", CrawlConfig(startUrl = seed, extractContent = false))
+      run("bfs forced-bloom sched", CrawlConfig(startUrl = seed, extractContent = false, bloomMinSeen = 0L))
+      run("bfs forced-bloom+extract", CrawlConfig(startUrl = seed, bloomMinSeen = 0L))
+    }
     spark.stop()
   }
 }

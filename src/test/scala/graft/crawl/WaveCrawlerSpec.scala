@@ -173,6 +173,19 @@ class WaveCrawlerSpec extends AnyFunSuite {
       || u.startsWith("http://host2.test/misc/")))
   }
 
+  test("wave-size AQE gate: equivalent crawl, caller setting restored") {
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.get(key)
+    val (saved, _, _) = sparkCrawl(CrawlConfig(startUrl = seed0)) // default: untouched
+    assert(saved.nonEmpty)
+    assert(spark.conf.get(key) == before)
+    // gate engaged: tiny waves run AQE-off internally; result identical and
+    // the caller's setting restored afterwards
+    val (savedG, _, _) = sparkCrawl(CrawlConfig(startUrl = seed0, aqeMinWaveRows = 100000L))
+    assert(savedG == saved)
+    assert(spark.conf.get(key) == before, "caller's AQE setting not restored")
+  }
+
   test("multi-host robots anti-join plans as a broadcast hash LeftAnti") {
     import spark.implicits._
     val links = Seq(
