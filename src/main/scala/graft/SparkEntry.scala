@@ -246,6 +246,8 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_ivf_kmeans_topk" -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     "ann_dup_pairs" -> ((s, d) => Similarity.embeddingDupPairs(s, d)),
+    "graph_host_edges" -> ((s, d) => graft.pipeline.HostGraph.hostEdges(s, d)),
+    "graph_host_pagerank" -> ((s, d) => graft.pipeline.HostGraph.hostPageRank(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
     "mm_blob_features" -> ((s, d) => Multimodal.blobFeatures(s, d)),
     "mm_blob_transform" -> ((s, d) => Multimodal.blobTransforms(s, d)),
@@ -650,6 +652,34 @@ object SparkEntry {
       s"""SELECT blob_id, kind, width, height, sum_r, sum_g, sum_b,
          |  sample_rate, n_samples, amp_sum, n_bytes
          |FROM ${gt("blob_meta")}""".stripMargin,
+    // host-graph analytics over the multi-host link graph
+    "graph_host_edges" ->
+      s"""SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+         |  regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host,
+         |  COUNT(*) AS n_links
+         |FROM ${gt("xlinks")} GROUP BY 1, 2""".stripMargin,
+    // fixed-point integer PageRank, iterations unrolled — integer sums and
+    // floor divisions are exact in both engines (k-means-oracle pattern)
+    "graph_host_pagerank" -> {
+      val iters = graft.pipeline.HostGraph.PageRankIters
+      val scale = graft.pipeline.HostGraph.PrScale
+      val head =
+        s"""x AS (SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS s,
+           |  regexp_extract(dst_url, '^https?://([^/]+)', 1) AS d FROM ${gt("xlinks")}),
+           |e AS (SELECT s, d, COUNT(*) AS w FROM x GROUP BY 1, 2),
+           |hosts AS (SELECT DISTINCT h FROM (SELECT s AS h FROM e UNION SELECT d FROM e)),
+           |outw AS (SELECT s, SUM(w) AS ow FROM e GROUP BY s),
+           |p0 AS (SELECT h, CAST($scale AS BIGINT) AS pr FROM hosts)""".stripMargin
+      val steps = (1 to iters).map { k =>
+        s"""c$k AS (
+           |  SELECT e.d, SUM((p.pr * e.w) // o.ow) AS m
+           |  FROM e JOIN p${k - 1} p ON p.h = e.s JOIN outw o ON o.s = e.s GROUP BY e.d),
+           |p$k AS (
+           |  SELECT h.h, CAST(${15L * scale / 100} + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS pr
+           |  FROM hosts h LEFT JOIN c$k c ON c.d = h.h)""".stripMargin
+      }
+      (head +: steps).mkString("WITH ", ",\n", s"\nSELECT h AS host, pr FROM p$iters")
+    },
     // resize / frame-sample: the engine's strided decode vs the transforms
     // the generator computed while encoding
     "mm_blob_transform" ->

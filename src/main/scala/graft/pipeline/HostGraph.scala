@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.CrawlQueries
+
+/** Host-level web-graph analytics over the multi-host link graph — the
+  * link-analysis facet of a Common-Crawl-style pipeline (host ranking for
+  * crawl prioritization / quality weighting).
+  *
+  * Scale design: nodes/edges are host-keyed aggregates of the extracted
+  * link table (one groupBy shuffle; urls never leave their hash bucket),
+  * and PageRank iterates join+aggregate over (host)-keyed tables — the
+  * standard Spark dataflow where each iteration is one shuffle bounded by
+  * the HOST count (≪ url count; ~10^8 rows at web scale, broadcastable
+  * out-weights).
+  *
+  * Determinism: PageRank runs in FIXED-POINT integer arithmetic — ranks are
+  * longs scaled by [[PrScale]], per-edge contributions use floor division
+  * (`pr*w/out_w`), and the damping update is `(15·Scale)/100 +
+  * (85·Σcontrib)/100` in integer ops. Integer sums/divisions are exact and
+  * order-independent, so the result is partitioning-independent and the
+  * DuckDB oracle replays the unrolled iterations bit-for-bit (same design
+  * as the k-means refinement's quantized centroids). Dangling hosts (no
+  * outlinks) leak their mass — documented, standard simplification; the
+  * 0.15·Scale floor keeps every host ranked.
+  */
+object HostGraph {
+
+  val PrScale = 1000000L
+  val PageRankIters = 5
+
+  private def hostOf(urlCol: org.apache.spark.sql.Column) =
+    regexp_extract(urlCol, "^https?://([^/]+)", 1)
+
+  /** Weighted host→host edge list from the multi-host extractor output
+    * (self-edges included: same-host links are real graph mass).
+    */
+  def hostEdges(spark: SparkSession, sfDir: String): DataFrame =
+    CrawlQueries.xlinkExtract(spark, sfDir)
+      .select(hostOf(col("src_url")).as("src_host"), hostOf(col("dst_url")).as("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+
+  /** Fixed-point PageRank over the host graph: (host, pr) with pr a long in
+    * [[PrScale]] units after [[PageRankIters]] synchronous iterations from a
+    * uniform [[PrScale]] start.
+    */
+  def hostPageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = hostEdges(spark, sfDir)
+      .withColumnRenamed("src_host", "s").withColumnRenamed("dst_host", "d")
+      .withColumnRenamed("n_links", "w")
+      .persist()
+    val hosts = edges.select(col("s").as("h"))
+      .unionByName(edges.select(col("d").as("h"))).distinct().persist()
+    val outw = edges.groupBy(col("s")).agg(sum(col("w")).as("ow"))
+
+    var pr = hosts.select(col("h"), lit(PrScale).as("pr"))
+    for (_ <- 1 to PageRankIters) {
+      // per-edge integer contribution via SQL `div` (TRUE integral
+      // division, matching DuckDB's `//`) — NOT `/`, which is double
+      // division in Spark and can round an exact quotient across the floor
+      val contrib = edges
+        .join(pr, edges("s") === pr("h"))
+        .join(outw, Seq("s"))
+        .select(col("d"), expr("(pr * w) div ow").as("c"))
+        .groupBy(col("d")).agg(sum(col("c")).as("m"))
+      pr = hosts
+        .join(contrib, hosts("h") === contrib("d"), "left")
+        .select(col("h"),
+          (lit(15L * PrScale / 100) +
+            expr(s"(85 * coalesce(m, 0L)) div 100")).as("pr"))
+    }
+    val out = pr.select(col("h").as("host"), col("pr"))
+    edges.unpersist()
+    hosts.unpersist()
+    out
+  }
+}

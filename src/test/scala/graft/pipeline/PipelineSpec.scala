@@ -221,6 +221,21 @@ class PipelineSpec extends AnyFunSuite {
     cov.values.foreach { case (w, r) => assert(r <= w && w > 0) }
   }
 
+  test("host pagerank: deterministic, mass-ordered by in-link weight") {
+    import spark.implicits._
+    val pr = HostGraph.hostPageRank(spark, sf).as[(String, Long)].collect().toMap
+    assert(pr.nonEmpty)
+    // every host keeps at least the damping floor
+    pr.values.foreach(v => assert(v >= 15L * HostGraph.PrScale / 100))
+    // other.example is a pure sink fed by one cross-host noise link per page
+    // — it must rank strictly below the hosts that also receive tree mass
+    val hostRanks = pr.filter(_._1.startsWith("host"))
+    assert(hostRanks.values.max > pr("other.example"))
+    // bit-reproducible (integer arithmetic): a second run is identical
+    val again = HostGraph.hostPageRank(spark, sf).as[(String, Long)].collect().toMap
+    assert(again == pr)
+  }
+
   test("embedding dup pairs finds the injected perturbed vectors") {
     val pairs = Similarity.embeddingDupPairs(spark, sf).collect()
       .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))).toSet
