@@ -210,6 +210,7 @@ object SparkEntry {
     "crawl_extract_markdown" -> ((s, d) => C.extractMarkdown(s, d)),
     "crawl_selector_md" -> ((s, d) => C.selectorMd(s, d)),
     "stream_extract" -> ((s, d) => C.streamExtract(s, d)),
+    "stream_sessions" -> ((s, d) => C.fetchSessions(s, d)),
     "crawl_limit_prefix" -> ((s, d) => C.limitPrefix(s, d, 100)),
     "crawl_limit_set" -> ((s, d) => C.limitSet(s, d, 100)),
     "crawl_robots_blocked" -> ((s, d) => C.robotsBlocked(s, d)),
@@ -371,6 +372,26 @@ object SparkEntry {
     // land exactly the batch kernel's rows for every non-empty page
     "stream_extract" ->
       s"SELECT url, title, markdown FROM ${gt("meta")} WHERE empty_html = 0",
+    // session_window ≡ gap-based lag/cumsum segmentation: events merge while
+    // the inter-event gap is < 3 min (Spark breaks at >= gap — mirrored)
+    "stream_sessions" ->
+      s"""WITH ev AS (
+         |  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, warc_ts
+         |  FROM ${gt("pages")}),
+         |d AS (
+         |  SELECT host, warc_ts,
+         |    CASE WHEN lag(warc_ts) OVER (PARTITION BY host ORDER BY warc_ts) IS NULL
+         |           OR warc_ts - lag(warc_ts) OVER (PARTITION BY host ORDER BY warc_ts)
+         |              >= INTERVAL 3 MINUTE
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM ev),
+         |s AS (
+         |  SELECT host, warc_ts,
+         |    SUM(brk) OVER (PARTITION BY host ORDER BY warc_ts) AS sid
+         |  FROM d)
+         |SELECT host, MIN(warc_ts) AS session_start, MAX(warc_ts) AS session_end,
+         |  COUNT(*) AS n_pages
+         |FROM s GROUP BY host, sid""".stripMargin,
     "crawl_extract_markdown" ->
       s"SELECT url, markdown FROM ${gt("meta")}",
     "crawl_selector_md" ->

@@ -360,6 +360,21 @@ object CrawlQueries {
       .select(col("url"), col("title"), col("markdown"))
   }
 
+  /** Event-time sessionization of the fetch feed (StreamIngest.hostSessions
+    * — session_window, the streaming-native gap window, run in batch for
+    * the driver oracle; the streaming emission semantics are spec'd in
+    * StreamIngestSpec).
+    */
+  def fetchSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    val pages = CorpusGen.pages(spark, dir).select(
+      regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"), col("warc_ts"))
+    // 3-minute gap: the corpus fetch times are ~1/min per big host over a
+    // 24 h span, so this yields a real session structure (hundreds of
+    // sessions, gap boundary exercised) rather than one session per host
+    graft.streaming.StreamIngest.hostSessions(pages, gap = "3 minutes")
+  }
+
   /** F1 url normalization over constructed denormalized variants. */
   def urlNormalize(spark: SparkSession, sfDir: String): DataFrame = {
     val spark2 = spark

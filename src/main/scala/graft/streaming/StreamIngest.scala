@@ -97,6 +97,27 @@ object StreamIngest {
       .agg(count(lit(1)).as("pages"))
       .select(col("window.start").as("win_start"), col("host"), col("pages"))
 
+  /** Event-time sessionization of the fetch feed: per-host sessions of
+    * consecutive pages with warc_ts gaps below `gap` — `session_window`,
+    * the streaming-native gap window (state merges as events arrive,
+    * watermark finalizes sessions). The SAME aggregation runs in batch
+    * (Spark's session_window is mode-agnostic), which is what the driver
+    * oracle checks: a session's page count and start are a pure function of
+    * the event times, so batch output == the streaming query's fully
+    * finalized output. Session END is last event + gap by definition —
+    * reported as the last event time (end - gap) so the oracle is a plain
+    * lag/cumsum segmentation.
+    */
+  def hostSessions(pages: DataFrame, gap: String = "30 minutes"): DataFrame =
+    pages
+      .groupBy(session_window(col("warc_ts"), gap), col("host"))
+      .agg(count(lit(1)).as("n_pages"))
+      .select(
+        col("host"),
+        col("session_window.start").as("session_start"),
+        (col("session_window.end") - expr(s"INTERVAL $gap")).as("session_end"),
+        col("n_pages"))
+
   /** Source → extract → dedup → append parquet, with checkpoint/resume.
     * Trigger.AvailableNow drains everything currently in the landing dir
     * then stops — the batch-friendly mode the specs (and a backfill) use; a
