@@ -31,7 +31,11 @@ object HostGraph {
   val PrScale = 1000000L
   val PageRankIters = 5
 
-  private def hostOf(urlCol: org.apache.spark.sql.Column) =
+  /** Host component of a canonical page url — shared by every host-keyed
+    * query (graph, sessionization) so host identity cannot drift between
+    * them; the oracle SQL embeds the same regexp.
+    */
+  def hostOf(urlCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_extract(urlCol, "^https?://([^/]+)", 1)
 
   /** Weighted host→host edge list from the multi-host extractor output
@@ -48,12 +52,17 @@ object HostGraph {
     * uniform [[PrScale]] start.
     */
   def hostPageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    // EAGER localCheckpoint, not persist-then-unpersist: the returned plan
+    // is lazy and references the edge table ~4× per iteration — without a
+    // materialized cut-point the caller's first action would re-run the
+    // full-corpus link extraction ~20×. The checkpointed tables are
+    // host-cardinality-bounded (tiny) and live for the session.
     val edges = hostEdges(spark, sfDir)
       .withColumnRenamed("src_host", "s").withColumnRenamed("dst_host", "d")
       .withColumnRenamed("n_links", "w")
-      .persist()
+      .localCheckpoint(true)
     val hosts = edges.select(col("s").as("h"))
-      .unionByName(edges.select(col("d").as("h"))).distinct().persist()
+      .unionByName(edges.select(col("d").as("h"))).distinct().localCheckpoint(true)
     val outw = edges.groupBy(col("s")).agg(sum(col("w")).as("ow"))
 
     var pr = hosts.select(col("h"), lit(PrScale).as("pr"))
@@ -72,9 +81,6 @@ object HostGraph {
           (lit(15L * PrScale / 100) +
             expr(s"(85 * coalesce(m, 0L)) div 100")).as("pr"))
     }
-    val out = pr.select(col("h").as("host"), col("pr"))
-    edges.unpersist()
-    hosts.unpersist()
-    out
+    pr.select(col("h").as("host"), col("pr"))
   }
 }

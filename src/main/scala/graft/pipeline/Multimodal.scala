@@ -35,33 +35,43 @@ object Multimodal {
       sum_r: Long, sum_g: Long, sum_b: Long, sample_rate: Long, n_samples: Long,
       amp_sum: Long, n_bytes: Long)
 
-  /** Sniff + decode one payload; decode failures classify as `unknown`
-    * with zeroed features — a corrupt blob must never fail the task. The
-    * decoders bounds-check in Long arithmetic, and a try/catch backstop
-    * keeps even an unanticipated decoder defect from killing a 100 TB job
-    * (defense in depth: the invariant is the pipeline's, not one parser's).
+  /** The ONE magic-byte sniff + strided decode + failure classification —
+    * shared by the feature and transform operators so their `kind`
+    * classification can never diverge. Decode failures (Left OR an
+    * unanticipated decoder throw — defense in depth: the corrupt-blob
+    * invariant is the pipeline's, not one parser's; the decoders already
+    * bounds-check in Long arithmetic) classify as `unknown`.
     */
-  def decodeOne(id: Long, payload: Array[Byte]): BlobFeatures = {
-    val nBytes = if (payload == null) 0L else payload.length.toLong
+  private def sniffDecode(payload: Array[Byte], bmpStride: Int, wavStride: Int):
+      (String, Option[Decoders.BmpInfo], Option[Decoders.WavInfo]) = {
     try {
       if (payload != null && payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') {
-        Decoders.decodeBmp(payload) match {
-          case Right(b) =>
-            return BlobFeatures(id, "bmp", b.width, b.height, b.sumR, b.sumG, b.sumB,
-              0, 0, 0, nBytes)
-          case Left(_) =>
+        Decoders.decodeBmpStrided(payload, bmpStride) match {
+          case Right(b) => return ("bmp", Some(b), None)
+          case Left(_)  =>
         }
       } else if (payload != null && payload.length >= 4 && payload(0) == 'R' &&
         payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F') {
-        Decoders.decodeWav(payload) match {
-          case Right(w) =>
-            return BlobFeatures(id, "wav", 0, 0, 0, 0, 0, w.sampleRate, w.nSamples,
-              w.ampSum, nBytes)
-          case Left(_) =>
+        Decoders.decodeWavStrided(payload, wavStride) match {
+          case Right(w) => return ("wav", None, Some(w))
+          case Left(_)  =>
         }
       }
     } catch { case _: RuntimeException => /* classify below */ }
-    BlobFeatures(id, "unknown", 0, 0, 0, 0, 0, 0, 0, 0, nBytes)
+    ("unknown", None, None)
+  }
+
+  /** Sniff + full decode of one payload (stride 1). */
+  def decodeOne(id: Long, payload: Array[Byte]): BlobFeatures = {
+    val nBytes = if (payload == null) 0L else payload.length.toLong
+    sniffDecode(payload, 1, 1) match {
+      case ("bmp", Some(b), _) =>
+        BlobFeatures(id, "bmp", b.width, b.height, b.sumR, b.sumG, b.sumB, 0, 0, 0, nBytes)
+      case ("wav", _, Some(w)) =>
+        BlobFeatures(id, "wav", 0, 0, 0, 0, 0, w.sampleRate, w.nSamples, w.ampSum, nBytes)
+      case _ =>
+        BlobFeatures(id, "unknown", 0, 0, 0, 0, 0, 0, 0, 0, nBytes)
+    }
   }
 
   final case class BlobTransform(blob_id: Long, kind: String,
@@ -75,25 +85,15 @@ object Multimodal {
     * scale: a 100 TB media column is downsampled in one narrow pass.
     * Oracle: the generator computed the same transforms while ENCODING.
     */
-  def transformOne(id: Long, payload: Array[Byte]): BlobTransform = {
-    try {
-      if (payload != null && payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') {
-        Decoders.decodeBmpStrided(payload, Decoders.ResizeStride) match {
-          case Right(b) =>
-            return BlobTransform(id, "bmp", b.width, b.height, b.sumR, b.sumG, b.sumB, 0, 0)
-          case Left(_) =>
-        }
-      } else if (payload != null && payload.length >= 4 && payload(0) == 'R' &&
-        payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F') {
-        Decoders.decodeWavStrided(payload, Decoders.FrameStride) match {
-          case Right(w) =>
-            return BlobTransform(id, "wav", 0, 0, 0, 0, 0, w.nSamples, w.ampSum)
-          case Left(_) =>
-        }
-      }
-    } catch { case _: RuntimeException => }
-    BlobTransform(id, "unknown", 0, 0, 0, 0, 0, 0, 0)
-  }
+  def transformOne(id: Long, payload: Array[Byte]): BlobTransform =
+    sniffDecode(payload, Decoders.ResizeStride, Decoders.FrameStride) match {
+      case ("bmp", Some(b), _) =>
+        BlobTransform(id, "bmp", b.width, b.height, b.sumR, b.sumG, b.sumB, 0, 0)
+      case ("wav", _, Some(w)) =>
+        BlobTransform(id, "wav", 0, 0, 0, 0, 0, w.nSamples, w.ampSum)
+      case _ =>
+        BlobTransform(id, "unknown", 0, 0, 0, 0, 0, 0, 0)
+    }
 
   /** Batched resize/frame-sample over the blobs table. */
   def blobTransforms(spark: SparkSession, sfDir: String): DataFrame = {

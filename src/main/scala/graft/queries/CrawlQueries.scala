@@ -368,7 +368,7 @@ object CrawlQueries {
   def fetchSessions(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = CorpusGen.ensureFor(spark, sfDir)
     val pages = CorpusGen.pages(spark, dir).select(
-      regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"), col("warc_ts"))
+      graft.pipeline.HostGraph.hostOf(col("url")).as("host"), col("warc_ts"))
     // 3-minute gap: the corpus fetch times are ~1/min per big host over a
     // 24 h span, so this yields a real session structure (hundreds of
     // sessions, gap boundary exercised) rather than one session per host

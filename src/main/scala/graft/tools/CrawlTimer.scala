@@ -23,26 +23,28 @@ object CrawlTimer {
     val dir = CorpusGen.ensureFor(spark, sfDir)
     val pages = CorpusGen.pages(spark, dir)
 
-    def run(label: String, cfg: CrawlConfig): Unit = {
+    def runN(label: String, cfg: CrawlConfig, n: Int): Unit = {
       var best = Double.MaxValue
-      var n = 0L
-      (1 to repeats).foreach { _ =>
+      var saved = 0L
+      (1 to n).foreach { _ =>
         val t0 = System.nanoTime()
-        n = WaveCrawler.crawl(spark, pages, cfg).saved.count()
+        saved = WaveCrawler.crawl(spark, pages, cfg).saved.count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         if (dt < best) best = dt
       }
-      println(f"$label%-28s best=$best%6.2f s  saved=$n")
+      println(f"$label%-28s best=$best%6.2f s  saved=$saved")
     }
+    def run(label: String, cfg: CrawlConfig): Unit = runN(label, cfg, repeats)
 
     val seed = "http://host0.test/"
-    // SPARK_GRAFT_TIMER=aqe runs only the interleaved AQE A/B (same JVM,
-    // shared JIT/cache, alternating order → ambient-load-resistant)
+    // SPARK_GRAFT_TIMER=aqe runs only the AQE A/B in a STRICT A,B,A,B…
+    // interleave of single runs (same JVM, shared JIT/cache) — each printed
+    // line is one crawl, so ambient-load drifts hit both sides evenly
     if (sys.env.get("SPARK_GRAFT_TIMER").contains("aqe")) {
-      (1 to repeats).foreach { _ =>
-        run("bfs small-wave-AQE-off", CrawlConfig(startUrl = seed, aqeMinWaveRows = 100000L))
-        run("bfs session-AQE (dflt)", CrawlConfig(startUrl = seed))
+      (1 to math.max(repeats, 2)).foreach { _ =>
+        runN("bfs small-wave-AQE-off", CrawlConfig(startUrl = seed, aqeMinWaveRows = 100000L), 1)
+        runN("bfs session-AQE (dflt)", CrawlConfig(startUrl = seed), 1)
       }
     } else {
       run("bfs default (adaptive)", CrawlConfig(startUrl = seed))

@@ -89,6 +89,56 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(n < total, s"expected late-dropping under a tiny watermark, got $n of $total")
   }
 
+  test("session_window streaming emission: finalized sessions equal the batch run") {
+    import spark.implicits._
+    // a TIME-ORDERED landing: session finalization in append mode needs the
+    // feed to arrive in (rough) event-time order — an out-of-order drop set
+    // races the watermark past later files and drops them as late (that
+    // semantics is pinned by the late-drop test above; a real fetch fleet
+    // emits roughly time-ordered drops)
+    val in = java.nio.file.Files.createTempDirectory("graftstreamsess").toString
+    val rows = (for {
+      h <- 0 until spec.nHosts
+      i <- 0 until spec.hostSizes(h)
+    } yield CorpusGen.pageRow(spec, h, i)).sortBy(_.warc_ts.getTime)
+    rows.grouped(math.max(1, rows.size / 8)).zipWithIndex.foreach { case (chunk, k) =>
+      chunk.toDS().coalesce(1).write.parquet(f"$in/drop$k%03d.parquet")
+    }
+    val src = s"$in/*.parquet/*.parquet"
+    def withHost(df: org.apache.spark.sql.DataFrame) =
+      df.select(graft.pipeline.HostGraph.hostOf(col("url")).as("host"), col("warc_ts"))
+
+    val batchSessions = StreamIngest.hostSessions(
+      withHost(spark.read.parquet(src)), gap = "3 minutes")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    val maxTs = spark.read.parquet(src).agg(max(col("warc_ts")))
+      .head().getTimestamp(0).getTime
+
+    // streaming: watermark finalizes a session once it trails the max event
+    // time by delay; AvailableNow drains all files then advances the final
+    // watermark in a no-data batch
+    val stream = spark.readStream.schema(StreamIngest.PagesSchema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamIngest.hostSessions(
+      withHost(stream).withWatermark("warc_ts", "1 second"), gap = "3 minutes")
+      .writeStream.format("memory").queryName("sess_stream").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sess_stream")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+
+    assert(streamed.nonEmpty)
+    // every emitted session is byte-identical to a batch session …
+    assert(streamed.subsetOf(batchSessions),
+      s"streaming emitted sessions absent from batch: ${streamed -- batchSessions}")
+    // … and every session safely older than the final watermark was emitted
+    // (wide margin dodges the exact window-close boundary semantics)
+    val margin = 3 * 60 * 1000L + 61 * 1000L // gap + delay + 1 min headroom
+    val mustEmit = batchSessions.filter(_._3.getTime + margin < maxTs - 60000L)
+    assert(mustEmit.nonEmpty && mustEmit.subsetOf(streamed),
+      s"finalized sessions missing from the stream: ${mustEmit -- streamed}")
+  }
+
   test("windowed per-host counts respect event-time windows") {
     import spark.implicits._
     val (in, total) = landing(batches = 2)
