@@ -36,36 +36,48 @@ object Bench {
 
     // This JSON line is the round's PERMANENT performance record, measured
     // on a shared virtualized host whose ambient load moves wall-clock by
-    // ±40% (BASELINE.md noise note). Defenses: every phase is best-of-N
-    // with N ≥ 3 UNCONDITIONALLY (SPARK_GRAFT_REPEATS can only raise it),
-    // the per-repeat times are embedded so an outlier run self-diagnoses,
-    // and /proc/loadavg is stamped at start and end.
-    val repeats = math.max(sys.env.getOrElse("SPARK_GRAFT_REPEATS", "1").toInt, 3)
+    // ±40% (BASELINE.md noise note). Defenses: every phase repeats until it
+    // CONVERGES — the best two times agree within `tol` (15%) — with a floor
+    // of `minReps` (≥3, SPARK_GRAFT_REPEATS can only raise it) and a cap of
+    // `maxReps` (8). Each phase carries "converged"; the record carries
+    // "clean" = (loadavg_start below threshold AND every phase converged) so
+    // a contaminated number discounts itself mechanically instead of being
+    // adjudicated by hand (it happened two rounds running).
+    val minReps = math.max(sys.env.getOrElse("SPARK_GRAFT_REPEATS", "1").toInt, 3)
+    val maxReps = math.max(sys.env.getOrElse("SPARK_GRAFT_MAX_REPEATS", "8").toInt, minReps)
+    val tol = 0.15
+    val loadCleanMax = 2.0
 
     def loadavg(): String =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ").take(3).mkString(",")
       catch { case _: Throwable => "" }
     val loadStart = loadavg()
+    val load1Start = loadStart.split(",").headOption.flatMap(_.toDoubleOption).getOrElse(99.0)
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val allRepeats = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val convergedBy = scala.collection.mutable.LinkedHashMap[String, Boolean]()
 
-    def timeN[T](label: String, n: Int)(body: => T): (T, Double) = {
+    def time[T](label: String)(body: => T): (T, Double) = {
       var best = Double.MaxValue
       var out: Option[T] = None
-      val runs = Seq.newBuilder[Double]
-      (1 to n).foreach { _ =>
+      val runs = scala.collection.mutable.ArrayBuffer[Double]()
+      def isConverged: Boolean = runs.size >= 2 && {
+        val sorted = runs.sorted
+        (sorted(1) - sorted(0)) / sorted(0) <= tol
+      }
+      while (runs.size < minReps || (!isConverged && runs.size < maxReps)) {
         val t0 = System.nanoTime()
         val r = body
         val dt = (System.nanoTime() - t0) / 1e9
         runs += dt
         if (dt < best) { best = dt; out = Some(r) }
       }
-      allRepeats += label -> runs.result()
+      allRepeats += label -> runs.toSeq
+      convergedBy += label -> isConverged
       (out.get, best)
     }
-    def time[T](label: String)(body: => T): (T, Double) = timeN(label, repeats)(body)
 
     // release all crawl state (localCheckpoint RDDs) between phases so one
     // measurement's cache doesn't pressure the next
@@ -128,12 +140,16 @@ object Bench {
 
     val urlsPerSec = extracted / tList
     val bfsPerSec = bfsSaved / tBfs
+    val allConverged = convergedBy.values.forall(identity)
+    val clean = allConverged && load1Start <= loadCleanMax
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val qs = times.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val reps = allRepeats.map { case (k, vs) =>
       "\"" + k + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val conv = convergedBy.map { case (k, v) => "\"" + k + s"""\":$v""" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"urls_fetched_extracted_per_sec","value":$urlsPerSec%.1f,"unit":"urls/sec","total_sec":${times.values.sum}%.3f,"corpus_pages":$nPages,"extracted":$extracted,"bfs_urls_per_sec":$bfsPerSec%.1f,"cores":$cpus,"queries":$qs,"repeats":$reps,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}"""
+      f"""{"metric":"urls_fetched_extracted_per_sec","value":$urlsPerSec%.1f,"unit":"urls/sec","clean":$clean,"converged":$conv,"total_sec":${times.values.sum}%.3f,"corpus_pages":$nPages,"extracted":$extracted,"bfs_urls_per_sec":$bfsPerSec%.1f,"cores":$cpus,"heap_mb":$heapMb,"queries":$qs,"repeats":$reps,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}"""
     // machine-readable copy at a known path — sbt/log4j noise on stdout must
     // never cost the round its bench parse (driver reads either)
     val benchFile = java.nio.file.Paths.get(

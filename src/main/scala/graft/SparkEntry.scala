@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{AnalyticsQueries => A, CrawlQueries => C}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -113,7 +113,7 @@ object SparkEntry {
   private val lshSigExpr: String = {
     import graft.pipeline.Similarity
     (0 until Similarity.LshBits).map { b =>
-      s"(CASE WHEN list_dot_product(v, ${Similarity.planeSqlList(b, 64)}) >= 0 THEN '1' ELSE '0' END)"
+      s"(CASE WHEN list_dot_product(v, ${Similarity.planeSqlList(b, Similarity.EmbDims)}) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
   }
 
@@ -148,7 +148,7 @@ object SparkEntry {
          |    FROM e CROSS JOIN c${k - 1} c) WHERE rn = 1),
          |s$k AS (
          |  SELECT cid, i AS dim, SUM(q[i]) AS s, COUNT(*) AS cnt
-         |  FROM a$k CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
+         |  FROM a$k CROSS JOIN (SELECT unnest(generate_series(1, ${graft.pipeline.Similarity.EmbDims})) AS i) t
          |  GROUP BY cid, i),
          |n$k AS (
          |  SELECT cid, list(CAST(s AS DOUBLE) / cnt ORDER BY dim) AS m
@@ -156,6 +156,40 @@ object SparkEntry {
          |c$k AS (
          |  SELECT p.cid, COALESCE(n.m, p.m) AS m
          |  FROM c${k - 1} p LEFT JOIN n$k n ON n.cid = p.cid)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /** BPE training (graft.pipeline.Bpe) replayed exactly in SQL, one CTE
+    * block per merge step: pair counts are integer SUMs over the
+    * distinct-word table, the best pair is the (cnt DESC, a, b) total order,
+    * and merge application is `replace` on the bracketed symbol string —
+    * SQL replace's left-to-right non-overlapping substitution IS greedy BPE
+    * merging (see Bpe's scaladoc), identically in both engines.
+    */
+  private val bpeCtes: String = {
+    val head =
+      s"""wf AS (
+         |  SELECT w, COUNT(*) AS freq FROM (
+         |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+         |      x -> x <> '')) AS w
+         |    FROM documents) GROUP BY w),
+         |s0 AS (
+         |  SELECT w, freq,
+         |    '(' || array_to_string([substr(w, i, 1)
+         |      for i in generate_series(1, len(w))], ')(') || ')' AS s
+         |  FROM wf)""".stripMargin
+    val steps = (1 to Bpe.NumMerges).map { j =>
+      s"""pr$j AS (
+         |  SELECT freq, t, unnest(generate_series(1, len(t) - 1)) AS i
+         |  FROM (SELECT freq, regexp_extract_all(s, '\\(([^)]*)\\)', 1) AS t FROM s${j - 1})
+         |  WHERE len(t) >= 2),
+         |pc$j AS (SELECT t[i] AS a, t[i+1] AS b, SUM(freq) AS cnt FROM pr$j GROUP BY 1, 2),
+         |b$j AS (SELECT a, b FROM pc$j ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$j AS (
+         |  SELECT w, freq,
+         |    replace(s, '(' || b.a || ')(' || b.b || ')', '(' || b.a || b.b || ')') AS s
+         |  FROM s${j - 1} CROSS JOIN b$j b)""".stripMargin
     }
     (head +: steps).mkString(",\n")
   }
@@ -234,12 +268,16 @@ object SparkEntry {
     "dd_exact_groups" -> ((s, d) => Dedup.exactGroups(s, d)),
     "dd_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dd_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dd_repeated_ngrams" -> ((s, d) => Dedup.repeatedNgrams(s, d)),
     "dd_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
     "dd_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "dd_subword_count" -> ((s, d) => TextAnalysis.subwordCounts(s, d)),
+    "dd_bpe_merges" -> ((s, d) => Bpe.mergeTable(s, d)),
+    "dd_bpe_token_count" -> ((s, d) => Bpe.tokenCounts(s, d)),
     "dd_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "dd_quality_gopher" -> ((s, d) => TextAnalysis.qualityGopher(s, d)),
     "dd_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "dd_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -247,6 +285,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_ivf_kmeans_topk" -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     "ann_dup_pairs" -> ((s, d) => Similarity.embeddingDupPairs(s, d)),
+    "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "graph_host_edges" -> ((s, d) => graft.pipeline.HostGraph.hostEdges(s, d)),
     "graph_host_pagerank" -> ((s, d) => graft.pipeline.HostGraph.hostPageRank(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
@@ -577,6 +616,39 @@ object SparkEntry {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM sigx a JOIN sigx b ON a.doc_id < b.doc_id
          |WHERE hamming(a.s, b.s) <= 3""".stripMargin,
+    // connected components over the union of the minhash+simhash pair edges
+    // (graft.pipeline.Dedup.dupClusters): hash-min label propagation,
+    // iterations unrolled — integer MIN/LEAST are exact in both engines
+    "dd_dup_clusters" -> {
+      val iters = Dedup.ClusterIters
+      val head =
+        s"""WITH $dupDocsCte,
+           |$shinglesCte,
+           |$simhashCte,
+           |mp AS (
+           |  SELECT a.doc_id AS pa, b.doc_id AS pb,
+           |    len(list_intersect(a.sh, b.sh)) AS it, len(a.sh) AS la, len(b.sh) AS lb
+           |  FROM shx a JOIN shx b ON a.doc_id < b.doc_id),
+           |mhp AS (SELECT pa, pb FROM mp
+           |  WHERE la + lb - it > 0 AND CAST(it AS DOUBLE) / (la + lb - it) >= 0.8),
+           |shp AS (
+           |  SELECT a.doc_id AS pa, b.doc_id AS pb
+           |  FROM sigx a JOIN sigx b ON a.doc_id < b.doc_id
+           |  WHERE hamming(a.s, b.s) <= 3),
+           |pe AS (SELECT pa, pb FROM mhp UNION SELECT pa, pb FROM shp),
+           |ed AS (SELECT pa AS u, pb AS v FROM pe UNION SELECT pb AS u, pa AS v FROM pe),
+           |l0 AS (SELECT DISTINCT u AS doc_id, u AS lbl FROM ed)""".stripMargin
+      val steps = (1 to iters).map { k =>
+        s"""nm$k AS (
+           |  SELECT ed.u, MIN(l.lbl) AS nl
+           |  FROM ed JOIN l${k - 1} l ON l.doc_id = ed.v GROUP BY ed.u),
+           |l$k AS (
+           |  SELECT l.doc_id, LEAST(l.lbl, COALESCE(n.nl, l.lbl)) AS lbl
+           |  FROM l${k - 1} l LEFT JOIN nm$k n ON n.u = l.doc_id)""".stripMargin
+      }
+      (head +: steps).mkString(",\n") +
+        s"\nSELECT doc_id, lbl AS keeper_id FROM l$iters"
+    },
     "dd_lang_id" ->
       """SELECT doc_id, lang,
         |  CASE WHEN text IS NULL OR text = '' THEN 'und'
@@ -660,6 +732,77 @@ object SparkEntry {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
          |  FROM cand)
          |WHERE rank <= 10""".stripMargin,
+    // recall audit: each approximate path's top-10 intersected with the
+    // exact top-10, per query — reuses the already-proven per-method CTE
+    // shapes over ONE shared embeddings CTE (the kmeans chain's `e`)
+    "ann_recall" -> {
+      import graft.pipeline.Similarity
+      val lists = Similarity.IvfLists
+      val probes = Similarity.IvfProbes
+      val cK = s"c${Similarity.KmeansIters}"
+      s"""WITH $ivfKmeansCtes,
+         |bfc AS (
+         |  SELECT q.qid, e2.vec_id AS nid, list_cosine_similarity(q.qv, e2.v) AS cos
+         |  FROM (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 20) q
+         |  JOIN e e2 ON e2.vec_id <> q.qid),
+         |bf AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |  FROM bfc) WHERE rn <= 10),
+         |sg AS (SELECT vec_id, v, $lshSigExpr AS s FROM e),
+         |lq AS (SELECT vec_id AS qid, v AS qv, s AS qs FROM sg ORDER BY vec_id LIMIT 20),
+         |lc AS (
+         |  SELECT lq.qid, e2.vec_id AS nid, list_cosine_similarity(lq.qv, e2.v) AS cos
+         |  FROM lq JOIN sg e2 ON e2.vec_id <> lq.qid AND hamming(lq.qs, e2.s) <= 1),
+         |lsh AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |  FROM lc) WHERE rn <= 10),
+         |ic AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $lists),
+         |iasg AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(c.cv, e.v) DESC, c.cid) AS rn
+         |  FROM e CROSS JOIN ic c) WHERE rn = 1),
+         |iq AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 20),
+         |iqp AS (SELECT qid, qv, cid FROM (
+         |  SELECT q.qid, q.qv, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid
+         |      ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid) AS rn
+         |  FROM iq q CROSS JOIN ic c) WHERE rn <= $probes),
+         |icand AS (
+         |  SELECT p.qid, a.vec_id AS nid, list_cosine_similarity(p.qv, a.v) AS cos
+         |  FROM iqp p JOIN iasg a ON a.cid = p.cid AND a.vec_id <> p.qid),
+         |ivf AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |  FROM icand) WHERE rn <= 10),
+         |af AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(c.m, CAST(e.q AS DOUBLE[])) DESC, c.cid) AS rn
+         |  FROM e CROSS JOIN $cK c) WHERE rn = 1),
+         |kqx AS (SELECT vec_id AS qid, v AS qv, q AS qq FROM e ORDER BY vec_id LIMIT 20),
+         |kqp AS (SELECT qid, qv, cid FROM (
+         |  SELECT q.qid, q.qv, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid
+         |      ORDER BY list_cosine_similarity(c.m, CAST(q.qq AS DOUBLE[])) DESC, c.cid) AS rn
+         |  FROM kqx q CROSS JOIN $cK c) WHERE rn <= $probes),
+         |kcand AS (
+         |  SELECT p.qid, a.vec_id AS nid, list_cosine_similarity(p.qv, a.v) AS cos
+         |  FROM kqp p JOIN af a ON a.cid = p.cid AND a.vec_id <> p.qid),
+         |km AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |  FROM kcand) WHERE rn <= 10)
+         |SELECT b.qid AS query_id,
+         |  CAST(COALESCE(lh.n, 0) AS BIGINT) AS lsh_hits,
+         |  CAST(COALESCE(ih.n, 0) AS BIGINT) AS ivf_hits,
+         |  CAST(COALESCE(kh.n, 0) AS BIGINT) AS ivf_kmeans_hits
+         |FROM (SELECT DISTINCT qid FROM bf) b
+         |LEFT JOIN (SELECT l.qid, COUNT(*) AS n FROM lsh l
+         |  JOIN bf ON bf.qid = l.qid AND bf.nid = l.nid GROUP BY 1) lh ON lh.qid = b.qid
+         |LEFT JOIN (SELECT i.qid, COUNT(*) AS n FROM ivf i
+         |  JOIN bf ON bf.qid = i.qid AND bf.nid = i.nid GROUP BY 1) ih ON ih.qid = b.qid
+         |LEFT JOIN (SELECT k.qid, COUNT(*) AS n FROM km k
+         |  JOIN bf ON bf.qid = k.qid AND bf.nid = k.nid GROUP BY 1) kh ON kh.qid = b.qid""".stripMargin
+    },
     "ann_dup_pairs" ->
       s"""WITH $dupEmbCte,
          |sig AS (SELECT vec_id, v, $lshSigExpr AS s FROM dup_emb)
@@ -690,14 +833,22 @@ object SparkEntry {
            |e AS (SELECT s, d, COUNT(*) AS w FROM x GROUP BY 1, 2),
            |hosts AS (SELECT DISTINCT h FROM (SELECT s AS h FROM e UNION SELECT d FROM e)),
            |outw AS (SELECT s, SUM(w) AS ow FROM e GROUP BY s),
+           |nh AS (SELECT COUNT(*) AS n FROM hosts),
            |p0 AS (SELECT h, CAST($scale AS BIGINT) AS pr FROM hosts)""".stripMargin
+      // dm$k = the dangling-host mass of iteration k, redistributed
+      // uniformly (dm // N per host) inside the damping update — total mass
+      // is conserved within integer-floor slack (mirrors HostGraph)
       val steps = (1 to iters).map { k =>
         s"""c$k AS (
            |  SELECT e.d, SUM((p.pr * e.w) // o.ow) AS m
            |  FROM e JOIN p${k - 1} p ON p.h = e.s JOIN outw o ON o.s = e.s GROUP BY e.d),
+           |dm$k AS (
+           |  SELECT COALESCE(SUM(pr), 0) AS dm FROM p${k - 1}
+           |  WHERE h NOT IN (SELECT s FROM outw)),
            |p$k AS (
-           |  SELECT h.h, CAST(${15L * scale / 100} + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS pr
-           |  FROM hosts h LEFT JOIN c$k c ON c.d = h.h)""".stripMargin
+           |  SELECT h.h, CAST(${15L * scale / 100}
+           |      + (85 * (COALESCE(c.m, 0) + dm.dm // nh.n)) // 100 AS BIGINT) AS pr
+           |  FROM hosts h LEFT JOIN c$k c ON c.d = h.h CROSS JOIN dm$k dm CROSS JOIN nh)""".stripMargin
       }
       (head +: steps).mkString("WITH ", ",\n", s"\nSELECT h AS host, pr FROM p$iters")
     },
@@ -718,6 +869,29 @@ object SparkEntry {
         |  CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
         |    AS n_subwords
         |FROM documents""".stripMargin,
+    "dd_bpe_merges" -> {
+      val k = Bpe.NumMerges
+      s"""WITH $bpeCtes
+         |SELECT * FROM (
+         |${(1 to k).map(j =>
+             s"  SELECT CAST($j AS BIGINT) AS step, a AS sym_a, b AS sym_b FROM b$j")
+             .mkString("\n  UNION ALL\n")}
+         |)""".stripMargin
+    },
+    "dd_bpe_token_count" -> {
+      val k = Bpe.NumMerges
+      s"""WITH $bpeCtes,
+         |tok AS (
+         |  SELECT w, CAST(strlen(s) - strlen(replace(s, '(', '')) AS BIGINT) AS nt
+         |  FROM s$k),
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS w
+         |  FROM documents),
+         |ag AS (SELECT dw.doc_id, SUM(t.nt) AS n FROM dw JOIN tok t ON t.w = dw.w GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN ag a ON a.doc_id = d.doc_id""".stripMargin
+    },
     "dd_quality" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -729,6 +903,52 @@ object SparkEntry {
         |    + (strlen(text) - strlen(regexp_replace(text, ' ', '', 'g')))
         |    - (strlen(text) - strlen(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 3) AS BIGINT) AS score
         |FROM documents""".stripMargin,
+    // the documented Gopher rules (Rae et al. 2021 §A) — integer counters,
+    // thresholds as integer cross-multiplications (mirrors
+    // TextAnalysis.qualityGopher exactly; no float ratio compared)
+    "dd_quality_gopher" -> {
+      val stops = graft.pipeline.TextAnalysis.GopherStops
+      val stopSum = stops
+        .map(s => s"(CASE WHEN list_contains(wl, '$s') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws,
+         |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE regexp_split_to_array(lower(text), '\\W+') END AS wl,
+         |    string_split(text, chr(10)) AS ls
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(strlen(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS word_bytes,
+         |    CAST(strlen(text) - strlen(replace(text, '#', '')) AS BIGINT)
+         |      + CAST((strlen(text) - strlen(replace(text, '...', ''))) // 3 AS BIGINT)
+         |      AS n_symbols,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(ls, l -> starts_with(l, '•')
+         |      OR starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT) AS n_bullet_lines,
+         |    CAST(len(list_filter(ls, l -> ends_with(l, '...')
+         |      OR ends_with(l, '…'))) AS BIGINT) AS n_ellipsis_lines,
+         |    CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+         |      AS n_alpha_words,
+         |    CAST($stopSum AS BIGINT) AS n_stop_hits
+         |  FROM base)
+         |SELECT doc_id, n_words, word_bytes, n_symbols, n_lines, n_bullet_lines,
+         |  n_ellipsis_lines, n_dup_lines, n_alpha_words, n_stop_hits,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+         |    AND word_bytes >= n_words * 3 AND word_bytes <= n_words * 10
+         |    AND n_symbols * 10 <= n_words
+         |    AND n_bullet_lines * 10 <= n_lines * 9
+         |    AND n_ellipsis_lines * 10 <= n_lines * 3
+         |    AND n_alpha_words * 10 >= n_words * 8
+         |    AND n_stop_hits >= 2
+         |    AND n_dup_lines * 10 <= n_lines * 3
+         |  THEN 1 ELSE 0 END AS BIGINT) AS pass
+         |FROM cnt""".stripMargin
+    },
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 20),
         |scored AS (

@@ -424,6 +424,9 @@ object WaveCrawler {
         val df = loadRobotsDf(spark, pages)
         if (df != null) df.persist(StorageLevel.MEMORY_AND_DISK) else null
       } else null
+    // one cheap agg at crawl start sizes the rules table so robotsAntiJoin
+    // only broadcast-hints a genuinely small one (RobotsBroadcastMaxRows)
+    val robotsRows: Long = if (robotsDf != null) robotsDf.count() else 0L
     val bcRobots = spark.sparkContext.broadcast(robotsMap)
     val bcStartHost = spark.sparkContext.broadcast(startHost)
     val sameHostOnly = config.sameHostOnly
@@ -605,11 +608,12 @@ object WaveCrawler {
           .select($"url", $"host", $"depth", $"seq", $"wave", $"title",
             $"markdown", $"article_html")
       }
-      // budget survivors, counted before the limit cut so budget drops and
-      // limit drops stay separate in the metrics (extra job only when a
-      // budget is configured)
-      val budgetKeptN =
-        if (config.hostPageBudget > 0 && matchedN > 0) savedCand.count() else matchedN
+      // budget survivors BEFORE the limit cut, so budget drops and limit
+      // drops stay separate in the metrics. No dedicated count() job: with
+      // no --limit the survivors ARE the wave's saved rows (the savedDelta
+      // materialization below counts them); with a --limit the survivor
+      // count folds into the limit path's single agg.
+      var budgetKeptFromAgg = -1L
 
       var cutSeq = Long.MaxValue
       var savedWave = savedCand
@@ -617,16 +621,25 @@ object WaveCrawler {
       if (config.pageLimit > 0) {
         val remaining = config.pageLimit - savedTotal
         val indexed = withGlobalIndexN(savedCand, "rank_idx", nParts(spark, matchedN), $"seq".asc)
-        val kept = indexed.filter($"rank_idx" < remaining).drop("rank_idx")
           .persist(StorageLevel.MEMORY_AND_DISK)
-        keptTmp = kept
-        if (kept.count() >= remaining) {
-          // limit reached inside this wave → serialized-prefix cut (L2)
-          cutSeq = kept.agg(max($"seq")).as[Long].head()
+        keptTmp = indexed
+        // ONE agg job: budget-survivor count, limit-survivor count, and the
+        // serialized-prefix cut seq (was three jobs: savedCand.count(),
+        // kept.count(), kept.agg(max))
+        val r = indexed.agg(
+          count(lit(1)),
+          coalesce(sum(when($"rank_idx" < remaining, 1L).otherwise(0L)), lit(0L)),
+          max(when($"rank_idx" < remaining, $"seq"))).head()
+        budgetKeptFromAgg = r.getLong(0)
+        val keptN = r.getLong(1)
+        if (keptN >= remaining) {
+          // limit reached inside this wave → serialized-prefix cut (L2);
+          // remaining ≥ 1 here so the max() over kept rows is non-null
+          cutSeq = r.getLong(2)
           stopped = true
           stopReason = s"Page limit reached (${config.pageLimit})"
         }
-        savedWave = kept
+        savedWave = indexed.filter($"rank_idx" < remaining).drop("rank_idx")
       }
 
       // ---- link expansion (only from rows at or before the cut) ----
@@ -648,7 +661,7 @@ object WaveCrawler {
       // rules table — a blocked url never enters seen/frontier. (Same-host
       // mode filters inside extraction via the seed host's tiny rule set.)
       val winners =
-        if (robotsDf != null) robotsAntiJoin(winnersAll, robotsDf) else winnersAll
+        if (robotsDf != null) robotsAntiJoin(winnersAll, robotsDf, robotsRows) else winnersAll
 
       // J2 with sharded Bloom pre-filter: links cogroup with the segment
       // table on url-hash bucket (each task deserializes its one segment);
@@ -693,6 +706,9 @@ object WaveCrawler {
       if (keptTmp != null) keptTmp.unpersist()
       savedTotal += savedWaveN
       savedParts :+= savedDelta
+      // without --limit, every budget survivor was saved: savedWaveN IS the
+      // survivor count (and equals matchedN when no budget is set either)
+      val budgetKeptN = if (budgetKeptFromAgg >= 0) budgetKeptFromAgg else savedWaveN
       val skippedMatch = fetchedOk - matchedN
       val skippedBudget = matchedN - budgetKeptN
       val skippedLimit = budgetKeptN - savedWaveN
@@ -826,18 +842,34 @@ object WaveCrawler {
     }.getOrElse(Map.empty)
   }
 
+  /** Rules-table row count above which [[robotsAntiJoin]] stops forcing the
+    * broadcast hint. An explicit broadcast() wins over every size estimate,
+    * so an unconditional hint would pin a tens-of-GB rules table (10^8
+    * hosts) into the driver instead of letting the join shuffle — the exact
+    * OOM the multi-host design doc promises away. One count() of the rules
+    * table at crawl start pays for the gate.
+    */
+  val RobotsBroadcastMaxRows = 1000000L
+
   /** J3 in its multi-host scale shape: drop every discovered link whose
     * destination host has a rule whose disallow prefix matches the link's
-    * path — an equi-join on host (hash-joinable; broadcast while the rule
-    * table is small, same plan shuffles at 10^8 hosts) with the prefix test
-    * as a native (codegen'd) post-condition. Never a driver-side rule map.
+    * path — an equi-join on host (hash-joinable) with the prefix test as a
+    * native (codegen'd) post-condition. Never a driver-side rule map.
+    * The broadcast hint is applied only while the rules table is small
+    * (`rulesRows` ≤ [[RobotsBroadcastMaxRows]]); above that the hint is
+    * dropped and Spark/AQE picks the shuffled LeftAnti — same plan shape,
+    * no forced driver materialization.
     */
-  private[crawl] def robotsAntiJoin(links: DataFrame, robotsDf: DataFrame): DataFrame =
-    links.join(broadcast(robotsDf),
+  private[crawl] def robotsAntiJoin(links: DataFrame, robotsDf: DataFrame,
+      rulesRows: Long = 0L): DataFrame = {
+    val rules =
+      if (rulesRows <= RobotsBroadcastMaxRows) broadcast(robotsDf) else robotsDf
+    links.join(rules,
       links("host") === robotsDf("host") &&
         regexp_replace(links("url"), "^https?://[^/]*", "")
           .startsWith(robotsDf("disallow_prefix")),
       "left_anti")
+  }
 
   /** The robots rules TABLE (host, disallow_prefix) — lives next to
     * pages.parquet when the corpus provides one; null when absent. The

@@ -60,7 +60,13 @@ object Decoders {
     // ALL size arithmetic in Long: header fields are attacker-controlled, and
     // 3*width or i+8+size overflowing Int would slip a negative value past
     // the bounds check and crash the task on a crafted payload — the exact
-    // "corrupt blob kills the job" failure this module promises away
+    // "corrupt blob kills the job" failure this module promises away.
+    // rowSize*rows can overflow even LONG when width and height are both
+    // near Int.MaxValue (~1.4e19 > 2^63), flipping `need` negative and
+    // bypassing the truncation check — so bound each dim against the payload
+    // FIRST (any genuine image needs ≥3 bytes/pixel-row-unit of payload)
+    if (3L * width > b.length) return Left(s"width $width exceeds payload")
+    if (rows > b.length) return Left(s"height $height exceeds payload")
     val rowSize = (3L * width + 3) / 4 * 4
     val need = pixelOffset + rowSize * rows
     if (need > b.length) return Left(s"pixel data truncated: need $need have ${b.length}")

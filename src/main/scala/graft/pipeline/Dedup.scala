@@ -145,22 +145,39 @@ object Dedup {
   /** Near-duplicate pairs by MinHash+LSH, verified with exact Jaccard ≥
     * `threshold` on the shingle sets. Returns (doc_a, doc_b) with a < b.
     */
-  def minhashPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+  /** Default bucket caps for the three LSH sites (minhash bands, simhash
+    * blocks, embedding LSH keys) — shared by the pair generators and
+    * [[capDropStats]] so the audited caps cannot drift from the live ones.
+    */
+  val MinhashMaxBucket = 1000
+  val SimhashMaxBucket = 1000
+
+  private[pipeline] def mhShingled(spark: SparkSession, sfDir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-
-    val shingled = docsWithDups(spark, sfDir)
+    docsWithDups(spark, sfDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) => (id, shingleSet(text)) }
       .toDF("doc_id", "shingles")
-      .persist()
+  }
 
-    val banded = shingled.as[(Long, Array[Long])]
+  private[pipeline] def mhBanded(shingled: DataFrame): DataFrame = {
+    val spark2 = shingled.sparkSession
+    import spark2.implicits._
+    shingled.as[(Long, Array[Long])]
       .flatMap { case (id, sh) =>
         bandHashes(minhashSig(sh)).zipWithIndex.map { case (bh, b) => (id, b, bh) }
       }
       .toDF("doc_id", "band", "band_hash")
+  }
+
+  def minhashPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8, maxBucket: Int = MinhashMaxBucket): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+
+    val shingled = mhShingled(spark, sfDir).persist()
+    val banded = mhBanded(shingled)
 
     // cap degenerate buckets BEFORE aggregating: a rank window bounds every
     // bucket to its maxBucket smallest ids with a sort-based (spillable)
@@ -265,25 +282,28 @@ object Dedup {
     * pigeonhole block index: any such pair agrees exactly on ≥1 of the 4
     * 16-bit blocks, so exact-match each block then verify popcount.
     */
+  private[pipeline] def shBlocked(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    docsWithDups(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(t)) }
+      .flatMap { case (id, h) =>
+        (0 until 4).map(b => (id, h, b, (h >>> (16 * b)) & 0xffffL))
+      }.toDF("doc_id", "simhash", "block", "block_val")
+  }
+
   def simhashPairs(spark: SparkSession, sfDir: String, maxDist: Int = 3): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    val sh = docsWithDups(spark, sfDir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, t) => (id, simhash64(t)) }
-      .toDF("doc_id", "simhash")
-      .persist()
-
-    val blocked = sh.as[(Long, Long)].flatMap { case (id, h) =>
-      (0 until 4).map(b => (id, h, b, (h >>> (16 * b)) & 0xffffL))
-    }.toDF("doc_id", "simhash", "block", "block_val")
+    val blocked = shBlocked(spark, sfDir).persist()
 
     // cap bounds the aggregation itself (see minhashPairs): rank window
     // before the group, never collect-then-slice
     val wb = Window.partitionBy(col("block"), col("block_val")).orderBy(col("doc_id"))
     val grouped = blocked
       .withColumn("rn", row_number().over(wb))
-      .filter(col("rn") <= 1000)
+      .filter(col("rn") <= SimhashMaxBucket)
       .groupBy(col("block"), col("block_val"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
       .filter(size(col("members")) > 1)
@@ -299,6 +319,90 @@ object Dedup {
       }
       .toDF("doc_a", "doc_b")
       .distinct()
+  }
+
+  // ------------------------------------------- cap-site truncation metrics
+
+  /** Overflow stats for one rank-capped bucket site: rows whose rank
+    * exceeds the cap are the ones the pair generator silently drops.
+    */
+  private def capStats(df: DataFrame, site: String, cap: Int,
+      partCols: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > cap)
+      .agg(
+        countDistinct(struct(partCols.map(col): _*)).as("buckets_overflowed"),
+        count(lit(1)).as("rows_dropped"))
+      .select(lit(site).as("site"), col("buckets_overflowed"), col("rows_dropped"))
+  }
+
+  /** Dropped-candidate audit for ALL three LSH cap sites (minhash bands,
+    * simhash blocks, embedding LSH keys): (site, buckets_overflowed,
+    * rows_dropped). A boilerplate-heavy corpus overflows buckets and loses
+    * recall — this makes the loss a measured number instead of a silent
+    * truncation (one rank-window agg per site, the same shuffle shape as
+    * the capped generators themselves). Caps default to the generators'
+    * live values; tests shrink them to force overflow.
+    */
+  def capDropStats(spark: SparkSession, sfDir: String,
+      minhashCap: Int = MinhashMaxBucket,
+      simhashCap: Int = SimhashMaxBucket,
+      embCap: Int = Similarity.EmbDupMaxBucket): DataFrame =
+    capStats(mhBanded(mhShingled(spark, sfDir)), "minhash_lsh", minhashCap,
+      Seq("band", "band_hash"), "doc_id")
+      .unionByName(capStats(shBlocked(spark, sfDir), "simhash_block", simhashCap,
+        Seq("block", "block_val"), "doc_id"))
+      .unionByName(capStats(
+        Similarity.embKeyed(spark, sfDir).select(col("key"), col("vec_id")),
+        "emb_lsh", embCap, Seq("key"), "vec_id"))
+
+  // --------------------------------------- dup-pair → cluster/keeper election
+
+  /** Fixed hash-min iteration count for [[dupClusters]]. Min-label
+    * propagation reaches the component minimum in diameter hops, so any
+    * component of diameter ≤ ClusterIters is exact; the oracle unrolls the
+    * SAME count, so engine and oracle agree bit-for-bit even on a
+    * hypothetical wider component. The injected dup families have diameter
+    * ≤ 2; real dup clusters (boilerplate families) are near-cliques, so a
+    * small constant is the right production setting too — a 100 TB run
+    * doubles it rather than iterating to convergence with a driver-side
+    * fixpoint test per step.
+    */
+  val ClusterIters = 6
+
+  /** Connected components over the union of MinHash and SimHash dup-pair
+    * edges, electing the minimum doc_id of each component as its keeper —
+    * the step every dedup pipeline ends with (a doc in two pairs must be
+    * decided ONCE). Returns (doc_id, keeper_id) for every doc appearing in
+    * at least one pair.
+    *
+    * Scale shape: hash-min label propagation — per iteration one
+    * edges⋈labels join + a min-aggregate, both keyed on doc ids (the same
+    * bounded join+agg-per-iteration dataflow as hostPageRank / the k-means
+    * refinement). Labels are one long per node; text never enters the loop.
+    * The pair edges are eagerly checkpointed once — the expensive LSH
+    * pipelines run exactly once, not per iteration.
+    */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir)
+      .unionByName(simhashPairs(spark, sfDir))
+      .distinct()
+      .localCheckpoint(true)
+    // symmetric edge list: propagate labels both directions
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("u").as("doc_id")).distinct().localCheckpoint(true)
+
+    var lbl = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
+    for (_ <- 1 to ClusterIters) {
+      val nbrMin = edges.join(lbl, edges("v") === lbl("doc_id"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nl"))
+      lbl = lbl.join(nbrMin, lbl("doc_id") === nbrMin("u"), "left")
+        .select(lbl("doc_id"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+    }
+    lbl.select(col("doc_id"), col("lbl").as("keeper_id"))
   }
 
   // ------------------------------------- exact repeated-span (n-gram) dedup

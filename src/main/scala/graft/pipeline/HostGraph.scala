@@ -23,8 +23,10 @@ import graft.queries.CrawlQueries
   * order-independent, so the result is partitioning-independent and the
   * DuckDB oracle replays the unrolled iterations bit-for-bit (same design
   * as the k-means refinement's quantized centroids). Dangling hosts (no
-  * outlinks) leak their mass — documented, standard simplification; the
-  * 0.15·Scale floor keeps every host ranked.
+  * outlinks) do NOT leak mass: each iteration redistributes
+  * Σpr(dangling) div N to every host inside the damping update, so total
+  * mass stays ≈ N·Scale within integer-floor slack (pinned by
+  * HostGraphSpec's conservation test).
   */
 object HostGraph {
 
@@ -64,6 +66,12 @@ object HostGraph {
     val hosts = edges.select(col("s").as("h"))
       .unionByName(edges.select(col("d").as("h"))).distinct().localCheckpoint(true)
     val outw = edges.groupBy(col("s")).agg(sum(col("w")).as("ow"))
+    // dangling = hosts with no outlinks; the set is fixed across iterations
+    // (host-bounded, tiny) — only its MASS changes per iteration
+    val dangling = hosts
+      .join(outw.select(col("s").as("h")), Seq("h"), "left_anti")
+      .localCheckpoint(true)
+    val nHosts = hosts.count()
 
     var pr = hosts.select(col("h"), lit(PrScale).as("pr"))
     for (_ <- 1 to PageRankIters) {
@@ -75,11 +83,17 @@ object HostGraph {
         .join(outw, Seq("s"))
         .select(col("d"), expr("(pr * w) div ow").as("c"))
         .groupBy(col("d")).agg(sum(col("c")).as("m"))
+      // dangling mass this iteration, redistributed uniformly: a 1-row agg
+      // broadcast-cross-joined onto every host (stays in the plan — no
+      // driver action per iteration)
+      val dmass = pr.join(dangling, Seq("h"), "left_semi")
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dm"))
       pr = hosts
         .join(contrib, hosts("h") === contrib("d"), "left")
+        .crossJoin(broadcast(dmass))
         .select(col("h"),
           (lit(15L * PrScale / 100) +
-            expr(s"(85 * coalesce(m, 0L)) div 100")).as("pr"))
+            expr(s"(85 * (coalesce(m, 0L) + dm div $nHosts)) div 100")).as("pr"))
     }
     pr.select(col("h").as("host"), col("pr"))
   }

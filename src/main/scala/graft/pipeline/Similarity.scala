@@ -86,6 +86,13 @@ object Similarity {
   // spaces cluster and tolerate 16-64 bits with multiple tables.
   val LshBits = 8
 
+  /** Dimensionality of the driver-generated embeddings.parquet vectors. The
+    * Spark kernels derive dims from the data at runtime; SQL oracles that
+    * must enumerate dimensions (k-means CTEs, plane literals) interpolate
+    * THIS constant so a corpus dim change cannot silently diverge the two.
+    */
+  val EmbDims = 64
+
   /** Deterministic pseudo-random hyperplane component for (bit, dim). */
   @inline def plane(bit: Int, dim: Int): Double = {
     val h = TextAnalysis.mix64(bit.toLong * 0x9e3779b97f4a7c15L ^ dim.toLong * 0xc2b2ae3d27d4eb4fL)
@@ -370,6 +377,31 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Measured recall of the three approximate ANN paths against the exact
+    * [[bruteForceTopK]] baseline: per query, the integer count of each
+    * method's top-k neighbors that appear in the exact top-k. Exact
+    * arithmetic end-to-end (set intersections of id lists), so the SQL
+    * oracle reproduces it bit-for-bit — this turns the documented
+    * "recall < 1 by construction" of the bucketed/probed paths into a
+    * number the driver checks every round.
+    */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    def hits(approx: DataFrame, name: String): DataFrame =
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+    exact.select(col("query_id")).distinct()
+      .join(hits(lshTopK(spark, sfDir), "lsh_hits"), Seq("query_id"), "left")
+      .join(hits(ivfTopK(spark, sfDir), "ivf_hits"), Seq("query_id"), "left")
+      .join(hits(ivfKmeansTopK(spark, sfDir), "ivf_kmeans_hits"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"),
+        coalesce(col("ivf_kmeans_hits"), lit(0L)).as("ivf_kmeans_hits"))
+  }
+
   /** The driver-generated embeddings are random (max pairwise cosine ≈ 0.37
     * at sf0.01), so near-dup detection runs over a deterministic
     * duplicate-injected view: every 4th vector appended with tiny
@@ -396,18 +428,28 @@ object Similarity {
     * all-pairs comparison happens (bucket + 1-bit neighbors catch high-cosine
     * pairs with high probability).
     */
+  /** Bucket cap for the embedding-LSH dup site (see Dedup.capDropStats). */
+  val EmbDupMaxBucket = 500
+
+  /** The embedding-LSH candidate keying (own signature + 1-bit flips) —
+    * shared by [[embeddingDupPairs]] and the cap-drop audit.
+    */
+  private[pipeline] def embKeyed(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    embWithDups(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val s = lshSig(v)
+        (s +: (0 until LshBits).map(b => s ^ (1 << b))).map(key => (key, id, v))
+      }.toDF("key", "vec_id", "embedding")
+  }
+
   def embeddingDupPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.95): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    val all = embWithDups(spark, sfDir).select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    val sigged = all.map { case (id, v) => (id, v, lshSig(v)) }
-      .toDF("vec_id", "embedding", "sig")
-    // candidates share a signature: explode own sig + 1-bit flips, join
-    val keyed = sigged.as[(Long, Array[Float], Int)].flatMap { case (id, v, s) =>
-      (s +: (0 until LshBits).map(b => s ^ (1 << b))).map(key => (key, id, v))
-    }.toDF("key", "vec_id", "embedding")
+    val keyed = embKeyed(spark, sfDir)
     // cap bounds the aggregation itself (see Dedup.minhashPairs): rank
     // window before the group — full vectors never pile up un-capped in a
     // single collect_list task
@@ -415,7 +457,7 @@ object Similarity {
       .partitionBy(col("key")).orderBy(col("vec_id"))
     val grouped = keyed
       .withColumn("rn", row_number().over(wb))
-      .filter(col("rn") <= 500)
+      .filter(col("rn") <= EmbDupMaxBucket)
       .groupBy(col("key"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("members"))
       .filter(size(col("members")) > 1)

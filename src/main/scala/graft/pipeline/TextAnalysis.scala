@@ -54,6 +54,77 @@ object TextAnalysis {
       greatest(lit(0L), letters * 2 + spaces - punct * 3).as("score"))
   }
 
+  /** Gopher stop-word list (Rae et al. 2021, §A.1.1): a document must
+    * contain ≥ 2 of these to pass the stop-word rule.
+    */
+  val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The documented Gopher quality rules (Rae et al. 2021, "Scaling Language
+    * Models: ...", Appendix A quality filtering) as pure column
+    * expressions — all counters are integers and every threshold is an
+    * integer cross-multiplication, so the DuckDB oracle agrees exactly
+    * (no float ratio ever compared):
+    *
+    *   1. word count in [50, 100_000]
+    *   2. mean word length in [3, 10] (bytes — corpus is ASCII; byte counts
+    *      keep Spark UTF-16 and DuckDB UTF-8 engines exact)
+    *   3. symbol-to-word ratio (# and "...") ≤ 0.1
+    *   4. lines starting with a bullet ≤ 90%
+    *   5. lines ending with an ellipsis ≤ 30%
+    *   6. words with ≥ 1 alphabetic char ≥ 80%
+    *   7. ≥ 2 distinct Gopher stop-words present
+    *   8. duplicate-line fraction ≤ 30% (the line-level repetition rule)
+    *
+    * One narrow codegen'd map — no UDF, no shuffle; at 100 TB this is a
+    * pure scan-rate operator.
+    */
+  def qualityGopher(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    def bytes(c: Column): Column = octet_length(c).cast("long")
+    val ws = when(length(trim(t)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(t), "\\s+"))
+    val nWords = size(ws).cast("long")
+    val sumWordBytes = bytes(regexp_replace(t, "\\s", ""))
+    val nHash = bytes(t) - bytes(regexp_replace(t, "#", ""))
+    // byte delta is always a multiple of 3, so the double division is exact
+    // and the cast back to long loses nothing
+    val nEllipsis = ((bytes(t) - bytes(expr("replace(text, '...', '')"))) / lit(3)).cast("long")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("•") || l.startsWith("- ") || l.startsWith("* "))).cast("long")
+    val nEllLines = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val nDupLines = nLines - size(array_distinct(lines)).cast("long")
+    val nAlphaWords = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val wl = when(length(trim(t)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(t), "\\W+"))
+    val stopHits = GopherStops
+      .map(s => when(array_contains(wl, s), 1L).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val pass =
+      nWords.between(50L, 100000L) &&
+        (sumWordBytes >= nWords * 3L) && (sumWordBytes <= nWords * 10L) &&
+        ((nHash + nEllipsis) * 10L <= nWords) &&
+        (nBullet * 10L <= nLines * 9L) &&
+        (nEllLines * 10L <= nLines * 3L) &&
+        (nAlphaWords * 10L >= nWords * 8L) &&
+        (stopHits >= 2L) &&
+        (nDupLines * 10L <= nLines * 3L)
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      sumWordBytes.as("word_bytes"),
+      (nHash + nEllipsis).as("n_symbols"),
+      nLines.as("n_lines"),
+      nBullet.as("n_bullet_lines"),
+      nEllLines.as("n_ellipsis_lines"),
+      nDupLines.as("n_dup_lines"),
+      nAlphaWords.as("n_alpha_words"),
+      stopHits.as("n_stop_hits"),
+      when(pass, 1L).otherwise(0L).as("pass"))
+  }
+
   private val DeStop = Set("der", "die", "das", "und", "ist", "nicht", "ein",
     "eine", "mit", "von", "auf", "für", "dem", "den", "sich", "im")
   private val EnStop = Set("the", "and", "is", "of", "to", "a", "in", "that",

@@ -106,10 +106,22 @@ object CrawlQueries {
     * 3 waves with checkpointing, then resume from the checkpoint to the end.
     * Must equal the uninterrupted crawl exactly.
     */
+  /** Scratch root for streaming outputs / crawl checkpoints: SPARK_GRAFT_WORK
+    * env override, else ./work under the process cwd (repo-relative, not a
+    * hardcoded absolute path), suffixed with the Spark application id so
+    * concurrent verify runs on the same sf label cannot clobber each other's
+    * checkpoints (each app id is unique per JVM).
+    */
+  private def scratchDir(spark: SparkSession, parts: String*): String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_WORK",
+      new java.io.File("work").getAbsolutePath)
+    (root +: parts :+ spark.sparkContext.applicationId).mkString("/")
+  }
+
   def resumedCrawl(spark: SparkSession, sfDir: String): CrawlOutput =
     cached(spark, sfDir, "resumed") { dir =>
       val label = sfDir.replaceAll("/+$", "").split('/').last
-      val ck = s"/root/repo/work/ck/$label"
+      val ck = scratchDir(spark, "ck", label)
       deleteRecursively(new java.io.File(ck))
       val pages = CorpusGen.pages(spark, dir)
       val cfg = CrawlConfig(startUrl = Seed, checkpointDir = Some(ck))
@@ -349,7 +361,7 @@ object CrawlQueries {
   def streamExtract(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = CorpusGen.ensureFor(spark, sfDir)
     val label = sfDir.replaceAll("/+$", "").split('/').last
-    val out = s"/root/repo/work/stream/$label"
+    val out = scratchDir(spark, "stream", label)
     deleteRecursively(new java.io.File(out))
     // the corpus's warc_ts spans 24 h and parquet parts stream in file
     // order (not event-time order) — the dedup watermark must exceed that

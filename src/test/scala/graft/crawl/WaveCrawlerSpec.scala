@@ -205,6 +205,34 @@ class WaveCrawlerSpec extends AnyFunSuite {
       "prefix condition must ride the host equi-join, not force a nested loop")
   }
 
+  test("robots anti-join drops the broadcast hint for a large rules table") {
+    import spark.implicits._
+    val links = Seq(("http://host0.test/misc/page-3", "host0.test", 0L, 0))
+      .toDF("url", "host", "parent_seq", "pos")
+    val rules = Seq(("host0.test", "/misc")).toDF("host", "disallow_prefix")
+    val abtKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val abt = spark.conf.get(abtKey)
+    val aqe = spark.conf.get(aqeKey)
+    try {
+      // with the hint gated off and auto-broadcast disabled, the SAME join
+      // must plan as a shuffled LeftAnti — the 10^8-host shape where a
+      // forced broadcast() would instead pin the rules into the driver
+      spark.conf.set(abtKey, "-1")
+      spark.conf.set(aqeKey, "false")
+      val out = WaveCrawler.robotsAntiJoin(links, rules,
+        rulesRows = WaveCrawler.RobotsBroadcastMaxRows + 1)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"broadcast hint must be dropped above the row threshold:\n$plan")
+      assert(plan.contains("LeftAnti"), s"must remain an anti join:\n$plan")
+      assert(out.count() == 0) // the blocked link is dropped on this path too
+    } finally {
+      spark.conf.set(abtKey, abt)
+      spark.conf.set(aqeKey, aqe)
+    }
+  }
+
   test("per-host budget caps saved pages per host (list mode over all hosts)") {
     val allUrls = (0 until spec.nHosts).flatMap(h =>
       (0 until spec.hostSizes(h)).map(i => CorpusGen.pageUrl(h, i)))

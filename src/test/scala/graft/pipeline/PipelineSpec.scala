@@ -236,6 +236,75 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == pr)
   }
 
+  test("cap-drop audit: zero at live caps, non-zero on a degenerate bucket") {
+    import spark.implicits._
+    val live = Dedup.capDropStats(spark, sf)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(live.keySet == Set("minhash_lsh", "simhash_block", "emb_lsh"))
+    // sf0.001 buckets are far below the live caps: nothing is dropped today
+    live.foreach { case (site, (b, r)) =>
+      assert(b == 0L && r == 0L, s"unexpected live drops at $site: $b buckets/$r rows")
+    }
+    // cap 1 makes every ≥2-occupancy bucket degenerate (the injected dup
+    // families guarantee such buckets exist at all three sites) — the audit
+    // must SEE the truncation, not report zero
+    val forced = Dedup.capDropStats(spark, sf, minhashCap = 1, simhashCap = 1, embCap = 1)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    forced.foreach { case (site, (b, r)) =>
+      assert(b > 0L && r > 0L, s"forced overflow invisible at $site")
+      assert(r >= b, s"$site: fewer rows than overflowed buckets")
+    }
+  }
+
+  test("dup clusters: every injected dup family lands in one cluster") {
+    import spark.implicits._
+    val clusters = Dedup.dupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.nonEmpty)
+    // keeper is a member of its own cluster and is the cluster minimum
+    clusters.foreach { case (id, k) =>
+      assert(clusters.get(k).forall(_ == k), s"keeper $k of $id not a root")
+      assert(k <= id)
+    }
+    // injected families (Dedup.docsWithDups): id%10==0 → {id, id+1M, id+2M};
+    // id%5==0 only → {id, id+1M}. Every member present in the pair graph
+    // must share its family's keeper.
+    val baseIds = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    var familiesChecked = 0
+    baseIds.filter(_ % 5 == 0).foreach { b =>
+      val fam = Seq(b, b + 1000000L) ++ (if (b % 10 == 0) Seq(b + 2000000L) else Nil)
+      val present = fam.filter(clusters.contains)
+      if (present.size > 1) {
+        familiesChecked += 1
+        val keepers = present.map(clusters).toSet
+        assert(keepers.size == 1, s"family of $b split across keepers $keepers")
+      }
+    }
+    assert(familiesChecked > 0, "no dup family appeared in the pair graph")
+  }
+
+  test("host pagerank conserves total mass within integer-floor slack") {
+    import spark.implicits._
+    val pr = HostGraph.hostPageRank(spark, sf).as[(String, Long)].collect()
+    val n = pr.length.toLong
+    val nEdges = HostGraph.hostEdges(spark, sf).count()
+    val total = pr.map(_._2).sum
+    val ideal = n * HostGraph.PrScale
+    // the corpus HAS a dangling host (other.example, a pure sink): without
+    // redistribution its whole rank would leak every iteration — assert the
+    // sink actually holds mass above the bare damping floor
+    val sink = pr.toMap.apply("other.example")
+    assert(sink > 15L * HostGraph.PrScale / 100,
+      "dangling host should receive redistributed mass, not just the floor")
+    // floors only ever LOSE sub-unit mass: < 1 per edge contribution, < N
+    // across the dm//N split, < 1 per host for the 85//100 damp — so per
+    // iteration the loss is < nEdges + 2N and mass never exceeds N·Scale
+    val slack = HostGraph.PageRankIters * (nEdges + 2L * n)
+    assert(total <= ideal, s"mass created: $total > $ideal")
+    assert(total >= ideal - slack, s"mass leaked: $total vs $ideal (slack $slack)")
+  }
+
   test("embedding dup pairs finds the injected perturbed vectors") {
     val pairs = Similarity.embeddingDupPairs(spark, sf).collect()
       .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))).toSet

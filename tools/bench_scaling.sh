@@ -15,11 +15,13 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 
+# Same heap default as build.sbt's forked JVM (SPARK_DRIVER_MEM, 8g) so the
+# two bench paths are comparable; the JSON stamps heap_mb either way.
 run_bench() {
   local cpus=$1
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$cpus" \
     SPARK_GRAFT_REPEATS="${REPEATS:-2}" \
-    java -Xmx24g $ADD_OPENS -Dspark.ui.enabled=false \
+    java -Xmx"${SPARK_DRIVER_MEM:-8g}" $ADD_OPENS -Dspark.ui.enabled=false \
     -cp "$CLASSES:$JARS" graft.Bench 2>/dev/null | tail -1
 }
 
