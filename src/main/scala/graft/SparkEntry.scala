@@ -433,12 +433,15 @@ object SparkEntry {
          |FROM s GROUP BY host, sid""".stripMargin,
     "crawl_extract_markdown" ->
       s"SELECT url, markdown FROM ${gt("meta")}",
+    // miss pages (i%5 != 1) take the raw-HTML fallback, so the expectation is
+    // the SELECTOR-branch ground truth (sel_markdown): image variants keep
+    // their noscript-unwrapped / lazy-promoted image there
     "crawl_selector_md" ->
       s"""SELECT url,
          |  CASE WHEN page_idx % 5 = 1 THEN '' ELSE title END AS title,
          |  CASE WHEN empty_html = 1 THEN ''
          |       WHEN page_idx % 5 = 1 THEN $tableMdSql
-         |       ELSE markdown END AS markdown
+         |       ELSE sel_markdown END AS markdown
          |FROM ${gt("meta")}""".stripMargin,
     "crawl_sink_xml" ->
       s"""$reachCte

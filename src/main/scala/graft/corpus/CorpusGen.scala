@@ -43,7 +43,13 @@ final case class PageRow(url: String, warc_ts: Timestamp, html: Array[Byte],
 final case class LinkRow(src_url: String, dst_url: String, pos: Int)
 final case class MetaRow(url: String, host: String, host_idx: Int, page_idx: Int,
     section: String, title: String, n_links: Int, markdown: String,
-    article_html: String, empty_html: Int)
+    article_html: String, empty_html: Int,
+    /** Expected markdown of the SELECTOR-MISS branch (readability over the
+      * raw, un-pre-filtered HTML): image-bearing variants (deco 8/9) keep
+      * their images there, so this differs from `markdown` exactly on those
+      * pages.
+      */
+    sel_markdown: String)
 final case class RobotsRow(host: String, disallow_prefix: String)
 
 /** Opaque multimodal payload — the ONLY columns the engine sees. */
@@ -205,9 +211,16 @@ object CorpusGen {
     *      the only following content is chrome readability drops, so
     *      recovery differences cannot leak into the markdown
     *   7: blockquote + fenced-code pre block inside the article
+    *   8: lazy-load noscript-image pair `<img><noscript><img full></noscript>`
+    *      — the pre-filtered (no-selector) path drops both (empty p removed);
+    *      the selector-miss path unwraps the noscript image
+    *      (Readability.js _unwrapNoscriptImages) and the markdown gains the
+    *      FULL image (see sel_markdown)
+    *   9: lazy image `class="lazy" data-src=…` — dropped by the pre-filter;
+    *      promoted to src by _fixLazyImages on the selector-miss path
     */
   def decoOf(spec: CorpusSpec, h: Int, i: Int): Int =
-    (mix(spec.seed, h, i, 7) % 8).toInt
+    (mix(spec.seed, h, i, 7) % 10).toInt
 
   /** The page HTML. Anchors appear in a known document order with noise the
     * extractor must drop interleaved.
@@ -260,6 +273,10 @@ object CorpusGen {
       case 7 =>
         s"<blockquote><p>Quoted wisdom about page $i of host $h.</p></blockquote>\n" +
           s"<pre>val page = $i\nval host = $h</pre>\n"
+      case 8 =>
+        s"""<p><img src="/static/photo-$i.png" alt="photo"><noscript><img src="/static/photo-$i-full.png" alt="photo"></noscript></p>""" + "\n"
+      case 9 =>
+        s"""<p><img class="lazy" data-src="/static/lazy-$i.jpg" alt="figure $i"></p>""" + "\n"
       case _ => ""
     }
     val lastFiller =
@@ -302,7 +319,21 @@ object CorpusGen {
     * boilerplate readability drops. This is the oracle for the north rule's
     * per-row invariant (byte-identical extracted text per url).
     */
-  def expectedMarkdown(spec: CorpusSpec, h: Int, i: Int): String = {
+  def expectedMarkdown(spec: CorpusSpec, h: Int, i: Int): String =
+    expectedMarkdownImpl(spec, h, i, selectorBranch = false)
+
+  /** Ground-truth markdown for the SELECTOR-MISS branch (processHTML with a
+    * selector that matches nothing → readability over the RAW page, no
+    * pre-filter, reference processor.go:44-47): identical to
+    * [[expectedMarkdown]] except the image variants keep their image —
+    * deco 8's noscript unwrap yields the full-quality image, deco 9's lazy
+    * promotion turns data-src into src; both are then URL-absolutized.
+    */
+  def expectedSelectorMarkdown(spec: CorpusSpec, h: Int, i: Int): String =
+    expectedMarkdownImpl(spec, h, i, selectorBranch = true)
+
+  private def expectedMarkdownImpl(spec: CorpusSpec, h: Int, i: Int,
+      selectorBranch: Boolean): String = {
     if (isEmptyPage(spec, h, i)) return ""
     val deco = decoOf(spec, h, i)
     val sb = new StringBuilder
@@ -313,7 +344,8 @@ object CorpusGen {
     if (i % 5 == 1) sb.append("\n\n").append(TableMd)
     // decoration effects, derived from the HTML-template semantics (comments
     // and chrome vanish; entities decode; mis-nesting recovers; blockquote
-    // and pre render as GFM) — see decoOf for the variant catalog
+    // and pre render as GFM; images survive only the un-pre-filtered
+    // selector branch) — see decoOf for the variant catalog
     deco match {
       case 4 => sb.append("\n\nEntity check — AT&T says \"crawl\" … now.")
       case 5 => sb.append("\n\nClosing notes are ***deeply mis-nested*** here.")
@@ -322,6 +354,12 @@ object CorpusGen {
           .append(" of host ").append(h).append('.')
         sb.append("\n\n```\nval page = ").append(i)
           .append("\nval host = ").append(h).append("\n```")
+      case 8 if selectorBranch =>
+        sb.append("\n\n![photo](http://").append(hostName(h))
+          .append("/static/photo-").append(i).append("-full.png)")
+      case 9 if selectorBranch =>
+        sb.append("\n\n![figure ").append(i).append("](http://").append(hostName(h))
+          .append("/static/lazy-").append(i).append(".jpg)")
       case _ =>
     }
     sb.append("\n\n").append(filler(spec, h, i, 2))
@@ -366,6 +404,10 @@ object CorpusGen {
           .append(" of host ").append(h).append(".</p></blockquote>\n")
         sb.append("<pre>val page = ").append(i).append("\nval host = ").append(h)
           .append("</pre>\n")
+      case 8 | 9 =>
+        // the image p is emptied by the pre-filter and removed; only its
+        // template trailing newline survives
+        sb.append('\n')
       case _ =>
     }
     sb.append('\n') // the removed link list leaves its trailing newline
@@ -402,7 +444,8 @@ object CorpusGen {
       n_links = if (empty) 0 else linkTargets(spec, h, i).size,
       markdown = if (spec.emitMarkdownTruth) expectedMarkdown(spec, h, i) else "",
       article_html = if (spec.emitMarkdownTruth) expectedArticleHtml(spec, h, i) else "",
-      empty_html = if (empty) 1 else 0)
+      empty_html = if (empty) 1 else 0,
+      sel_markdown = if (spec.emitMarkdownTruth) expectedSelectorMarkdown(spec, h, i) else "")
   }
 
   /** Ground-truth extractor output per page — empty for empty-HTML pages
@@ -527,7 +570,7 @@ object CorpusGen {
   /** Bumped whenever the emitted schema/content changes so stale on-disk
     * corpora regenerate instead of silently serving the old shape.
     */
-  val FormatVersion = 8
+  val FormatVersion = 9
 
   def ensure(spark: SparkSession, dir: String, spec: CorpusSpec): Unit = {
     val marker = new java.io.File(s"$dir/_CORPUS_READY")

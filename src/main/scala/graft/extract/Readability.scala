@@ -169,11 +169,105 @@ object Readability {
   // ---- prep ----
 
   private def prepDocument(doc: HDocument): Unit = {
+    // Readability.js order: _unwrapNoscriptImages runs BEFORE _removeScripts
+    // (which also drops noscript), so a lazy-load <img><noscript><img></noscript>
+    // pair resolves to the noscript's (full-quality) image
+    unwrapNoscriptImages(doc)
     doc.removeAll("script")
     doc.removeAll("noscript")
     doc.removeAll("style")
     replaceBrs(doc)
     doc.find("font").foreach(_.replaceWithTag("span"))
+  }
+
+  private val rxImgExt = "(?i)\\.(jpg|jpeg|png|webp)".r
+
+  /** Readability.js `_isSingleImage`: an img, or an element whose only
+    * element child is (recursively) a single image, with no non-whitespace
+    * text.
+    */
+  private def isSingleImage(e: HElement): Boolean = {
+    if (e.tag == "img") return true
+    val elems = e.children.collect { case c: HElement => c }
+    elems.size == 1 && isSingleImage(elems.head) &&
+      !e.children.exists {
+        case t: HText => t.data.exists(!_.isWhitespace)
+        case _        => false
+      }
+  }
+
+  private def prevElementSibling(n: HNode): Option[HElement] = {
+    val p = n.parent
+    if (p == null) return None
+    val i = p.children.indexOf(n)
+    var j = i - 1
+    while (j >= 0) {
+      p.children(j) match {
+        case e: HElement => return Some(e)
+        case _           => j -= 1
+      }
+    }
+    None
+  }
+
+  /** Readability.js `_unwrapNoscriptImages` (go-readability
+    * unwrapNoscriptImages): first drop img elements carrying no image-ish
+    * source at all, then for each noscript whose (re-parsed raw-text)
+    * content is a single image preceded by a single-image sibling, replace
+    * that sibling with the noscript's content — the lazy-loading pattern
+    * where the noscript holds the real image. Attribute merge: the
+    * previous image's src/srcset/image-valued attrs are copied onto the
+    * new image, renamed `data-old-*` on conflict.
+    */
+  private def unwrapNoscriptImages(doc: HDocument): Unit = {
+    doc.find("img").toVector.foreach { img =>
+      val keep = img.attrs.exists { case (k, v) =>
+        k == "src" || k == "srcset" || k == "data-src" || k == "data-srcset" ||
+          rxImgExt.findFirstIn(v).isDefined
+      }
+      if (!keep) img.remove()
+    }
+    doc.find("noscript").toVector.foreach { ns =>
+      // noscript content is a raw-text node (scripting-enabled parse, like
+      // x/net/html); parse it the way the reference re-parses the string
+      val tmp = HtmlParser.parse(ns.text)
+      tmp.body.foreach { tmpBody =>
+        val elems = tmpBody.children.collect { case c: HElement => c }
+        val singleImg = elems.size == 1 && isSingleImage(elems.head) &&
+          !tmpBody.children.exists {
+            case t: HText => t.data.exists(!_.isWhitespace)
+            case _        => false
+          }
+        if (singleImg) {
+          prevElementSibling(ns).filter(isSingleImage).foreach { prevEl =>
+            val prevImg =
+              if (prevEl.tag == "img") prevEl else prevEl.find("img").head
+            val newImg = if (elems.head.tag == "img") elems.head
+              else elems.head.find("img").head
+            prevImg.attrs.toVector.foreach { case (name, value) =>
+              if (value.nonEmpty &&
+                (name == "src" || name == "srcset" ||
+                  rxImgExt.findFirstIn(value).isDefined)) {
+                if (!newImg.attr(name).contains(value)) {
+                  val attrName =
+                    if (newImg.attr(name).isDefined) "data-old-" + name else name
+                  newImg.setAttr(attrName, value)
+                }
+              }
+            }
+            // replaceChild(tmp.firstElementChild, prevElement)
+            val parent = ns.parent
+            if (parent != null) {
+              val i = parent.children.indexOf(prevEl)
+              val replacement = elems.head
+              replacement.parent = parent
+              parent.children(i) = replacement
+              prevEl.parent = null
+            }
+          }
+        }
+      }
+    }
   }
 
   /** Chains of 2+ <br> become paragraph breaks: following phrasing content
@@ -570,6 +664,9 @@ object Readability {
       e.removeAttr("bgcolor")
     }
 
+    // Readability.js order: _fixLazyImages runs before the conditional cleans
+    fixLazyImages(article)
+
     cleanConditionally(article, "form", flags)
     cleanConditionally(article, "fieldset", flags)
     clean(article, "object")
@@ -630,6 +727,57 @@ object Readability {
   private def clean(article: HElement, tag: String): Unit =
     article.find(tag).foreach(_.remove())
 
+  // JS regexes from Readability.js _fixLazyImages — note the last two are
+  // case-SENSITIVE there, so they are here too
+  private val rxB64DataUrl = "(?i)^data:\\s*([^\\s;,]+)\\s*;\\s*base64\\s*,".r
+  private val rxImgExtWithDescriptor = "\\.(jpg|jpeg|png|webp)\\s+\\d".r
+  private val rxSingleImgFile = "^\\s*\\S+\\.(jpg|jpeg|png|webp)\\S*\\s*$".r
+
+  /** Readability.js `_fixLazyImages`: drop tiny base64 placeholder src
+    * values, then promote lazy-load attributes (e.g. `data-src`,
+    * `data-srcset` — any attr whose value looks like an image file or a
+    * srcset descriptor) onto src/srcset for images that have no source or
+    * carry a `lazy` class; a figure with no image at all gets one built
+    * from the promoted attr.
+    */
+  private def fixLazyImages(root: HElement): Unit =
+    (root.find("img") ++ root.find("picture") ++ root.find("figure")).foreach { elem =>
+      val src0 = elem.attr("src").getOrElse("")
+      rxB64DataUrl.findFirstMatchIn(src0).foreach { m =>
+        if (m.group(1) != "image/svg+xml") {
+          val srcCouldBeRemoved = elem.attrs.exists { case (k, v) =>
+            k != "src" && rxImgExt.findFirstIn(v).isDefined
+          }
+          if (srcCouldBeRemoved) {
+            val b64starts = src0.toLowerCase.indexOf("base64") + 7
+            if (src0.length - b64starts < 133) elem.removeAttr("src")
+          }
+        }
+      }
+      val src = elem.attr("src").getOrElse("")
+      val srcset = elem.attr("srcset").getOrElse("")
+      val isLazy = elem.className.toLowerCase.contains("lazy")
+      if (!((src.nonEmpty || (srcset.nonEmpty && srcset != "null")) && !isLazy)) {
+        elem.attrs.toVector.foreach { case (name, value) =>
+          if (name != "src" && name != "srcset" && name != "alt") {
+            val copyTo =
+              if (rxImgExtWithDescriptor.findFirstIn(value).isDefined) "srcset"
+              else if (rxSingleImgFile.findFirstIn(value).isDefined) "src"
+              else null
+            if (copyTo != null) {
+              if (elem.tag == "img" || elem.tag == "picture") elem.setAttr(copyTo, value)
+              else if (elem.tag == "figure" &&
+                elem.find("img").isEmpty && elem.find("picture").isEmpty) {
+                val img = new HElement("img")
+                img.setAttr(copyTo, value)
+                elem.appendChild(img)
+              }
+            }
+          }
+        }
+      }
+    }
+
   private def cleanHeaders(article: HElement, flags: Int): Unit =
     (article.find("h1") ++ article.find("h2")).foreach { h =>
       if (classWeight(h, flags) < 0) h.remove()
@@ -647,16 +795,46 @@ object Readability {
     if (Seq("col", "colgroup", "tfoot", "thead", "th").exists(tag => t.find(tag).nonEmpty))
       return true
     if (t.find("table").nonEmpty) return false // nested table → layout
-    val rows = t.find("tr").size
+    // Readability.js _getRowAndColumnCount: rows sum each tr's rowspan attr
+    // (default 1), columns are the max per-row sum of td colspans (th never
+    // counts — a table with th already returned data above); span attrs
+    // parse with JS parseInt semantics (leading-integer prefix, 0 → 1)
+    var rows = 0
     var cols = 0
     t.find("tr").foreach { tr =>
-      val c = tr.children.count {
-        case e: HElement => e.tag == "td" || e.tag == "th"
-        case _           => false
+      val rowspan = jsParseInt(tr.attrOrNull("rowspan"))
+      rows += (if (rowspan != 0) rowspan else 1)
+      var rowCols = 0
+      tr.find("td").foreach { td =>
+        val colspan = jsParseInt(td.attrOrNull("colspan"))
+        rowCols += (if (colspan != 0) colspan else 1)
       }
-      cols = math.max(cols, c)
+      cols = math.max(cols, rowCols)
     }
     rows >= 10 || cols > 4 || rows * cols > 10
+  }
+
+  /** JS `parseInt(x, 10) || 0`: the leading optional-sign integer prefix,
+    * 0 when absent/unparseable.
+    */
+  private def jsParseInt(s: String): Int = {
+    if (s == null) return 0
+    var i = 0
+    val n = s.length
+    while (i < n && s.charAt(i).isWhitespace) i += 1
+    var sign = 1
+    if (i < n && (s.charAt(i) == '+' || s.charAt(i) == '-')) {
+      if (s.charAt(i) == '-') sign = -1
+      i += 1
+    }
+    var v = 0L
+    var any = false
+    while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9' && v < Int.MaxValue) {
+      v = v * 10 + (s.charAt(i) - '0')
+      any = true
+      i += 1
+    }
+    if (!any) 0 else (sign * math.min(v, Int.MaxValue)).toInt
   }
 
   private def cleanConditionally(article: HElement, tag: String, flags: Int): Unit = {

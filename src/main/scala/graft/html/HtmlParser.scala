@@ -23,8 +23,13 @@ object HtmlParser {
     "h6", "header", "hgroup", "hr", "main", "menu", "nav", "ol", "p", "pre",
     "section", "summary", "table", "ul", "li", "dd", "dt")
 
+  // noscript is raw text because the reference stack parses with scripting
+  // enabled (golang.org/x/net/html default, used by both goquery and
+  // go-readability): its content is a TEXT node, so the pre-filter cannot
+  // see elements inside it and readability re-parses the string on demand
+  // (unwrapNoscriptImages). The serializer mirrors this (rawTextElements).
   private val rawTextTags = Set("script", "style", "textarea", "title",
-    "xmp", "iframe", "noembed", "noframes")
+    "xmp", "iframe", "noembed", "noframes", "noscript")
   private val decodedRawText = Set("textarea", "title")
 
   def parse(html: String): HDocument = {

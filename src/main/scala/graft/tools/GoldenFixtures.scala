@@ -256,7 +256,101 @@ object GoldenFixtures {
       s"""<html><head><title>Promo Beside Content</title></head><body><article>
          |$longContent
          |<div class="promo related">Buy the thing now, limited offer.</div>
-         |</article></body></html>""".stripMargin, "")
+         |</article></body></html>""".stripMargin, ""),
+    // -- round-4 tranche: noscript image swaps, lazy/srcset promotion,
+    // tables-in-tables + span-aware sizing (go-shiori behaviors pinned at
+    // /root/reference/processor.go:86-95, go.mod:8). The ".nope" selector
+    // misses → the raw-HTML fallback (processor.go:44-47), the only path
+    // where images reach readability un-pre-filtered. --
+    ("noscript_unwrap", "http://example.com/noscript",
+      s"""<html><head><title>Noscript Unwrap Page</title></head><body><article>
+         |<p>$P1</p>
+         |<p><img src="/static/low.png" alt="hero"><noscript><img src="/static/full.png" alt="hero"></noscript></p>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ".nope"),
+    ("noscript_no_prev_image", "http://example.com/noscript-noprev",
+      s"""<html><head><title>Noscript Without Preceding Image</title></head><body><article>
+         |<p>$P1</p>
+         |<noscript><img src="/static/orphan.png" alt="orphan"></noscript>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ".nope"),
+    ("noscript_prefiltered", "http://example.com/noscript-prefilter",
+      s"""<html><head><title>Noscript On The Prefilter Path</title></head><body><article>
+         |<p>$P1</p>
+         |<p><img src="/static/low.png" alt="hero"><noscript><img src="/static/full.png" alt="hero"></noscript></p>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ""),
+    ("noscript_fallback_text", "http://example.com/noscript-text",
+      s"""<html><head><title>Noscript Fallback Text</title></head><body><article>
+         |<p>$P1</p>
+         |<noscript><p>Please enable scripting to view charts.</p></noscript>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ".nope"),
+    ("lazy_data_src", "http://example.com/lazy-src",
+      s"""<html><head><title>Lazy Data Src</title></head><body><article>
+         |<p>$P1</p>
+         |<p><img class="lazy" data-src="/static/real.jpg" alt="lazy fig"></p>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ".nope"),
+    ("lazy_srcset_descriptor", "http://example.com/lazy-srcset",
+      s"""<html><head><title>Lazy Srcset Descriptor</title></head><body><article>
+         |<p>$P1</p>
+         |<p><img class="lazyload" data-srcset="/static/a.jpg 2x, /static/b.jpg 1x" alt="responsive"></p>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ".nope"),
+    ("lazy_class_overrides_src", "http://example.com/lazy-override",
+      s"""<html><head><title>Lazy Class Overrides Src</title></head><body><article>
+         |<p>$P1</p>
+         |<p><img class="lazyloaded" src="/static/placeholder.jpg" data-src="/static/actual.jpg" alt="swap"></p>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ".nope"),
+    ("figure_lazy_attr", "http://example.com/figure-lazy",
+      s"""<html><head><title>Figure Lazy Attribute</title></head><body><article>
+         |<p>$P1</p>
+         |<figure data-src="/static/fig.jpg"><figcaption>A chart caption.</figcaption></figure>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ".nope"),
+    ("b64_placeholder_src", "http://example.com/b64",
+      s"""<html><head><title>Base64 Placeholder</title></head><body><article>
+         |<p>$P1</p>
+         |<p><img src="data:image/png;base64,iVBORw0KGgoAAAANSUhEUg" data-src="/static/real2.jpg" alt="swapped"></p>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ".nope"),
+    ("img_no_source_removed", "http://example.com/img-nosrc",
+      s"""<html><head><title>Sourceless Image Removed</title></head><body><article>
+         |<p>$P1 <img alt="tracker pixel"> trailing words.</p>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ".nope"),
+    ("colspan_data_table", "http://example.com/colspan",
+      s"""<html><head><title>Colspan Sized Table</title></head><body><article>
+         |<p>$P1</p>
+         |<table><tr><td colspan="5">strip.</td></tr></table>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ".nope"),
+    ("rowspan_sized_table", "http://example.com/rowspan",
+      s"""<html><head><title>Rowspan Sized Table</title></head><body><article>
+         |<p>$P1</p>
+         |<table><tr rowspan="12"><td>r.</td></tr></table>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ".nope"),
+    ("small_layout_table_removed", "http://example.com/layout-table",
+      s"""<html><head><title>Small Layout Table Removed</title></head><body><article>
+         |<p>$P1</p>
+         |<table><tr><td>tiny.</td></tr></table>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ".nope"),
+    ("nested_table_th_inner", "http://example.com/nested-th",
+      s"""<html><head><title>Nested Table With Inner Headers</title></head><body><article>
+         |<p>$P1</p>
+         |<table><tr><td><table><tr><th>K</th><th>V</th></tr><tr><td>depth</td><td>tree</td></tr></table></td></tr></table>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ".nope"),
+    ("nested_table_plain_removed", "http://example.com/nested-plain",
+      s"""<html><head><title>Nested Plain Tables Removed</title></head><body><article>
+         |<p>$P1</p>
+         |<table><tr><td><table><tr><td>in.</td></tr></table></td></tr></table>
+         |<p>$P2</p><p>$P3</p>
+         |</article></body></html>""".stripMargin, ".nope")
   )
 }
 

@@ -18,14 +18,15 @@ class CorpusMarkdownSpec extends AnyFunSuite {
       CorpusSpec(nHosts = 2, totalPages = 40, seed = 7L, paragraphs = 24))
     // the grid must exercise every adversarial decoration variant (comments/
     // CDATA, unlikely-candidate chrome, div soup, entities, mis-nesting,
-    // unclosed inline, blockquote+pre) — not just the clean template
+    // unclosed inline, blockquote+pre, noscript-image swap, lazy image) —
+    // not just the clean template
     val decos = (for {
       spec <- specs
       h <- 0 until spec.nHosts
       i <- 0 until math.min(spec.hostSizes(h), 12)
       if !CorpusGen.isEmptyPage(spec, h, i)
     } yield CorpusGen.decoOf(spec, h, i)).toSet
-    assert(decos == (0 until 8).toSet, s"grid covers only variants $decos")
+    assert(decos == (0 until 10).toSet, s"grid covers only variants $decos")
     for {
       spec <- specs
       h <- 0 until spec.nHosts
@@ -45,6 +46,12 @@ class CorpusMarkdownSpec extends AnyFunSuite {
         assert(pd.markdown == CorpusGen.expectedMarkdown(spec, h, i), s"markdown h=$h i=$i")
         assert(pd.articleHtml == CorpusGen.expectedArticleHtml(spec, h, i),
           s"article_html h=$h i=$i deco=${CorpusGen.decoOf(spec, h, i)}")
+        // selector-miss branch (readability over the RAW page, no pre-filter):
+        // image variants keep their noscript-unwrapped / lazy-promoted image
+        val sel = Processor.processHTML(url, html, "#no-such-element")
+          .fold(e => fail(s"selector extract failed h=$h i=$i: $e"), identity)
+        assert(sel.markdown == CorpusGen.expectedSelectorMarkdown(spec, h, i),
+          s"sel_markdown h=$h i=$i deco=${CorpusGen.decoOf(spec, h, i)}")
       }
     }
   }

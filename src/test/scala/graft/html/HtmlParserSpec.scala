@@ -63,6 +63,20 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(d.find("style").head.text == "body { font-family: sans-serif; }")
   }
 
+  test("noscript content is raw text (scripting-enabled parse, x/net/html parity)") {
+    val d = HtmlParser.parse(
+      """<body><p>t</p><noscript><a href="/hidden">h</a><img src="/i.png"></noscript></body>""")
+    val ns = d.find("noscript").head
+    // content is ONE text node — no element children, so the pre-filter and
+    // the link extractor cannot see inside (exactly goquery's view)
+    assert(ns.children.size == 1 && ns.children.head.isInstanceOf[HText])
+    assert(ns.text == """<a href="/hidden">h</a><img src="/i.png">""")
+    assert(d.find("a").isEmpty && d.find("img").isEmpty)
+    // serialization round-trips the raw content verbatim
+    assert(ns.outerHtml ==
+      """<noscript><a href="/hidden">h</a><img src="/i.png"></noscript>""")
+  }
+
   test("entities decoded in text and attrs") {
     val d = HtmlParser.parse("""<body><p title="a&amp;b">&copy; 2025 &lt;x&gt; &#65;&#x42;</p></body>""")
     val p = d.find("p").head
