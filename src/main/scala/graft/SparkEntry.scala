@@ -245,6 +245,7 @@ object SparkEntry {
     "crawl_selector_md" -> ((s, d) => C.selectorMd(s, d)),
     "stream_extract" -> ((s, d) => C.streamExtract(s, d)),
     "stream_sessions" -> ((s, d) => C.fetchSessions(s, d)),
+    "stream_host_state" -> ((s, d) => C.streamHostState(s, d)),
     "crawl_limit_prefix" -> ((s, d) => C.limitPrefix(s, d, 100)),
     "crawl_limit_set" -> ((s, d) => C.limitSet(s, d, 100)),
     "crawl_robots_blocked" -> ((s, d) => C.robotsBlocked(s, d)),
@@ -431,6 +432,15 @@ object SparkEntry {
          |SELECT host, MIN(warc_ts) AS session_start, MAX(warc_ts) AS session_end,
          |  COUNT(*) AS n_pages
          |FROM s GROUP BY host, sid""".stripMargin,
+    // flatMapGroupsWithState per-host running state: each host's FINAL
+    // emitted snapshot equals the batch aggregate (counts in the update log
+    // strictly increase, so max-count row = last state)
+    "stream_host_state" ->
+      s"""SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pages,
+         |  CAST(epoch_ms(MIN(warc_ts)) AS BIGINT) AS min_ts,
+         |  CAST(epoch_ms(MAX(warc_ts)) AS BIGINT) AS max_ts
+         |FROM ${gt("pages")} GROUP BY 1""".stripMargin,
     "crawl_extract_markdown" ->
       s"SELECT url, markdown FROM ${gt("meta")}",
     // miss pages (i%5 != 1) take the raw-HTML fallback, so the expectation is

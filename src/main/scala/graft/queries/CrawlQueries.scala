@@ -372,6 +372,26 @@ object CrawlQueries {
       .select(col("url"), col("title"), col("markdown"))
   }
 
+  /** Custom-state streaming at the driver gate
+    * (StreamIngest.hostStateStats — flatMapGroupsWithState): drain the
+    * corpus through the stateful per-host aggregator, then reduce the
+    * emitted update log to each host's FINAL snapshot (max count), which is
+    * batch-deterministic — the oracle recomputes it as a plain GROUP BY.
+    */
+  def streamHostState(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    val label = sfDir.replaceAll("/+$", "").split('/').last
+    val out = scratchDir(spark, "hoststate", label)
+    deleteRecursively(new java.io.File(out))
+    graft.streaming.StreamIngest.runHostState(spark, s"$dir/pages.parquet",
+      s"$out/log", s"$out/ck").awaitTermination()
+    val log = spark.read.parquet(s"$out/log")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("cnt").desc)
+    log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("host"), col("cnt").as("n_pages"), col("min_ts"), col("max_ts"))
+  }
+
   /** Event-time sessionization of the fetch feed (StreamIngest.hostSessions
     * — session_window, the streaming-native gap window, run in batch for
     * the driver oracle; the streaming emission semantics are spec'd in

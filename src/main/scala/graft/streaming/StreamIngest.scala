@@ -118,6 +118,62 @@ object StreamIngest {
         (col("session_window.end") - expr(s"INTERVAL $gap")).as("session_end"),
         col("n_pages"))
 
+  /** Per-host custom streaming state for [[hostStateStats]]: running page
+    * count and event-time bounds, maintained in the state store across
+    * micro-batches.
+    */
+  final case class HostState(cnt: Long, minTs: Long, maxTs: Long)
+
+  /** Arbitrary per-key state via `KeyValueGroupedDataset
+    * .flatMapGroupsWithState` — the custom-state streaming surface the
+    * other operators (dropDuplicates, window, session_window) don't
+    * exercise, and the shape a 100 TB crawl uses for per-host politeness /
+    * quota state that no built-in aggregate expresses.
+    *
+    * Each micro-batch updates a host's [[HostState]] (count, min/max
+    * warc_ts) and emits the refreshed snapshot. The emitted LOG depends on
+    * micro-batch boundaries (file order), but each host's final snapshot —
+    * the row with its maximum count — is a pure function of the data, so
+    * the driver reduces the log to that and the oracle is a plain GROUP BY
+    * over pages. Works identically under Trigger.AvailableNow (backfill)
+    * and a live trigger.
+    */
+  def hostStateStats(pages: DataFrame): org.apache.spark.sql.Dataset[(String, Long, Long, Long)] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    pages
+      .select($"url", $"warc_ts")
+      .as[(String, java.sql.Timestamp)]
+      .map { case (url, ts) => (graft.url.UrlNorm.hostnameOf(url), ts.getTime) }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HostState, (String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { case (host, rows, state) =>
+        var s = state.getOption.getOrElse(HostState(0L, Long.MaxValue, Long.MinValue))
+        rows.foreach { case (_, t) =>
+          s = HostState(s.cnt + 1, math.min(s.minTs, t), math.max(s.maxTs, t))
+        }
+        state.update(s)
+        Iterator.single((host, s.cnt, s.minTs, s.maxTs))
+      }
+  }
+
+  /** Run [[hostStateStats]] over a landing dir and append the update log to
+    * parquet (Trigger.AvailableNow, checkpointed — same resume shape as
+    * [[run]]).
+    */
+  def runHostState(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    hostStateStats(pagesStream(spark, inDir))
+      .toDF("host", "cnt", "min_ts", "max_ts")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Source → extract → dedup → append parquet, with checkpoint/resume.
     * Trigger.AvailableNow drains everything currently in the landing dir
     * then stops — the batch-friendly mode the specs (and a backfill) use; a

@@ -89,6 +89,38 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(n < total, s"expected late-dropping under a tiny watermark, got $n of $total")
   }
 
+  test("flatMapGroupsWithState host stats: final snapshot equals the batch aggregate") {
+    import spark.implicits._
+    val (in, _) = landing(batches = 12)
+    val out = java.nio.file.Files.createTempDirectory("graftstateout").toString
+    val ck = java.nio.file.Files.createTempDirectory("graftstateck").toString
+    StreamIngest.runHostState(spark, s"$in/*.parquet/*.parquet",
+      s"$out/log", s"$ck/log").awaitTermination()
+    val log = spark.read.parquet(s"$out/log")
+    // the state genuinely survived micro-batch boundaries: hosts span many
+    // drops, so the update log holds MULTIPLE snapshots per host
+    assert(log.count() > log.select("host").distinct().count(),
+      "expected per-batch snapshots, got one row per host (state not exercised)")
+    val finalSnap = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("host")).orderBy(col("cnt").desc)
+      log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("host", "cnt", "min_ts", "max_ts")
+        .as[(String, Long, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    }
+    val expected = (for {
+      h <- 0 until spec.nHosts
+      i <- 0 until spec.hostSizes(h)
+    } yield {
+      val ts = CorpusGen.pageRow(spec, h, i).warc_ts.getTime
+      CorpusGen.hostName(h) -> ts
+    }).groupBy(_._1).map { case (host, xs) =>
+      host -> (xs.size.toLong, xs.map(_._2).min, xs.map(_._2).max)
+    }
+    assert(finalSnap == expected)
+  }
+
   test("session_window streaming emission: finalized sessions equal the batch run") {
     import spark.implicits._
     // a TIME-ORDERED landing: session finalization in append mode needs the
