@@ -194,6 +194,42 @@ object SparkEntry {
     (head +: steps).mkString(",\n")
   }
 
+  /** The dup-cluster CTE chain (graft.pipeline.Dedup.dupClusters in SQL):
+    * minhash + simhash pair edges over the dup-injected docs, then
+    * [[Dedup.ClusterIters]] unrolled hash-min label-propagation steps —
+    * `l<k>` holds (doc_id, lbl) after step k. Shared by the dd_dup_clusters
+    * and dd_dup_keep oracles.
+    */
+  private lazy val dupClusterCtes: String = {
+    val iters = Dedup.ClusterIters
+    val head =
+      s"""WITH $dupDocsCte,
+         |$shinglesCte,
+         |$simhashCte,
+         |mp AS (
+         |  SELECT a.doc_id AS pa, b.doc_id AS pb,
+         |    len(list_intersect(a.sh, b.sh)) AS it, len(a.sh) AS la, len(b.sh) AS lb
+         |  FROM shx a JOIN shx b ON a.doc_id < b.doc_id),
+         |mhp AS (SELECT pa, pb FROM mp
+         |  WHERE la + lb - it > 0 AND CAST(it AS DOUBLE) / (la + lb - it) >= 0.8),
+         |shp AS (
+         |  SELECT a.doc_id AS pa, b.doc_id AS pb
+         |  FROM sigx a JOIN sigx b ON a.doc_id < b.doc_id
+         |  WHERE hamming(a.s, b.s) <= 3),
+         |pe AS (SELECT pa, pb FROM mhp UNION SELECT pa, pb FROM shp),
+         |ed AS (SELECT pa AS u, pb AS v FROM pe UNION SELECT pb AS u, pa AS v FROM pe),
+         |l0 AS (SELECT DISTINCT u AS doc_id, u AS lbl FROM ed)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""nm$k AS (
+         |  SELECT ed.u, MIN(l.lbl) AS nl
+         |  FROM ed JOIN l${k - 1} l ON l.doc_id = ed.v GROUP BY ed.u),
+         |l$k AS (
+         |  SELECT l.doc_id, LEAST(l.lbl, COALESCE(n.nl, l.lbl)) AS lbl
+         |  FROM l${k - 1} l LEFT JOIN nm$k n ON n.u = l.doc_id)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   /** The duplicate-injected embeddings view
     * (graft.pipeline.Similarity.embWithDups) in SQL, as DOUBLE[] vectors.
     */
@@ -270,6 +306,7 @@ object SparkEntry {
     "dd_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dd_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+    "dd_dup_keep" -> ((s, d) => Dedup.dedupedDocs(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dd_repeated_ngrams" -> ((s, d) => Dedup.repeatedNgrams(s, d)),
     "dd_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
@@ -632,36 +669,14 @@ object SparkEntry {
     // connected components over the union of the minhash+simhash pair edges
     // (graft.pipeline.Dedup.dupClusters): hash-min label propagation,
     // iterations unrolled — integer MIN/LEAST are exact in both engines
-    "dd_dup_clusters" -> {
-      val iters = Dedup.ClusterIters
-      val head =
-        s"""WITH $dupDocsCte,
-           |$shinglesCte,
-           |$simhashCte,
-           |mp AS (
-           |  SELECT a.doc_id AS pa, b.doc_id AS pb,
-           |    len(list_intersect(a.sh, b.sh)) AS it, len(a.sh) AS la, len(b.sh) AS lb
-           |  FROM shx a JOIN shx b ON a.doc_id < b.doc_id),
-           |mhp AS (SELECT pa, pb FROM mp
-           |  WHERE la + lb - it > 0 AND CAST(it AS DOUBLE) / (la + lb - it) >= 0.8),
-           |shp AS (
-           |  SELECT a.doc_id AS pa, b.doc_id AS pb
-           |  FROM sigx a JOIN sigx b ON a.doc_id < b.doc_id
-           |  WHERE hamming(a.s, b.s) <= 3),
-           |pe AS (SELECT pa, pb FROM mhp UNION SELECT pa, pb FROM shp),
-           |ed AS (SELECT pa AS u, pb AS v FROM pe UNION SELECT pb AS u, pa AS v FROM pe),
-           |l0 AS (SELECT DISTINCT u AS doc_id, u AS lbl FROM ed)""".stripMargin
-      val steps = (1 to iters).map { k =>
-        s"""nm$k AS (
-           |  SELECT ed.u, MIN(l.lbl) AS nl
-           |  FROM ed JOIN l${k - 1} l ON l.doc_id = ed.v GROUP BY ed.u),
-           |l$k AS (
-           |  SELECT l.doc_id, LEAST(l.lbl, COALESCE(n.nl, l.lbl)) AS lbl
-           |  FROM l${k - 1} l LEFT JOIN nm$k n ON n.u = l.doc_id)""".stripMargin
-      }
-      (head +: steps).mkString(",\n") +
-        s"\nSELECT doc_id, lbl AS keeper_id FROM l$iters"
-    },
+    "dd_dup_clusters" ->
+      (dupClusterCtes +
+        s"\nSELECT doc_id, lbl AS keeper_id FROM l${Dedup.ClusterIters}"),
+    // the deduplicated corpus: drop every non-keeper cluster member
+    "dd_dup_keep" ->
+      (dupClusterCtes +
+        s"""\nSELECT doc_id FROM dup_docs WHERE doc_id NOT IN (
+           |  SELECT doc_id FROM l${Dedup.ClusterIters} WHERE doc_id <> lbl)""".stripMargin),
     "dd_lang_id" ->
       """SELECT doc_id, lang,
         |  CASE WHEN text IS NULL OR text = '' THEN 'und'

@@ -405,6 +405,18 @@ object Dedup {
     lbl.select(col("doc_id"), col("lbl").as("keeper_id"))
   }
 
+  /** The deduplicated corpus view — what a training-data pipeline actually
+    * ships: every doc except non-keeper members of a dup cluster. One
+    * anti-join against the (tiny, cluster-bounded) loser set.
+    */
+  def dedupedDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val losers = dupClusters(spark, sfDir)
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id"))
+    docsWithDups(spark, sfDir).select(col("doc_id"))
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
   // ------------------------------------- exact repeated-span (n-gram) dedup
 
   /** Window width for exact substring-level dedup: spans of [[GramW]]
