@@ -194,6 +194,55 @@ object SparkEntry {
     (head +: steps).mkString(",\n")
   }
 
+  /** Gopher quality counters (graft.pipeline.TextAnalysis.qualityGopher in
+    * SQL) as composable CTEs `gbase`/`gcnt`, plus the pass condition —
+    * shared by dd_quality_gopher and dd_train_manifest so the gates cannot
+    * drift between them. All counters integer; thresholds integer
+    * cross-multiplications.
+    */
+  private lazy val gopherCtes: String = {
+    // stop-word OCCURRENCES (TextAnalysis.GopherStops doc): count matching
+    // tokens, not distinct types
+    val stopList = graft.pipeline.TextAnalysis.GopherStops
+      .map(s => s"'$s'").mkString(", ")
+    val stopSum = s"len(list_filter(wl, w -> w IN ($stopList)))"
+    s"""gbase AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws,
+       |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(lower(text), '\\W+') END AS wl,
+       |    string_split(text, chr(10)) AS ls
+       |  FROM documents),
+       |gcnt AS (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(strlen(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS word_bytes,
+       |    CAST(strlen(text) - strlen(replace(text, '#', '')) AS BIGINT)
+       |      + CAST((strlen(text) - strlen(replace(text, '...', ''))) // 3 AS BIGINT)
+       |      AS n_symbols,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(ls, l -> starts_with(l, '•')
+       |      OR starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT) AS n_bullet_lines,
+       |    CAST(len(list_filter(ls, l -> ends_with(l, '...')
+       |      OR ends_with(l, '…'))) AS BIGINT) AS n_ellipsis_lines,
+       |    CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines,
+       |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+       |      AS n_alpha_words,
+       |    CAST($stopSum AS BIGINT) AS n_stop_hits
+       |  FROM gbase)""".stripMargin
+  }
+
+  private val gopherPassCond: String =
+    """n_words BETWEEN 50 AND 100000
+      |    AND word_bytes >= n_words * 3 AND word_bytes <= n_words * 10
+      |    AND n_symbols * 10 <= n_words
+      |    AND n_bullet_lines * 10 <= n_lines * 9
+      |    AND n_ellipsis_lines * 10 <= n_lines * 3
+      |    AND n_alpha_words * 10 >= n_words * 8
+      |    AND n_stop_hits >= 2
+      |    AND n_dup_lines * 10 <= n_lines * 3""".stripMargin
+
   /** The dup-cluster CTE chain (graft.pipeline.Dedup.dupClusters in SQL):
     * minhash + simhash pair edges over the dup-injected docs, then
     * [[Dedup.ClusterIters]] unrolled hash-min label-propagation steps —
@@ -265,6 +314,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- crawl engine (SURVEY §2.1-§2.9 over the synthetic corpus) ----
     "crawl_bfs_seen" -> ((s, d) => C.bfsSeen(s, d)),
+    "crawl_cuckoo_seen" -> ((s, d) => C.cuckooSeen(s, d)),
     "crawl_saved_titles" -> ((s, d) => C.savedTitles(s, d)),
     "crawl_article_html" -> ((s, d) => C.savedArticleHtml(s, d)),
     "crawl_saved_articles" -> ((s, d) => C.savedArticles(s, d)),
@@ -307,6 +357,7 @@ object SparkEntry {
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dd_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "dd_dup_keep" -> ((s, d) => Dedup.dedupedDocs(s, d)),
+    "dd_train_manifest" -> ((s, d) => Dedup.trainManifest(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dd_repeated_ngrams" -> ((s, d) => Dedup.repeatedNgrams(s, d)),
     "dd_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
@@ -324,6 +375,7 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     "ann_dup_pairs" -> ((s, d) => Similarity.embeddingDupPairs(s, d)),
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    "ann_recall_planted" -> ((s, d) => Similarity.annRecallPlanted(s, d)),
     "graph_host_edges" -> ((s, d) => graft.pipeline.HostGraph.hostEdges(s, d)),
     "graph_host_pagerank" -> ((s, d) => graft.pipeline.HostGraph.hostPageRank(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
@@ -337,6 +389,12 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "crawl_bfs_seen" ->
+      s"""$reachCte
+         |SELECT url, CAST(depth AS BIGINT) AS depth FROM seen""".stripMargin,
+    // cuckoo seen-filter run: the pre-filter cannot change exact results,
+    // so the oracle is the identical reachability CTE — any cuckoo false
+    // negative would surface as duplicate rows / wrong depths here
+    "crawl_cuckoo_seen" ->
       s"""$reachCte
          |SELECT url, CAST(depth AS BIGINT) AS depth FROM seen""".stripMargin,
     "crawl_saved_titles" ->
@@ -831,6 +889,39 @@ object SparkEntry {
          |LEFT JOIN (SELECT k.qid, COUNT(*) AS n FROM km k
          |  JOIN bf ON bf.qid = k.qid AND bf.nid = k.nid GROUP BY 1) kh ON kh.qid = b.qid""".stripMargin
     },
+    // the planted-cluster counterpart of ann_recall's lsh_hits: identical
+    // LSH kernel, vectors regenerated with planted centroid structure
+    // (Similarity.plantedEmb) — centroid matrix interpolated as exact
+    // double literals; centroid+jitter are dyadic rationals (denominator
+    // 1024) so float32 storage on the Spark side is lossless and both
+    // engines score identical doubles
+    "ann_recall_planted" -> {
+      import graft.pipeline.Similarity
+      s"""WITH pl AS (
+         |  SELECT vec_id,
+         |    list_transform(generate_series(0, ${Similarity.EmbDims - 1}), d ->
+         |      ${Similarity.plantedCentroidSqlList}[vec_id % ${Similarity.PlantedClusters} + 1][d + 1]
+         |      + (CAST((vec_id * 37 + d * 11) % 13 AS DOUBLE) - 6) / 1024.0) AS v
+         |  FROM embeddings),
+         |sg AS (SELECT vec_id, v, $lshSigExpr AS s FROM pl),
+         |q AS (SELECT vec_id AS qid, v AS qv, s AS qs FROM sg ORDER BY vec_id LIMIT 20),
+         |bfc AS (
+         |  SELECT q.qid, p.vec_id AS nid, list_cosine_similarity(q.qv, p.v) AS cos
+         |  FROM q JOIN pl p ON p.vec_id <> q.qid),
+         |bf AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |  FROM bfc) WHERE rn <= 10),
+         |lc AS (
+         |  SELECT q.qid, e2.vec_id AS nid, list_cosine_similarity(q.qv, e2.v) AS cos
+         |  FROM q JOIN sg e2 ON e2.vec_id <> q.qid AND hamming(q.qs, e2.s) <= 1),
+         |lsh AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |  FROM lc) WHERE rn <= 10)
+         |SELECT b.qid AS query_id, CAST(COALESCE(lh.n, 0) AS BIGINT) AS lsh_hits
+         |FROM (SELECT DISTINCT qid FROM bf) b
+         |LEFT JOIN (SELECT l.qid, COUNT(*) AS n FROM lsh l
+         |  JOIN bf ON bf.qid = l.qid AND bf.nid = l.nid GROUP BY 1) lh ON lh.qid = b.qid""".stripMargin
+    },
     "ann_dup_pairs" ->
       s"""WITH $dupEmbCte,
          |sig AS (SELECT vec_id, v, $lshSigExpr AS s FROM dup_emb)
@@ -934,49 +1025,25 @@ object SparkEntry {
     // the documented Gopher rules (Rae et al. 2021 §A) — integer counters,
     // thresholds as integer cross-multiplications (mirrors
     // TextAnalysis.qualityGopher exactly; no float ratio compared)
-    "dd_quality_gopher" -> {
-      val stops = graft.pipeline.TextAnalysis.GopherStops
-      val stopSum = stops
-        .map(s => s"(CASE WHEN list_contains(wl, '$s') THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH base AS (
-         |  SELECT doc_id, text,
-         |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws,
-         |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-         |         ELSE regexp_split_to_array(lower(text), '\\W+') END AS wl,
-         |    string_split(text, chr(10)) AS ls
-         |  FROM documents),
-         |cnt AS (
-         |  SELECT doc_id,
-         |    CAST(len(ws) AS BIGINT) AS n_words,
-         |    CAST(strlen(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS word_bytes,
-         |    CAST(strlen(text) - strlen(replace(text, '#', '')) AS BIGINT)
-         |      + CAST((strlen(text) - strlen(replace(text, '...', ''))) // 3 AS BIGINT)
-         |      AS n_symbols,
-         |    CAST(len(ls) AS BIGINT) AS n_lines,
-         |    CAST(len(list_filter(ls, l -> starts_with(l, '•')
-         |      OR starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT) AS n_bullet_lines,
-         |    CAST(len(list_filter(ls, l -> ends_with(l, '...')
-         |      OR ends_with(l, '…'))) AS BIGINT) AS n_ellipsis_lines,
-         |    CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines,
-         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
-         |      AS n_alpha_words,
-         |    CAST($stopSum AS BIGINT) AS n_stop_hits
-         |  FROM base)
+    "dd_quality_gopher" ->
+      s"""WITH $gopherCtes
          |SELECT doc_id, n_words, word_bytes, n_symbols, n_lines, n_bullet_lines,
          |  n_ellipsis_lines, n_dup_lines, n_alpha_words, n_stop_hits,
-         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-         |    AND word_bytes >= n_words * 3 AND word_bytes <= n_words * 10
-         |    AND n_symbols * 10 <= n_words
-         |    AND n_bullet_lines * 10 <= n_lines * 9
-         |    AND n_ellipsis_lines * 10 <= n_lines * 3
-         |    AND n_alpha_words * 10 >= n_words * 8
-         |    AND n_stop_hits >= 2
-         |    AND n_dup_lines * 10 <= n_lines * 3
-         |  THEN 1 ELSE 0 END AS BIGINT) AS pass
-         |FROM cnt""".stripMargin
-    },
+         |  CAST(CASE WHEN $gopherPassCond THEN 1 ELSE 0 END AS BIGINT) AS pass
+         |FROM gcnt""".stripMargin,
+    // the end-to-end manifest: Gopher-passing, non-dup-loser base docs with
+    // their token counts (Dedup.trainManifest) — composes the proven CTEs
+    "dd_train_manifest" ->
+      (dupClusterCtes + ",\n" +
+        s"""$gopherCtes
+           |SELECT c.doc_id,
+           |  CASE WHEN trim(d.text) = '' THEN CAST(0 AS BIGINT)
+           |       ELSE CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+           |  END AS n_tokens
+           |FROM gcnt c JOIN documents d ON d.doc_id = c.doc_id
+           |WHERE ($gopherPassCond)
+           |  AND c.doc_id NOT IN (
+           |    SELECT doc_id FROM l${Dedup.ClusterIters} WHERE doc_id <> lbl)""".stripMargin),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 20),
         |scored AS (

@@ -417,6 +417,22 @@ object Dedup {
       .join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** The end-to-end training-data manifest — what the whole pipeline exists
+    * to produce: base documents that (a) pass every Gopher quality gate and
+    * (b) are not non-keeper members of a dup cluster, with their token
+    * counts. Composition of three already-verified operators; the joins are
+    * id-keyed (text never shuffles) and the loser set is cluster-bounded.
+    */
+  def trainManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val quality = TextAnalysis.qualityGopher(spark, sfDir)
+      .filter(col("pass") === 1L).select(col("doc_id"))
+    val losers = dupClusters(spark, sfDir)
+      .filter(col("doc_id") =!= col("keeper_id")).select(col("doc_id"))
+    TextAnalysis.tokenCounts(spark, sfDir)
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
   // ------------------------------------- exact repeated-span (n-gram) dedup
 
   /** Window width for exact substring-level dedup: spans of [[GramW]]

@@ -41,8 +41,19 @@ object Similarity {
       nQueries: Int = 20, k: Int = 10): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    val all = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
+    bruteForceTopKOver(spark,
+      emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])], nQueries, k)
+  }
+
+  /** [[bruteForceTopK]] over an arbitrary (vec_id, embedding) source —
+    * shared by the parquet table and the planted-cluster view.
+    */
+  def bruteForceTopKOver(spark: SparkSession,
+      all: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
     val queries = all.orderBy(col("vec_id")).limit(nQueries).collect()
     val bcQ = spark.sparkContext.broadcast(queries)
 
@@ -128,8 +139,17 @@ object Similarity {
       nQueries: Int = 20, k: Int = 10): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    val all = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
+    lshTopKOver(spark,
+      emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])], nQueries, k)
+  }
+
+  /** [[lshTopK]] over an arbitrary (vec_id, embedding) source. */
+  def lshTopKOver(spark: SparkSession,
+      all: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
     val queries = all.orderBy(col("vec_id")).limit(nQueries).collect()
     // query probe set: own bucket + all 1-bit flips
     val probes: Map[Int, Seq[Long]] = queries
@@ -400,6 +420,84 @@ object Similarity {
         coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
         coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"),
         coalesce(col("ivf_kmeans_hits"), lit(0L)).as("ivf_kmeans_hits"))
+  }
+
+  // ------------------------------------------ planted-cluster recall audit
+
+  /** Number of planted centroids in [[plantedEmb]]. */
+  val PlantedClusters = 16
+
+  /** Centroid component for (cluster, dim): a mix64-derived integer in
+    * [-32, 32] over 64. Every value is a dyadic rational with denominator
+    * 64, exact in BOTH float32 and float64 — the SQL oracle interpolates
+    * these as double literals and reproduces the vectors bit-for-bit.
+    */
+  @inline def plantedCentroid(c: Int, d: Int): Double = {
+    val h = TextAnalysis.mix64(
+      (c.toLong + 1L) * 0x9e3779b97f4a7c15L ^ (d.toLong + 1L) * 0xc2b2ae3d27d4eb4fL)
+    (Math.floorMod(h, 65L) - 32L).toDouble / 64.0
+  }
+
+  /** Per-(vec_id, dim) planted jitter: ((id·37 + d·11) mod 13 − 6) / 1024 —
+    * plain modular integers over a power-of-two denominator, so the sum
+    * centroid + jitter has denominator 1024 and magnitude < 1: still exact
+    * in float32. Both engines evaluate the identical arithmetic.
+    */
+  @inline def plantedJitter(id: Long, d: Int): Double =
+    ((id * 37L + d.toLong * 11L) % 13L - 6L).toDouble / 1024.0
+
+  /** The planted centroid matrix as a DuckDB list-of-lists literal
+    * (PlantedClusters × EmbDims doubles), 1-indexed as SQL lists are.
+    */
+  def plantedCentroidSqlList: String =
+    (0 until PlantedClusters).map { c =>
+      (0 until EmbDims).map(d => plantedCentroid(c, d).toString)
+        .mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
+
+  /** Deterministic CLUSTERED embedding view over the same vec_id set as
+    * embeddings.parquet: vec_id's vector = centroid(vec_id mod
+    * [[PlantedClusters]]) + tiny per-dimension jitter. The driver-generated
+    * table is uniform-random — the one geometry where signature LSH cannot
+    * beat chance (measured by [[annRecall]]: ≈1 of 10) — so this view
+    * plants the cluster structure real embedding spaces have, letting the
+    * recall audit show the SAME LSH kernel recovering it. Narrow map over
+    * vec_id only; the parquet embedding column is never read.
+    */
+  def plantedEmb(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[(Long, Array[Float])] = {
+    val spark2 = spark
+    import spark2.implicits._
+    emb(spark, sfDir).select(col("vec_id")).as[Long].map { id =>
+      val c = (id % PlantedClusters).toInt
+      val v = new Array[Float](EmbDims)
+      var d = 0
+      while (d < EmbDims) {
+        v(d) = (plantedCentroid(c, d) + plantedJitter(id, d)).toFloat
+        d += 1
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding").as[(Long, Array[Float])]
+  }
+
+  /** LSH recall on the planted-cluster view: per query, how many of the LSH
+    * top-k appear in the exact top-k over the SAME vectors. The structural
+    * counterpart to [[annRecall]]'s lsh_hits column — low there (uniform
+    * vectors), high here (clustered vectors) — pinning that the audit
+    * measures the DATA's geometry, not a kernel defect.
+    */
+  def annRecallPlanted(spark: SparkSession, sfDir: String,
+      nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val planted = plantedEmb(spark, sfDir).localCheckpoint(true)
+    val exact = bruteForceTopKOver(spark, planted, nQueries, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val lsh = lshTopKOver(spark, planted, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.select(col("query_id")).distinct()
+      .join(
+        lsh.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("lsh_hits")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"))
   }
 
   /** The driver-generated embeddings are random (max pairwise cosine ≈ 0.37

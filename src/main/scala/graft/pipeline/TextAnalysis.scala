@@ -55,7 +55,10 @@ object TextAnalysis {
   }
 
   /** Gopher stop-word list (Rae et al. 2021, §A.1.1): a document must
-    * contain ≥ 2 of these to pass the stop-word rule.
+    * contain ≥ 2 of these to pass the stop-word rule. Counted as token
+    * OCCURRENCES (a doc with "the … the" passes), the interpretation the
+    * public reimplementations use (e.g. HuggingFace DataTrove's
+    * GopherQualityFilter sums per-token membership).
     */
   val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
@@ -99,9 +102,8 @@ object TextAnalysis {
     val nAlphaWords = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
     val wl = when(length(trim(t)) === 0, array().cast("array<string>"))
       .otherwise(split(lower(t), "\\W+"))
-    val stopHits = GopherStops
-      .map(s => when(array_contains(wl, s), 1L).otherwise(lit(0L)))
-      .reduce(_ + _)
+    // stop-word OCCURRENCES (see GopherStops doc), not distinct types
+    val stopHits = size(filter(wl, w => w.isin(GopherStops: _*))).cast("long")
     val pass =
       nWords.between(50L, 100000L) &&
         (sumWordBytes >= nWords * 3L) && (sumWordBytes <= nWords * 10L) &&

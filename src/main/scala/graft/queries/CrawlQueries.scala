@@ -144,6 +144,18 @@ object CrawlQueries {
     fullCrawl(spark, sfDir).seen
       .select(col("url"), col("depth").cast("long").as("depth"))
 
+  /** Same BFS with the cuckoo seen-filter forced from wave 1 (seenFilter =
+    * "cuckoo", engagement threshold 0). The filter is a pre-filter only —
+    * exact results are filter-independent — so the oracle is the same
+    * min-depth reachability CTE as crawl_bfs_seen: the row pins the entire
+    * cuckoo build/merge/probe lifecycle end-to-end at the driver gate.
+    */
+  def cuckooSeen(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "cuckoo") { dir =>
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(startUrl = Seed, seenFilter = "cuckoo", bloomMinSeen = 0L))
+    }.seen.select(col("url"), col("depth").cast("long").as("depth"))
+
   /** Saved pages of the full crawl with their extracted titles (H4 title
     * parity against the generator's ground truth).
     */

@@ -131,6 +131,43 @@ class BloomSeenSpec extends AnyFunSuite {
     assert(freshMaybe < n / 10, s"fpp degenerate: $freshMaybe/$n fresh urls flagged maybe")
   }
 
+  test("cuckoo seen-filter: crawl is exact on the forced segment path") {
+    val out = WaveCrawler.crawl(spark, pages,
+      CrawlConfig(startUrl = seed0, seenFilter = "cuckoo", bloomMinSeen = 0L))
+    assertEqualsRef(out)
+  }
+
+  test("cuckoo seen-filter: outgrown segments rebuild and the crawl stays exact") {
+    val out = WaveCrawler.crawl(spark, pages,
+      CrawlConfig(startUrl = seed0, seenFilter = "cuckoo", bloomMinSeen = 0L,
+        seenBuckets = 4, bloomMinSegCapacity = 1L))
+    assert(out.bloomRebuilds >= 1, "expected at least one mid-crawl rebuild")
+    assertEqualsRef(out)
+  }
+
+  test("cuckoo probe has no false negatives and sharper fpp than bloom") {
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 20000
+    val urls = spark.range(n).map(i => s"http://csized.test/p-$i").toDF("url")
+    val buckets = 32
+    val cap = WaveCrawler.segCapacityFor(n.toLong, buckets, 16L)
+    val segs = WaveCrawler.buildSegs(spark, urls, buckets, cap, "cuckoo")
+    val links = spark.range(2L * n).map { i =>
+      val u = if (i < n) s"http://csized.test/p-$i" else s"http://cfresh.test/q-$i"
+      (u, "h", i, 0)
+    }.toDF("url", "host", "parent_seq", "pos")
+    val probed = WaveCrawler.probeSegs(spark, links, segs, buckets, "cuckoo")
+      .persist()
+    assert(probed.filter(!col("url").startsWith("http://cfresh"))
+      .filter(!col("maybe_seen")).count() == 0, "cuckoo false negative")
+    val freshMaybe = probed.filter(col("url").startsWith("http://cfresh"))
+      .filter(col("maybe_seen")).count()
+    // cuckoo fpp ≈ 0.012% — two orders below the bloom test's n/10 bound
+    assert(freshMaybe < n / 100, s"cuckoo fpp degenerate: $freshMaybe/$n")
+    probed.unpersist()
+  }
+
   test("host-prune predicate reaches the parquet scan as PushedFilters") {
     val plan = pages.select(col("url"), col("html"))
       .filter(WaveCrawler.hostPrunePredicate("host0.test"))

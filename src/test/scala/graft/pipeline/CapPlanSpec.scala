@@ -34,4 +34,31 @@ class CapPlanSpec extends AnyFunSuite {
   test("embedding LSH bucket cap plans as WindowGroupLimit") {
     assertWindowGroupLimit(Similarity.embeddingDupPairs(spark, sf), "embeddingDupPairs")
   }
+
+  test("gopher quality plans as one narrow native scan (no shuffle, no UDF)") {
+    // (not asserted: WholeStageCodegen — Spark evaluates higher-order array
+    // functions like filter(…, lambda) as interpreted expressions outside
+    // codegen; the scan is still a single narrow stage)
+    val qe = TextAnalysis.qualityGopher(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString()
+    assert(!plan.contains("Exchange"),
+      s"per-row quality gates must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !qe.analyzed.toString.contains("ScalaUDF"),
+      s"gates must stay native column expressions:\n$plan")
+  }
+
+  test("dup clustering never plans a nested-loop or cartesian join") {
+    // 6 hash-min iterations over id-keyed tables: every join must stay an
+    // equi-join (broadcast or shuffled hash/SMJ) — a cartesian here would be
+    // quadratic at 10^10 docs
+    val plan = Dedup.dupClusters(spark, sf).queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), s"cartesian in cluster plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in cluster plan:\n$plan")
+  }
+
+  test("train manifest composes with id-keyed joins only (text never shuffles)") {
+    val plan = Dedup.trainManifest(spark, sf).queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in manifest plan:\n$plan")
+  }
 }

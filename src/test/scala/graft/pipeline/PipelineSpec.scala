@@ -284,6 +284,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(familiesChecked > 0, "no dup family appeared in the pair graph")
   }
 
+  test("dup clusters reach a true fixed point: every pair edge is label-monochrome") {
+    import spark.implicits._
+    // If any edge still crossed two labels, another hash-min iteration would
+    // change them — monochrome edges prove ClusterIters covers this corpus's
+    // component diameters (the documented bound), not just the injected
+    // families the membership test walks.
+    val clusters = Dedup.dupClusters(spark, sf).as[(Long, Long)].collect().toMap
+    val pairs = Dedup.minhashPairs(spark, sf).select("doc_a", "doc_b")
+      .unionByName(Dedup.simhashPairs(spark, sf).select("doc_a", "doc_b"))
+      .as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b),
+        s"edge ($a,$b) crosses labels ${clusters(a)}/${clusters(b)} — ClusterIters too small")
+    }
+  }
+
+  test("planted-cluster LSH recall is high where uniform-corpus recall is low") {
+    import spark.implicits._
+    val planted = Similarity.annRecallPlanted(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(planted.length > 0)
+    val meanPlanted = planted.map(_._2).sum.toDouble / planted.length
+    // same kernel, same bits, same probes — clustered geometry must recover
+    // most of the exact top-10 (uniform vectors measure ≈1 of 10 in
+    // ann_recall; a planted mean this high is impossible by chance)
+    assert(meanPlanted >= 7.0, s"planted LSH recall $meanPlanted < 7 of 10")
+    // every query's own cluster dominates: hits can never exceed k
+    planted.foreach { case (q, h) => assert(h >= 0 && h <= 10, s"q$q hits=$h") }
+  }
+
   test("host pagerank conserves total mass within integer-floor slack") {
     import spark.implicits._
     val pr = HostGraph.hostPageRank(spark, sf).as[(String, Long)].collect()
