@@ -328,6 +328,7 @@ object SparkEntry {
     "crawl_link_extract" -> ((s, d) => C.linkExtract(s, d)),
     "crawl_extract_titles" -> ((s, d) => C.extractTitles(s, d)),
     "crawl_extract_markdown" -> ((s, d) => C.extractMarkdown(s, d)),
+    "crawl_recrawl_delta" -> ((s, d) => C.recrawlDelta(s, d)),
     "crawl_selector_md" -> ((s, d) => C.selectorMd(s, d)),
     "stream_extract" -> ((s, d) => C.streamExtract(s, d)),
     "stream_sessions" -> ((s, d) => C.fetchSessions(s, d)),
@@ -538,6 +539,18 @@ object SparkEntry {
          |FROM ${gt("pages")} GROUP BY 1""".stripMargin,
     "crawl_extract_markdown" ->
       s"SELECT url, markdown FROM ${gt("meta")}",
+    // snapshot-delta recrawl: changed pages (page_idx%7==3) serve the same
+    // host's page_idx-1 html in v2, so their refreshed markdown must be the
+    // DONOR page's ground truth; everything else keeps its own
+    "crawl_recrawl_delta" ->
+      s"""WITH mx AS (SELECT url, host_idx, page_idx, markdown FROM ${gt("meta")}),
+         |don AS (
+         |  SELECT c.url, d.markdown AS dmd
+         |  FROM mx c JOIN mx d
+         |    ON d.host_idx = c.host_idx AND d.page_idx = c.page_idx - 1
+         |  WHERE c.page_idx % 7 = 3)
+         |SELECT m.url, COALESCE(don.dmd, m.markdown) AS markdown
+         |FROM mx m LEFT JOIN don ON don.url = m.url""".stripMargin,
     // miss pages (i%5 != 1) take the raw-HTML fallback, so the expectation is
     // the SELECTOR-branch ground truth (sel_markdown): image variants keep
     // their noscript-unwrapped / lazy-promoted image there

@@ -156,6 +156,39 @@ object CrawlQueries {
         CrawlConfig(startUrl = Seed, seenFilter = "cuckoo", bloomMinSeen = 0L))
     }.seen.select(col("url"), col("depth").cast("long").as("depth"))
 
+  /** Incremental recrawl over a deterministic snapshot update: in v2 every
+    * page with page_idx % 7 == 3 serves the SAME HOST's page_idx-1 html
+    * (whose extraction ground truth already exists) with warc_ts advanced
+    * one day; everything else is byte-identical. [[graft.crawl.Recrawl]]
+    * re-extracts ONLY the delta and splices it into the prior extraction —
+    * changed urls must come back with the donor page's markdown (hrefs in
+    * the corpus are root-relative or absolute, so the donor's markdown is
+    * base-page-independent within a host), unchanged urls with their own.
+    */
+  def recrawlDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    val pages = CorpusGen.pages(spark, dir)
+    def intOrElse(c: org.apache.spark.sql.Column, dflt: Int) =
+      coalesce(when(c =!= "", c).otherwise(lit(null)).cast("int"), lit(dflt))
+    val keyed = pages
+      .withColumn("host_idx",
+        intOrElse(regexp_extract(col("url"), "^http://host(\\d+)\\.test", 1), -1))
+      .withColumn("page_idx",
+        intOrElse(regexp_extract(col("url"), "page-(\\d+)$", 1), 0))
+    val donors = keyed
+      .select(col("host_idx").as("d_host"), (col("page_idx") + 1).as("d_for"),
+        col("html").as("donor_html"))
+    val changed = keyed.where(pmod(col("page_idx"), lit(7)) === 3)
+      .join(donors, col("host_idx") === col("d_host") && col("page_idx") === col("d_for"))
+      .select(col("url"), col("donor_html"))
+    val v2 = pages.join(changed, Seq("url"), "left")
+      .select(col("url"),
+        when(col("donor_html").isNotNull, col("warc_ts") + expr("INTERVAL 1 DAY"))
+          .otherwise(col("warc_ts")).as("warc_ts"),
+        coalesce(col("donor_html"), col("html")).as("html"))
+    graft.crawl.Recrawl.refresh(spark, pages, v2, extractMarkdown(spark, sfDir))
+  }
+
   /** Saved pages of the full crawl with their extracted titles (H4 title
     * parity against the generator's ground truth).
     */
