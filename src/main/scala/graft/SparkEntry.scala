@@ -362,7 +362,9 @@ object SparkEntry {
     "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dd_repeated_ngrams" -> ((s, d) => Dedup.repeatedNgrams(s, d)),
     "dd_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
+    "dd_contamination" -> ((s, d) => Dedup.contamination(s, d)),
     "dd_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "dd_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "dd_subword_count" -> ((s, d) => TextAnalysis.subwordCounts(s, d)),
     "dd_bpe_merges" -> ((s, d) => Bpe.mergeTable(s, d)),
     "dd_bpe_token_count" -> ((s, d) => Bpe.tokenCounts(s, d)),
@@ -713,6 +715,22 @@ object SparkEntry {
          |  COUNT(*) AS n_occ,
          |  MIN(doc_id) AS keeper_doc
          |FROM wing GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
+    // benchmark decontamination: bench grams = window at pos 6 of every
+    // doc_id%25==7 doc; a doc is contaminated if any of its windows matches
+    "dd_contamination" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\W+'), w -> w <> '') AS ws
+         |  FROM documents),
+         |win AS (
+         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+         |  FROM toks WHERE len(ws) >= 8),
+         |wing AS (
+         |  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS g FROM win),
+         |bench AS (SELECT DISTINCT g FROM wing WHERE doc_id % 25 = 7 AND pos = 6)
+         |SELECT w.doc_id, CAST(COUNT(DISTINCT w.g) AS BIGINT) AS n_hits
+         |FROM wing w JOIN bench b ON b.g = w.g
+         |GROUP BY w.doc_id""".stripMargin,
     "dd_span_coverage" ->
       s"""WITH $dupDocsCte,
          |toks AS (
@@ -1057,6 +1075,28 @@ object SparkEntry {
            |WHERE ($gopherPassCond)
            |  AND c.doc_id NOT IN (
            |    SELECT doc_id FROM l${Dedup.ClusterIters} WHERE doc_id <> lbl)""".stripMargin),
+    // PII scrub over the deterministic injected view (TextAnalysis.piiDocs):
+    // identical RE2∩Java patterns, emails redacted first in both engines
+    "dd_pii_scrub" -> {
+      import graft.pipeline.TextAnalysis._
+      s"""WITH pii AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 1 THEN
+         |      text || ' reach user' || doc_id || '@example.com at 10.' ||
+         |      (doc_id % 256) || '.0.' || (doc_id % 100) || ' or +1555' ||
+         |      lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0')
+         |    ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$Ipv4Re', '<IP>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+         |FROM pii""".stripMargin
+    },
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 20),
         |scored AS (

@@ -433,6 +433,33 @@ object Dedup {
       .join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Benchmark decontamination: which documents share a [[GramW]]-token
+    * window with the benchmark set — the check every training corpus runs
+    * against its eval suites before release. The benchmark here is the
+    * deterministic stand-in both engines rebuild: the window starting at
+    * token 6 of every doc_id % 25 == 7 document. Returns (doc_id, n_hits =
+    * distinct benchmark grams matched) for contaminated docs (the snippet
+    * sources themselves included, by construction).
+    *
+    * Scale shape: both sides are the same narrow gram stream
+    * ([[ngramWindowsOf]]); the benchmark side prunes at the scan
+    * (doc_id predicate) and distills to a tiny distinct gram-hash set —
+    * broadcast against the corpus stream, then one (doc_id, gram) distinct
+    * aggregate. Text never shuffles; a real eval suite (~10^5 grams) is
+    * broadcast-able the same way.
+    */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir)
+    val bench = ngramWindowsOf(spark, base.filter(pmod(col("doc_id"), lit(25)) === 7))
+      .filter(col("pos") === 6)
+      .select(col("gram_md5")).distinct()
+    ngramWindowsOf(spark, base)
+      .select(col("doc_id"), col("gram_md5"))
+      .join(broadcast(bench), Seq("gram_md5"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram_md5")).as("n_hits"))
+  }
+
   // ------------------------------------- exact repeated-span (n-gram) dedup
 
   /** Window width for exact substring-level dedup: spans of [[GramW]]
@@ -446,10 +473,16 @@ object Dedup {
     * dup-injected documents view — pos is the 1-based window start in token
     * space. One narrow map; the text itself never shuffles.
     */
-  private def ngramWindows(spark: SparkSession, sfDir: String): DataFrame = {
+  private def ngramWindows(spark: SparkSession, sfDir: String): DataFrame =
+    ngramWindowsOf(spark, docsWithDups(spark, sfDir))
+
+  /** Same gram stream over an arbitrary (doc_id, text) source — shared by
+    * the dup-injected dedup view and the base-corpus contamination check.
+    */
+  private def ngramWindowsOf(spark: SparkSession, src: DataFrame): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    docsWithDups(spark, sfDir).select(col("doc_id"), col("text"))
+    src.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

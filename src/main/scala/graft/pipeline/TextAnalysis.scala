@@ -17,6 +17,57 @@ object TextAnalysis {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  // ---------------------------------------------------- PII scrubbing
+
+  /** PII patterns — the RE2 ∩ java.util.regex common subset (no
+    * lookaround, no backrefs), so Spark's codegen'd regexp_replace and the
+    * DuckDB oracle evaluate the identical automaton.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val PhoneRe = "\\+\\d{10,11}"
+
+  /** The corpus text is PII-free, so the scrub operator runs over a
+    * deterministic PII-injected view: every doc_id % 4 == 1 document gets
+    * an email, an IPv4, and an E.164-ish phone appended, all derived from
+    * doc_id by plain integer arithmetic — the exact string both engines
+    * rebuild (the docsWithDups pattern).
+    */
+  private[pipeline] def piiDocs(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(col("text"),
+          lit(" reach user"), col("doc_id").cast("string"), lit("@example.com at 10."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".0."),
+          pmod(col("doc_id"), lit(100)).cast("string"),
+          lit(" or +1555"), lpad(pmod(col("doc_id"), lit(10000000)).cast("string"), 7, "0")))
+        .otherwise(col("text")).as("text"))
+
+  /** Count and redact emails / IPv4s / phone numbers — the redaction pass
+    * every training-data pipeline runs before release. Pure codegen'd
+    * column expressions (counts from regexp_extract_all, redaction from a
+    * regexp_replace chain, emails first so the later automata never see
+    * their text); one narrow map stage, scales embarrassingly.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    // expr() parses a SQL string literal (backslash-unescaping), the Column
+    // regexp_replace below takes the pattern raw — double only here
+    def cnt(re: String): Column =
+      size(expr(s"regexp_extract_all(text, '${re.replace("\\", "\\\\")}', 0)")).cast("long")
+    piiDocs(spark, sfDir).select(
+      col("doc_id"),
+      cnt(EmailRe).as("n_emails"),
+      cnt(Ipv4Re).as("n_ipv4"),
+      cnt(PhoneRe).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("scrubbed"))
+  }
+
   /** Whitespace token count — built-in split, no UDF. */
   def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir).select(

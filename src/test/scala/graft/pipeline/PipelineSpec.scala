@@ -315,6 +315,41 @@ class PipelineSpec extends AnyFunSuite {
     planted.foreach { case (q, h) => assert(h >= 0 && h <= 10, s"q$q hits=$h") }
   }
 
+  test("pii scrub: injected docs counted and fully redacted, others untouched") {
+    import spark.implicits._
+    val rows = TextAnalysis.piiScrub(spark, sf)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, em, ip, ph, scrubbed) =>
+      if (id % 4 == 1) {
+        assert(em == 1 && ip == 1 && ph == 1, s"doc $id counts ($em,$ip,$ph)")
+        assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<IP>")
+          && scrubbed.contains("<PHONE>"), s"doc $id not redacted")
+        assert(!scrubbed.contains("@example.com") && !scrubbed.contains("+1555"),
+          s"doc $id leaked PII")
+      } else {
+        assert(em == 0 && ip == 0 && ph == 0, s"clean doc $id flagged")
+        assert(!scrubbed.contains("<EMAIL>"))
+      }
+    }
+  }
+
+  test("contamination: every benchmark-source doc is flagged") {
+    import spark.implicits._
+    val hits = Dedup.contamination(spark, sf).as[(Long, Long)].collect().toMap
+    assert(hits.nonEmpty)
+    val benchSources = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "size(filter(split(lower(text), '\\\\W+'), w -> w <> '')) AS n")
+      .as[(Long, Int)].collect()
+      .filter { case (id, n) => id % 25 == 7 && n >= 13 }
+      .map(_._1)
+    assert(benchSources.nonEmpty, "corpus too small for a bench set")
+    benchSources.foreach { id =>
+      assert(hits.get(id).exists(_ >= 1L), s"bench-source doc $id not flagged")
+    }
+    hits.values.foreach(h => assert(h >= 1L))
+  }
+
   test("host pagerank conserves total mass within integer-floor slack") {
     import spark.implicits._
     val pr = HostGraph.hostPageRank(spark, sf).as[(String, Long)].collect()
