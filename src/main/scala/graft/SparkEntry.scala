@@ -365,6 +365,7 @@ object SparkEntry {
     "dd_contamination" -> ((s, d) => Dedup.contamination(s, d)),
     "dd_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "dd_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
+    "dd_sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "dd_subword_count" -> ((s, d) => TextAnalysis.subwordCounts(s, d)),
     "dd_bpe_merges" -> ((s, d) => Bpe.mergeTable(s, d)),
     "dd_bpe_token_count" -> ((s, d) => Bpe.tokenCounts(s, d)),
@@ -1075,6 +1076,22 @@ object SparkEntry {
            |WHERE ($gopherPassCond)
            |  AND c.doc_id NOT IN (
            |    SELECT doc_id FROM l${Dedup.ClusterIters} WHERE doc_id <> lbl)""".stripMargin),
+    // deterministic stratified sampling: md5(doc_id) orders each language
+    // stratum; take while the preceding running token total is under budget
+    "dd_sample_stratified" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |    END AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents)
+         |SELECT doc_id, lang, n_tokens FROM (
+         |  SELECT doc_id, lang, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM d)
+         |WHERE prior < ${graft.pipeline.TextAnalysis.SampleTokenBudget}""".stripMargin,
     // PII scrub over the deterministic injected view (TextAnalysis.piiDocs):
     // identical RE2∩Java patterns, emails redacted first in both engines
     "dd_pii_scrub" -> {

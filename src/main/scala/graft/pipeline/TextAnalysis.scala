@@ -17,6 +17,40 @@ object TextAnalysis {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  // ----------------------------------------------- stratified sampling
+
+  /** Per-language token budget for [[stratifiedSample]]. */
+  val SampleTokenBudget = 3000L
+
+  /** Deterministic stratified sampling to a per-stratum token budget — the
+    * data-mixing step of a training pipeline (sample each language down to
+    * its quota). Docs within a stratum are ordered by md5(doc_id) (a
+    * deterministic shuffle both engines compute identically) and taken
+    * while the RUNNING token total of preceding picks is under the budget,
+    * so the first overshooting doc is still included and the pick set is a
+    * pure function of the corpus.
+    *
+    * Scale shape: one sort-by-(lang, h) window with a running sum — a
+    * per-stratum ordered scan. At 100 TB the same semantics run as
+    * two-pass per-partition quotas (partial sums per partition, driver
+    * prefix, exact cut in pass two); this single-window form is the
+    * specification both must match.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    val nTokens = when(length(trim(t)) === 0, lit(0L))
+      .otherwise(size(split(trim(t), "\\s+")).cast("long"))
+    val d = docs(spark, sfDir).select(
+      col("doc_id"), col("lang"), nTokens.as("n_tokens"),
+      md5(col("doc_id").cast("string").cast("binary")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    d.withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("prior") < SampleTokenBudget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+  }
+
   // ---------------------------------------------------- PII scrubbing
 
   /** PII patterns — the RE2 ∩ java.util.regex common subset (no

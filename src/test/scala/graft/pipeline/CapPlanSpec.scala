@@ -56,6 +56,13 @@ class CapPlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in cluster plan:\n$plan")
   }
 
+  test("contamination plans the bench side as a broadcast semi-join") {
+    val plan = Dedup.contamination(spark, sf).queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"bench gram set must broadcast (it is ~10^5 grams in production):\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in contamination plan:\n$plan")
+  }
+
   test("train manifest composes with id-keyed joins only (text never shuffles)") {
     val plan = Dedup.trainManifest(spark, sf).queryExecution.executedPlan.toString()
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

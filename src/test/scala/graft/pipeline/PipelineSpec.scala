@@ -350,6 +350,26 @@ class PipelineSpec extends AnyFunSuite {
     hits.values.foreach(h => assert(h >= 1L))
   }
 
+  test("stratified sample: every stratum lands at its budget, deterministically") {
+    import spark.implicits._
+    val picked = TextAnalysis.stratifiedSample(spark, sf)
+      .as[(Long, String, Long)].collect()
+    assert(picked.nonEmpty)
+    val byLang = picked.groupBy(_._2)
+    byLang.foreach { case (lang, rows) =>
+      val tok = rows.map(_._3).sum
+      val maxDoc = rows.map(_._3).max
+      // running-prior rule: total ≥ budget is reached (unless the stratum is
+      // exhausted) and overshoot is bounded by one document
+      assert(tok < TextAnalysis.SampleTokenBudget + maxDoc,
+        s"$lang overshoot: $tok tokens")
+    }
+    // determinism: a second evaluation picks the identical set
+    val again = TextAnalysis.stratifiedSample(spark, sf)
+      .as[(Long, String, Long)].collect()
+    assert(picked.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("host pagerank conserves total mass within integer-floor slack") {
     import spark.implicits._
     val pr = HostGraph.hostPageRank(spark, sf).as[(String, Long)].collect()
