@@ -372,6 +372,7 @@ object SparkEntry {
     "dd_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "dd_quality_gopher" -> ((s, d) => TextAnalysis.qualityGopher(s, d)),
     "dd_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "dd_lang_id_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
     "dd_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -1076,6 +1077,42 @@ object SparkEntry {
            |WHERE ($gopherPassCond)
            |  AND c.doc_id NOT IN (
            |    SELECT doc_id FROM l${Dedup.ClusterIters} WHERE doc_id <> lbl)""".stripMargin),
+    // 5-way profile language ID over the marker-injected view: Han counter
+    // gates zh; stop-word profile argmax (ties to profile order) otherwise
+    "dd_lang_id_profile" -> {
+      import graft.pipeline.TextAnalysis.{LangProfiles, ZhMarker, HanMin}
+      val markerCase = LangProfiles.map { case (l, ws) =>
+        val m = ws.mkString(" ")
+        s"WHEN '$l' THEN '$m $m'"
+      }.mkString(" ") + s" WHEN 'zh' THEN '$ZhMarker $ZhMarker'"
+      val hitSel = LangProfiles.map { case (l, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(wl, w -> w IN ($lst))) AS h_$l"
+      }.mkString(",\n    ")
+      s"""WITH lm AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 3 <> 0 THEN
+         |      (CASE lang $markerCase END) || ' ' || text
+         |    ELSE text END AS text
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, lang, text,
+         |    list_filter(regexp_split_to_array(lower(text), '\\W+'), w -> w <> '') AS wl
+         |  FROM lm),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS han,
+         |    $hitSel
+         |  FROM tok)
+         |SELECT doc_id, lang,
+         |  CASE WHEN han >= $HanMin THEN 'zh'
+         |       WHEN h_de + h_en + h_es + h_fr = 0 THEN 'und'
+         |       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |       WHEN h_es >= h_fr THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM c""".stripMargin
+    },
     // deterministic stratified sampling: md5(doc_id) orders each language
     // stratum; take while the preceding running token total is under budget
     "dd_sample_stratified" ->

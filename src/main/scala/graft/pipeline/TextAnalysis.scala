@@ -17,6 +17,73 @@ object TextAnalysis {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  // ------------------------------------------ profile language ID (5-way)
+
+  /** Stop-word profiles for the corpus's four Latin-script languages, in
+    * the deterministic priority order ties resolve to (de > en > es > fr —
+    * first listed wins). Tokens chosen disjoint across profiles; the
+    * pseudo-English corpus soup itself hits only the en list (measured max
+    * 8 per doc), which the 16-hit injected marker always outvotes.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "nicht", "das", "mit", "sich", "auf"),
+    "en" -> Seq("the", "and", "that", "have", "with", "this", "from", "they"),
+    "es" -> Seq("que", "los", "una", "por", "con", "para", "como", "mas"),
+    "fr" -> Seq("les", "des", "une", "pour", "dans", "est", "pas", "sur"))
+
+  /** Han-script marker for zh (8 chars, space-separated — `\W+`
+    * tokenization drops them from the Latin token stream, so zh detection
+    * runs purely on the script counter).
+    */
+  val ZhMarker = "的 一 是 不 了 人 我 在"
+
+  /** Minimum Han-codepoint count that classifies zh. */
+  val HanMin = 8
+
+  /** The corpus text is language-independent word soup, so the profile
+    * classifier runs over a deterministic marker-injected view: every
+    * doc_id % 3 != 0 document gets its labeled language's 8-token profile
+    * (doubled → 16 hits, outvoting the soup's natural ≤ 8 en hits)
+    * prepended; % 3 == 0 documents stay raw (classified en/und from the
+    * soup alone). Both engines rebuild the identical string.
+    */
+  private[pipeline] def langMarked(spark: SparkSession, sfDir: String): DataFrame = {
+    val marker = LangProfiles.foldLeft(when(col("lang") === "zh", lit(s"$ZhMarker $ZhMarker"))) {
+      case (acc, (l, ws)) =>
+        val m = ws.mkString(" ")
+        acc.when(col("lang") === l, lit(s"$m $m"))
+    }
+    docs(spark, sfDir).select(
+      col("doc_id"), col("lang"),
+      when(pmod(col("doc_id"), lit(3)) =!= 0, concat(marker, lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+  }
+
+  /** 5-way language ID: Han-script counter gates zh, then stop-word
+    * profile hit counts decide among de/en/es/fr (argmax, ties to the
+    * profile order, all-zero → und). Pure codegen'd column expressions —
+    * no UDF — mirrored term-for-term by the SQL oracle. Returns (doc_id,
+    * lang, lang_pred) over the marker-injected view; the spec pins 100%
+    * accuracy on injected docs.
+    */
+  def langIdProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    val han = size(expr(
+      s"regexp_extract_all(text, '${"[\\x{4e00}-\\x{9fff}]".replace("\\", "\\\\")}', 0)"))
+      .cast("long")
+    val wl = split(lower(t), "\\W+")
+    def hits(ws: Seq[String]): Column =
+      size(filter(wl, w => w.isin(ws: _*))).cast("long")
+    val Seq(d, e, s, f) = LangProfiles.map { case (_, ws) => hits(ws) }
+    val pred = when(han >= HanMin, "zh")
+      .when(d + e + s + f === 0L, "und")
+      .when(d >= e && d >= s && d >= f, "de")
+      .when(e >= s && e >= f, "en")
+      .when(s >= f, "es")
+      .otherwise("fr")
+    langMarked(spark, sfDir).select(col("doc_id"), col("lang"), pred.as("lang_pred"))
+  }
+
   // ----------------------------------------------- stratified sampling
 
   /** Per-language token budget for [[stratifiedSample]]. */

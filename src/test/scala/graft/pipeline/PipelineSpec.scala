@@ -350,6 +350,22 @@ class PipelineSpec extends AnyFunSuite {
     hits.values.foreach(h => assert(h >= 1L))
   }
 
+  test("profile language ID: 100% on marker-injected docs, en/und on raw soup") {
+    import spark.implicits._
+    val rows = TextAnalysis.langIdProfile(spark, sf)
+      .as[(Long, String, String)].collect()
+    assert(rows.nonEmpty)
+    val (inj, raw) = rows.partition(_._1 % 3 != 0)
+    assert(inj.nonEmpty && raw.nonEmpty)
+    inj.foreach { case (id, lang, pred) =>
+      assert(pred == lang, s"doc $id labeled $lang predicted $pred")
+    }
+    assert(inj.map(_._2).toSet.size >= 4, "injected set should span the languages")
+    raw.foreach { case (id, _, pred) =>
+      assert(pred == "en" || pred == "und", s"raw doc $id predicted $pred")
+    }
+  }
+
   test("stratified sample: every stratum lands at its budget, deterministically") {
     import spark.implicits._
     val picked = TextAnalysis.stratifiedSample(spark, sf)
