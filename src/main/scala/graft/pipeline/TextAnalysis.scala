@@ -118,6 +118,75 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
   }
 
+  /** The 100-TB implementation of [[stratifiedSample]]: the same semantics
+    * without a single per-stratum window. Pass 0 range-partitions by
+    * (lang, h, doc_id) so each stratum occupies a contiguous, ordered run
+    * of partitions; pass 1 computes each partition's per-stratum token
+    * subtotal (a (P × L)-row collect — KBs at any corpus size); the driver
+    * prefix-sums those into per-(partition, stratum) starting offsets;
+    * pass 2 re-walks each partition with its broadcast offset and keeps
+    * rows while offset + local running total stays under the budget. Two
+    * narrow passes over a ~40-byte projection, one tiny collect — no
+    * global sort bottleneck beyond the range exchange.
+    *
+    * Spec-pinned to produce the IDENTICAL pick set as the window form.
+    */
+  def stratifiedSampleScalable(spark: SparkSession, sfDir: String,
+      parts: Int = 8): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = col("text")
+    val nTokens = when(length(trim(t)) === 0, lit(0L))
+      .otherwise(size(split(trim(t), "\\s+")).cast("long"))
+    val d = docs(spark, sfDir).select(
+      col("doc_id"), col("lang"), nTokens.as("n_tokens"),
+      md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .repartitionByRange(parts, col("lang"), col("h"), col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("h"), col("doc_id"))
+      .as[(Long, String, Long, String)]
+      // eager cut, not persist(): pass 2's offsets are keyed by partition
+      // id, so the partitioning pass 1 observed must be frozen — a cache
+      // eviction + range-exchange recompute could legally redraw boundaries
+      .localCheckpoint(true)
+
+    // pass 1: per-partition per-stratum subtotals (tiny)
+    val subtotals = d.mapPartitions { it =>
+      var pid = -1
+      val acc = scala.collection.mutable.LinkedHashMap[String, Long]()
+      it.foreach { case (_, lang, n, _) =>
+        pid = org.apache.spark.TaskContext.getPartitionId()
+        acc.updateWith(lang)(v => Some(v.getOrElse(0L) + n))
+      }
+      acc.iterator.map { case (lang, n) => (pid, lang, n) }
+    }.collect()
+
+    // driver prefix: starting offset of each (partition, stratum)
+    val offsets: Map[(Int, String), Long] = {
+      val byLang = subtotals.groupBy(_._2)
+      byLang.flatMap { case (lang, rows) =>
+        var run = 0L
+        rows.sortBy(_._1).map { case (pid, _, n) =>
+          val off = run; run += n; ((pid, lang), off)
+        }
+      }
+    }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val budget = SampleTokenBudget
+
+    // pass 2: local running sums resumed from the broadcast offsets
+    val picked = d.mapPartitions { it =>
+      val off = bcOff.value
+      val run = scala.collection.mutable.HashMap[String, Long]()
+      it.flatMap { case (id, lang, n, _) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val prior = run.getOrElse(lang, off.getOrElse((pid, lang), 0L))
+        run(lang) = prior + n
+        if (prior < budget) Some((id, lang, n)) else None
+      }
+    }.toDF("doc_id", "lang", "n_tokens")
+    picked
+  }
+
   // ---------------------------------------------------- PII scrubbing
 
   /** PII patterns — the RE2 ∩ java.util.regex common subset (no

@@ -259,10 +259,28 @@ class WaveCrawlerSpec extends AnyFunSuite {
     WaveCrawler.crawl(spark, pages, cfgStop) // interrupted after 2 waves
     assert(TableIO.latestWave(ckpt).contains(2))
 
-    // per-partition lineage is recorded alongside each wave's data
-    val wm = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$ckpt/wave=1/metrics.json"))
-    assert(wm.contains("\"partition_rows\":") && wm.contains("\"frontier\":["))
+    // per-partition lineage is recorded alongside each wave's data — and
+    // its VALUES audit: the recorded per-partition rows and row_counts must
+    // equal what was actually checkpointed, table by table, wave by wave
+    (1 to 2).foreach { w =>
+      val js = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$ckpt/wave=$w/metrics.json"))
+      assert(js.contains("\"partition_rows\":"))
+      def arr(name: String): Seq[Long] =
+        s""""$name":\\[([0-9,]*)\\]""".r.findFirstMatchIn(js).map(_.group(1)) match {
+          case Some("") => Nil
+          case Some(x)  => x.split(',').map(_.toLong).toSeq
+          case None     => fail(s"no partition_rows for $name in wave $w")
+        }
+      def scalarCount(name: String): Long =
+        s""""row_counts":\\{[^}]*"$name":(\\d+)""".r.findFirstMatchIn(js)
+          .map(_.group(1).toLong).getOrElse(fail(s"no row_counts.$name in wave $w"))
+      Seq("frontier", "saved_delta").foreach { t =>
+        val actual = spark.read.parquet(s"$ckpt/wave=$w/$t").count()
+        assert(arr(t).sum == actual, s"wave $w $t partition_rows sum != $actual")
+        assert(scalarCount(t) == actual, s"wave $w $t row_counts != $actual")
+      }
+    }
 
     val cfgResume = CrawlConfig(startUrl = seed0, checkpointDir = Some(ckpt))
     val resumed = WaveCrawler.resume(spark, pages, cfgResume)

@@ -386,6 +386,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(picked.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("two-pass scalable sampler picks the identical set as the window spec") {
+    import spark.implicits._
+    val spec = TextAnalysis.stratifiedSample(spark, sf)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // several partition counts, including more partitions than strata and a
+    // single partition (degenerate offsets)
+    Seq(1, 3, 8).foreach { p =>
+      val scalable = TextAnalysis.stratifiedSampleScalable(spark, sf, parts = p)
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      assert(scalable == spec, s"two-pass sampler diverged at parts=$p")
+    }
+  }
+
   test("host pagerank conserves total mass within integer-floor slack") {
     import spark.implicits._
     val pr = HostGraph.hostPageRank(spark, sf).as[(String, Long)].collect()
