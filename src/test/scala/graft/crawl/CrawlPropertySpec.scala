@@ -50,7 +50,7 @@ class CrawlPropertySpec extends AnyFunSuite {
 
   private def runSpark(web: Map[String, String], limit: Int,
       matches: Seq[String], follows: Seq[String],
-      sameHostOnly: Boolean): (Vector[String], Set[String]) = {
+      sameHostOnly: Boolean, seenFilter: String = "bloom"): (Vector[String], Set[String]) = {
     val spark2 = spark
     import spark2.implicits._
     val pages = spark.sparkContext
@@ -58,28 +58,33 @@ class CrawlPropertySpec extends AnyFunSuite {
       .toDF("url", "html")
     val out = WaveCrawler.crawl(spark, pages,
       CrawlConfig(startUrl = url(0), pageLimit = limit, matchPatterns = matches,
-        followPatterns = follows, cachePages = false, sameHostOnly = sameHostOnly))
+        followPatterns = follows, cachePages = false, sameHostOnly = sameHostOnly,
+        seenFilter = seenFilter,
+        // force the segment path from wave 1 when cuckoo is drawn, so the
+        // property exercises its build/merge/probe on every graph
+        bloomMinSeen = if (seenFilter == "cuckoo") 0L else CrawlConfig().bloomMinSeen))
     val saved = out.saved.orderBy("depth", "seq").select("url")
       .collect().map(_.getString(0)).toVector
     val seen = out.seen.select("url").collect().map(_.getString(0)).toSet
     (saved, seen)
   }
 
-  test("random graphs × {limit, match, follow-match, multi-host}: wave scheduler ≡ reference FIFO loop") {
+  test("random graphs × {limit, match, follow-match, multi-host, seen-filter}: wave scheduler ≡ reference FIFO loop") {
     val flagGen = for {
       m <- Gen.oneOf(Seq.empty[String], Seq("/a/**"))
       f <- Gen.oneOf(Seq.empty[String], Seq("/", "/b/**"))
       sho <- Gen.oneOf(true, false)
-    } yield (m, f, sho)
+      sf <- Gen.frequency((3, Gen.const("bloom")), (1, Gen.const("cuckoo")))
+    } yield (m, f, sho, sf)
     val prop: Prop = forAll(siteGen, flagGen) {
-      case ((web, limit), (matches, follows, sho)) =>
+      case ((web, limit), (matches, follows, sho, sf)) =>
         val ref = RefCrawler.crawl(web,
           CrawlParams(startUrl = url(0), pageLimit = limit, matchPatterns = matches,
             followPatterns = follows, sameHostOnly = sho))
-        val (saved, seen) = runSpark(web, limit, matches, follows, sho)
+        val (saved, seen) = runSpark(web, limit, matches, follows, sho, sf)
         val ok = saved == ref.savedUrls && seen == ref.visited
         if (!ok) {
-          println(s"COUNTEREXAMPLE limit=$limit matches=$matches follows=$follows sho=$sho web=${web.keys.toVector.sorted}")
+          println(s"COUNTEREXAMPLE limit=$limit matches=$matches follows=$follows sho=$sho sf=$sf web=${web.keys.toVector.sorted}")
           println(s"  spark saved=$saved\n  ref   saved=${ref.savedUrls}")
           println(s"  spark seen=${seen.toVector.sorted}\n  ref   seen=${ref.visited.toVector.sorted}")
         }
