@@ -24,6 +24,28 @@ class RecrawlSpec extends AnyFunSuite {
        |</body></html>""".stripMargin
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
+  test("old-side snapshot scan is pruned to (url, warc_ts) — html never read") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graftrecrawl").toString
+    val t1 = new Timestamp(1700000000000L)
+    Seq(("http://h.test/a", t1, html("alpha")))
+      .toDF("url", "warc_ts", "html").write.parquet(s"$tmp/old")
+    Seq(("http://h.test/a", t1, html("alpha")))
+      .toDF("url", "warc_ts", "html").write.parquet(s"$tmp/new")
+    Seq(("http://h.test/a", "m")).toDF("url", "markdown").write.parquet(s"$tmp/prior")
+    val out = Recrawl.refresh(spark,
+      spark.read.parquet(s"$tmp/old"), spark.read.parquet(s"$tmp/new"),
+      spark.read.parquet(s"$tmp/prior"))
+    val plan = out.queryExecution.executedPlan.toString()
+    val oldScan = plan.linesIterator.mkString("\n").split("FileScan")
+      .find(_.contains(s"$tmp/old"))
+    assert(oldScan.isDefined, s"no scan of the old snapshot in:\n$plan")
+    val readSchema = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(oldScan.get).map(_.group(1))
+    assert(readSchema.exists(rs => !rs.contains("html")),
+      s"old-side scan reads html: ${readSchema.getOrElse("?")}")
+  }
+
   test("refresh re-extracts the delta only; keeps prior; drops retired") {
     val spark2 = spark
     import spark2.implicits._
