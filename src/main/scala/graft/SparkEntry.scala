@@ -245,9 +245,10 @@ object SparkEntry {
 
   /** The dup-cluster CTE chain (graft.pipeline.Dedup.dupClusters in SQL):
     * minhash + simhash pair edges over the dup-injected docs, then
-    * [[Dedup.ClusterIters]] unrolled hash-min label-propagation steps —
-    * `l<k>` holds (doc_id, lbl) after step k. Shared by the dd_dup_clusters
-    * and dd_dup_keep oracles.
+    * [[Dedup.ClusterIters]] unrolled rounds of hash-min label propagation
+    * (`pp<k>`) each followed by the pointer-doubling shortcut lbl := lbl(lbl)
+    * (`l<k>`) — `l<k>` holds (doc_id, lbl) after round k. Shared by the
+    * dd_dup_clusters, dd_dup_keep and dd_cluster_residual oracles.
     */
   private lazy val dupClusterCtes: String = {
     val iters = Dedup.ClusterIters
@@ -265,16 +266,24 @@ object SparkEntry {
          |  SELECT a.doc_id AS pa, b.doc_id AS pb
          |  FROM sigx a JOIN sigx b ON a.doc_id < b.doc_id
          |  WHERE hamming(a.s, b.s) <= 3),
-         |pe AS (SELECT pa, pb FROM mhp UNION SELECT pa, pb FROM shp),
-         |ed AS (SELECT pa AS u, pb AS v FROM pe UNION SELECT pb AS u, pa AS v FROM pe),
+         |pe AS MATERIALIZED (SELECT pa, pb FROM mhp UNION SELECT pa, pb FROM shp),
+         |ed AS MATERIALIZED (
+         |  SELECT pa AS u, pb AS v FROM pe UNION SELECT pb AS u, pa AS v FROM pe),
          |l0 AS (SELECT DISTINCT u AS doc_id, u AS lbl FROM ed)""".stripMargin
+    // Each round references the previous label map three times (nm, pp, and
+    // the pp self-join); MATERIALIZED stops DuckDB's CTE inlining from
+    // growing the plan 3^k-fold — the SQL analogue of the engine side's
+    // per-round localCheckpoint.
     val steps = (1 to iters).map { k =>
       s"""nm$k AS (
          |  SELECT ed.u, MIN(l.lbl) AS nl
          |  FROM ed JOIN l${k - 1} l ON l.doc_id = ed.v GROUP BY ed.u),
-         |l$k AS (
+         |pp$k AS MATERIALIZED (
          |  SELECT l.doc_id, LEAST(l.lbl, COALESCE(n.nl, l.lbl)) AS lbl
-         |  FROM l${k - 1} l LEFT JOIN nm$k n ON n.u = l.doc_id)""".stripMargin
+         |  FROM l${k - 1} l LEFT JOIN nm$k n ON n.u = l.doc_id),
+         |l$k AS MATERIALIZED (
+         |  SELECT p.doc_id, COALESCE(q.lbl, p.lbl) AS lbl
+         |  FROM pp$k p LEFT JOIN pp$k q ON q.doc_id = p.lbl)""".stripMargin
     }
     (head +: steps).mkString(",\n")
   }
@@ -357,6 +366,7 @@ object SparkEntry {
     "dd_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dd_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+    "dd_cluster_residual" -> ((s, d) => Dedup.clusterConvergence(s, d)),
     "dd_dup_keep" -> ((s, d) => Dedup.dedupedDocs(s, d)),
     "dd_train_manifest" -> ((s, d) => Dedup.trainManifest(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -768,6 +778,16 @@ object SparkEntry {
       (dupClusterCtes +
         s"""\nSELECT doc_id FROM dup_docs WHERE doc_id NOT IN (
            |  SELECT doc_id FROM l${Dedup.ClusterIters} WHERE doc_id <> lbl)""".stripMargin),
+    // convergence audit: every pair edge must have both endpoints on one
+    // label after the fixed round budget (graft.pipeline.Dedup
+    // .clusterConvergence) — residual measured, not assumed
+    "dd_cluster_residual" ->
+      (dupClusterCtes +
+        s"""\nSELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  CAST(SUM(CASE WHEN a.lbl <> b.lbl THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_unconverged
+           |FROM pe JOIN l${Dedup.ClusterIters} a ON a.doc_id = pe.pa
+           |        JOIN l${Dedup.ClusterIters} b ON b.doc_id = pe.pb""".stripMargin),
     "dd_lang_id" ->
       """SELECT doc_id, lang,
         |  CASE WHEN text IS NULL OR text = '' THEN 'und'

@@ -32,6 +32,19 @@ object HtmlParser {
     "xmp", "iframe", "noembed", "noframes", "noscript")
   private val decodedRawText = Set("textarea", "title")
 
+  /** Maximum element nesting depth, mirroring Blink's HTML parser clamp
+    * (`kMaximumHTMLParserDOMTreeDepth = 512`): once the open-element stack is
+    * this deep, a new element is attached to the *parent* of the deepest open
+    * element — i.e. it becomes a sibling instead of deepening the tree. The
+    * reference pipeline fetches pages through a headless browser, so its DOM
+    * passed through exactly this clamp before extraction ever ran; applying
+    * it here both matches that behavior and makes every downstream recursive
+    * tree walk (readability scoring, serialization, markdown) stack-safe on
+    * adversarially nested input — a totality requirement for the kernel, whose
+    * only error contract inside a Spark task is "return, never throw".
+    */
+  val MaxTreeDepth = 512
+
   def parse(html: String): HDocument = {
     val preamble = Vector.newBuilder[HNode]
     val root = new HElement("html")
@@ -119,7 +132,11 @@ object HtmlParser {
 
       val el = new HElement(name)
       el.attrs = attrs
-      parentEl.appendChild(el)
+      val target =
+        if (bodyStarted && stack.length >= MaxTreeDepth && (parentEl eq stack.last) &&
+          parentEl.parent != null) parentEl.parent
+        else parentEl
+      target.appendChild(el)
       if (bodyStarted && !HtmlSerializer.voidElements.contains(name) &&
         !rawTextTags.contains(name))
         stack += el

@@ -157,4 +157,24 @@ class HtmlParserSpec extends AnyFunSuite {
     val d = HtmlParser.parse("<head><title>A &amp; B</title></head>")
     assert(d.findFirst("title").get.text == "A & B")
   }
+
+  test("element nesting depth is clamped like a browser (Blink 512)") {
+    val html = "<body>" + "<div>" * 5000 + "deep text" + "</div>" * 5000
+    val d = HtmlParser.parse(html)
+    // iterative max-depth walk (must not itself rely on the clamp under test)
+    var maxDepth = 0
+    val st = scala.collection.mutable.ArrayBuffer[(HNode, Int)]((d.root, 1))
+    while (st.nonEmpty) {
+      val (node, dep) = st.remove(st.length - 1)
+      maxDepth = math.max(maxDepth, dep)
+      node match {
+        case e: HElement => e.children.foreach(c => st += ((c, dep + 1)))
+        case _           =>
+      }
+    }
+    assert(maxDepth <= HtmlParser.MaxTreeDepth + 4)
+    // every element survives — deeper opens become siblings, not drops
+    assert(d.find("div").size == 5000)
+    assert(d.root.text.contains("deep text"))
+  }
 }
