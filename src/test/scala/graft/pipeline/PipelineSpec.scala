@@ -284,6 +284,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(familiesChecked > 0, "no dup family appeared in the pair graph")
   }
 
+  test("pointer doubling: a path of diameter 50 converges in 6 rounds, not in 3") {
+    import spark.implicits._
+    // Chain 0-1-2-…-50: diameter 50. Plain hash-min needs 50 iterations;
+    // with the pointer-doubling shortcut reach after k rounds is 2^k − 1,
+    // so ClusterIters=6 (reach 63) must collapse the whole chain to label 0
+    // while 3 rounds (reach 7) must NOT — pinning the doubling math from
+    // both sides on a graph wider than anything the corpus injects.
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val full = Dedup.hashMinComponents(chain, Dedup.ClusterIters)
+      .as[(Long, Long)].collect().toMap
+    assert(full.size == 51)
+    assert(full.values.forall(_ == 0L), s"unconverged labels: ${full.values.toSet}")
+    val partial = Dedup.hashMinComponents(chain, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(partial.values.exists(_ != 0L),
+      "3 rounds already converged a diameter-50 path — reach bound is wrong")
+    // reach 2^3 − 1 = 7: nodes within 7 hops of 0 must already hold label 0
+    (0L to 7L).foreach(i => assert(partial(i) == 0L, s"node $i past reach bound"))
+  }
+
   test("dup clusters reach a true fixed point: every pair edge is label-monochrome") {
     import spark.implicits._
     // If any edge still crossed two labels, another hash-min iteration would
