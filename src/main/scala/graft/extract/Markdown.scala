@@ -121,6 +121,21 @@ object Markdown {
 
   // ---- tables (GFM) ----
 
+  /** GFM table rendering. Header detection matches the pinned converter
+    * (JohannesKaufmann/html-to-markdown v1.6.0, reference go.mod:6, enabled
+    * via plugin.GitHubFlavored(), reference processor.go:98): the first row
+    * is a header iff every cell is `th`. For HEADERLESS tables the pinned
+    * converter — a turndown/turndown-plugin-gfm port — emits the rows with
+    * no delimiter line, which is not a valid GFM table (renderers show it as
+    * plain text). That library source is unreachable from this offline
+    * sandbox, so the exact v1.6.0 byte behavior cannot be consulted; this
+    * engine DELIBERATELY diverges to the useful output (an empty header row
+    * + delimiter, i.e. a well-formed table) and keeps headerless tables OUT
+    * of the corpus parity domain — the choice is pinned by MarkdownSpec
+    * ("tables without th get an empty GFM header row"), not by any
+    * byte-parity oracle. Revisit against the real library if it ever
+    * becomes consultable.
+    */
   private def renderTable(e: HElement): String = {
     val rows = e.find("tr")
     if (rows.isEmpty) return ""

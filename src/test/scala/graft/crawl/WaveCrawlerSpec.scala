@@ -291,6 +291,46 @@ class WaveCrawlerSpec extends AnyFunSuite {
     assert(resumed.seen.select("url").collect().map(_.getString(0)).toSet == ref.visited)
   }
 
+  test("resume ignores a torn mid-wave checkpoint and reproduces the crawl") {
+    // Crash model: the process died INSIDE wave 3's checkpoint — some table
+    // dirs and even metrics.json were written, but the manifest marker
+    // (written LAST, the atomic commit) never landed. Resume must treat
+    // wave 2 as the latest snapshot, overwrite the torn wave=3 output, and
+    // still reproduce the uninterrupted crawl exactly — the north rule's
+    // mid-wave resumability.
+    val ckpt = java.nio.file.Files.createTempDirectory("graftckpt_torn").toString
+    val cfgStop = CrawlConfig(startUrl = seed0, maxWaves = 2, checkpointDir = Some(ckpt))
+    WaveCrawler.crawl(spark, pages, cfgStop)
+    assert(TableIO.latestWave(ckpt).contains(2))
+
+    // fabricate the torn wave: partial frontier data (stale wave-1 rows —
+    // wrong on purpose) + metrics.json, but no manifest.json
+    val torn = java.nio.file.Paths.get(s"$ckpt/wave=3")
+    java.nio.file.Files.createDirectories(torn)
+    spark.read.parquet(s"$ckpt/wave=1/frontier")
+      .write.mode("overwrite").parquet(s"$ckpt/wave=3/frontier")
+    java.nio.file.Files.writeString(torn.resolve("metrics.json"),
+      """{"wave":3,"torn":true}""")
+    assert(TableIO.latestWave(ckpt).contains(2),
+      "torn manifest-less wave must not count as a snapshot")
+
+    val resumed = WaveCrawler.resume(spark, pages,
+      CrawlConfig(startUrl = seed0, checkpointDir = Some(ckpt)))
+    val ref = refCrawl(CrawlParams(startUrl = seed0))
+    val saved = resumed.saved.orderBy("depth", "seq").select("url")
+      .collect().map(_.getString(0)).toVector
+    assert(saved == ref.savedUrls)
+    assert(resumed.seen.select("url").collect().map(_.getString(0)).toSet == ref.visited)
+    // the torn wave was replaced by a committed one: manifest now present
+    // and the re-written frontier no longer holds the planted stale rows
+    assert(java.nio.file.Files.exists(torn.resolve("manifest.json")))
+    val stale = spark.read.parquet(s"$ckpt/wave=1/frontier")
+      .select("url").collect().map(_.getString(0)).toSet
+    val rewritten = spark.read.parquet(s"$ckpt/wave=3/frontier")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(rewritten != stale, "torn wave-3 frontier was not overwritten")
+  }
+
   test("wave metrics are consistent") {
     val out = WaveCrawler.crawl(spark, pages, CrawlConfig(startUrl = seed0))
     val m = out.metrics
