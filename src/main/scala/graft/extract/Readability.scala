@@ -336,9 +336,40 @@ object Readability {
 
   // ---- scoring helpers ----
 
-  private val wsRun = java.util.regex.Pattern.compile("\\s+")
-
-  private def normSpace(s: String): String = wsRun.matcher(s).replaceAll(" ").trim
+  /** Exactly `"\\s+".r.replaceAllIn(s, " ").trim` without the regex: Java's
+    * `\s` is the ASCII set [[isJavaWs]], and the final `.trim` (which also
+    * strips non-\s control chars ≤ 0x20 at the ends) is kept verbatim. The
+    * fast path — no \s char that needs rewriting — costs one scan and no
+    * allocation; this runs on every candidate's text during scoring.
+    */
+  private def normSpace(s: String): String = {
+    val n = s.length
+    var i = 0
+    var prevWs = false
+    var needsCollapse = false
+    while (i < n && !needsCollapse) {
+      val c = s.charAt(i)
+      val ws = isJavaWs(c)
+      if (ws && (prevWs || c != ' ')) needsCollapse = true
+      prevWs = ws
+      i += 1
+    }
+    if (!needsCollapse) return s.trim
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    prevWs = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isJavaWs(c)) prevWs = true
+      else {
+        if (prevWs && sb.length > 0) sb.append(' ')
+        sb.append(c)
+        prevWs = false
+      }
+      i += 1
+    }
+    sb.toString.trim
+  }
 
   private def innerTextNorm(e: HElement): String = normSpace(e.text)
 

@@ -232,26 +232,47 @@ object HtmlSerializer {
 
   def escapeText(s: String): String = {
     val sb = new StringBuilder(s.length)
+    escapeInto(s, sb)
+    sb.toString
+  }
+
+  /** Escape `s` directly into `sb` — plain runs are appended in one call,
+    * and text with nothing to escape (the overwhelmingly common case in the
+    * serializer hot path) costs a single scan and zero intermediate
+    * allocations.
+    */
+  def escapeInto(s: String, sb: StringBuilder): Unit = {
+    // NB: range-appends go through `underlying` — scala.StringBuilder has no
+    // (CharSequence, from, until) overload and would silently auto-tuple.
+    val jsb = sb.underlying
+    var start = 0
     var i = 0
     while (i < s.length) {
-      s.charAt(i) match {
-        case '&'  => sb.append("&amp;")
-        case '\'' => sb.append("&#39;")
-        case '<'  => sb.append("&lt;")
-        case '>'  => sb.append("&gt;")
-        case '"'  => sb.append("&#34;")
-        case c    => sb.append(c)
+      val rep: String = s.charAt(i) match {
+        case '&'  => "&amp;"
+        case '\'' => "&#39;"
+        case '<'  => "&lt;"
+        case '>'  => "&gt;"
+        case '"'  => "&#34;"
+        case _    => null
+      }
+      if (rep != null) {
+        if (i > start) jsb.append(s, start, i)
+        jsb.append(rep)
+        start = i + 1
       }
       i += 1
     }
-    sb.toString
+    if (start == 0) jsb.append(s)
+    else if (start < s.length) jsb.append(s, start, s.length)
+    ()
   }
 
   def render(n: HNode, sb: StringBuilder): Unit = n match {
     case t: HText =>
       if (t.parent != null && rawTextElements.contains(t.parent.tag))
         sb.append(t.data)
-      else sb.append(escapeText(t.data))
+      else escapeInto(t.data, sb)
     case c: HComment =>
       sb.append("<!--").append(c.data).append("-->")
     case d: HDoctype =>
@@ -259,7 +280,9 @@ object HtmlSerializer {
     case e: HElement =>
       sb.append('<').append(e.tag)
       e.attrs.foreach { case (k, v) =>
-        sb.append(' ').append(k).append("=\"").append(escapeText(v)).append('"')
+        sb.append(' ').append(k).append("=\"")
+        escapeInto(v, sb)
+        sb.append('"')
       }
       sb.append('>')
       if (!voidElements.contains(e.tag)) {

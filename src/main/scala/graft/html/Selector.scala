@@ -12,14 +12,34 @@ object Selector {
       id: Option[String],
       classes: Vector[String],
       attrs: Vector[(String, Option[String])]) {
+    // Matching runs per element per tree scan (readability's unlikely-
+    // candidate and share-widget passes) — the hottest predicate in the
+    // extraction kernel. Compiled selectors are memoized process-wide, so
+    // flatten the Options/Vectors once per instance and keep the per-call
+    // path closure- and allocation-free.
+    private[this] val tagN: String = tag.orNull
+    private[this] val idN: String = id.orNull
+    private[this] val classArr: Array[String] = classes.toArray
+    private[this] val attrNames: Array[String] = attrs.map(_._1).toArray
+    private[this] val attrVals: Array[String] = attrs.map(_._2.orNull).toArray
+
     def matches(e: HElement): Boolean = {
-      tag.forall(_ == e.tag) &&
-      id.forall(_ == e.id) &&
-      classes.forall(c => hasClassToken(e, c)) &&
-      attrs.forall { case (name, value) =>
-        val v = e.attrOrNull(name)
-        v != null && value.forall(_ == v)
+      if (tagN != null && tagN != e.tag) return false
+      if (idN != null && idN != e.id) return false
+      var i = 0
+      while (i < classArr.length) {
+        if (!hasClassToken(e, classArr(i))) return false
+        i += 1
       }
+      var j = 0
+      while (j < attrNames.length) {
+        val v = e.attrOrNull(attrNames(j))
+        if (v == null) return false
+        val want = attrVals(j)
+        if (want != null && want != v) return false
+        j += 1
+      }
+      true
     }
   }
 
@@ -40,15 +60,24 @@ object Selector {
   }
 
   // A compound chain: simple selectors joined by combinators, right-most last.
-  final case class Chain(parts: Vector[(Simple, Char)]) // combinator BEFORE part: ' ' or '>' (NUL for first)
+  final case class Chain(parts: Vector[(Simple, Char)]) { // combinator BEFORE part: ' ' or '>' (NUL for first)
+    // unboxed views for the match loop: Vector[(Simple, Char)] boxes the
+    // Char on every access, and chainMatches runs per element per scan
+    private[Selector] val partArr: Array[Simple] = parts.map(_._1).toArray
+    private[Selector] val combArr: Array[Char] = parts.map(_._2).toArray
+  }
 
   // the selector universe is a small static set (readability internals + the
   // user's --content-selector) — compile each string once, process-wide
   private val compiled =
     new java.util.concurrent.ConcurrentHashMap[String, Either[String, Vector[Chain]]]()
 
-  def parseGroups(selector: String): Either[String, Vector[Chain]] =
-    compiled.computeIfAbsent(selector, parseGroupsUncached(_))
+  def parseGroups(selector: String): Either[String, Vector[Chain]] = {
+    // get-first: skip computeIfAbsent's bin lock and lambda on the hit path
+    val hit = compiled.get(selector)
+    if (hit != null) hit
+    else compiled.computeIfAbsent(selector, parseGroupsUncached(_))
+  }
 
   private def parseGroupsUncached(selector: String): Either[String, Vector[Chain]] = {
     val groups = splitTop(selector, ',')
@@ -165,10 +194,9 @@ object Selector {
   private def chainMatches(chain: Chain, e: HElement): Boolean = {
     // match right-most against e, walk ancestors for the rest
     def matchFrom(idx: Int, el: HElement): Boolean = {
-      if (!chain.parts(idx)._1.matches(el)) return false
+      if (!chain.partArr(idx).matches(el)) return false
       if (idx == 0) return true
-      val comb = chain.parts(idx)._2
-      comb match {
+      chain.combArr(idx) match {
         case '>' =>
           el.parent != null && matchFrom(idx - 1, el.parent)
         case _ =>
@@ -180,7 +208,16 @@ object Selector {
           false
       }
     }
-    matchFrom(chain.parts.length - 1, e)
+    matchFrom(chain.partArr.length - 1, e)
+  }
+
+  @inline private def anyChainMatches(chains: Array[Chain], e: HElement): Boolean = {
+    var i = 0
+    while (i < chains.length) {
+      if (chainMatches(chains(i), e)) return true
+      i += 1
+    }
+    false
   }
 
   /** All descendant matches of root, document order. */
@@ -188,9 +225,10 @@ object Selector {
     parseGroups(selector) match {
       case Left(_) => Vector.empty // goquery: invalid selector panics; ref guards earlier
       case Right(chains) =>
+        val arr = chains.toArray
         val out = Vector.newBuilder[HElement]
         root.foreachElement { e =>
-          if (chains.exists(chainMatches(_, e))) out += e
+          if (anyChainMatches(arr, e)) out += e
         }
         out.result()
     }
@@ -200,10 +238,11 @@ object Selector {
     parseGroups(selector) match {
       case Left(_) => Vector.empty
       case Right(chains) =>
+        val arr = chains.toArray
         val out = Vector.newBuilder[HElement]
-        if (chains.exists(chainMatches(_, root))) out += root
+        if (anyChainMatches(arr, root)) out += root
         root.foreachElement { e =>
-          if (chains.exists(chainMatches(_, e))) out += e
+          if (anyChainMatches(arr, e)) out += e
         }
         out.result()
     }

@@ -42,17 +42,22 @@ object MicroBench {
     // warmup (JIT)
     work(pages.take(1000)): Unit
 
+    // repeats: lengthen the measured window (JFR profiling needs seconds of
+    // kernel time; the default single pass is ~0.1 s at 32 threads)
+    val repeats = sys.env.get("SPARK_GRAFT_MICRO_REPEAT").map(_.toInt).getOrElse(1)
+
     threadsToTry.foreach { n =>
       val chunks = pages.grouped(math.max(1, pages.length / n)).toArray
       val pool = Executors.newFixedThreadPool(n)
       val t0 = System.nanoTime()
       val futs = chunks.map(c => pool.submit(new java.util.concurrent.Callable[Long] {
-        def call(): Long = work(c)
+        def call(): Long = { var a = 0L; var r = 0; while (r < repeats) { a += work(c); r += 1 }; a }
       }))
       futs.foreach(_.get())
       val dt = (System.nanoTime() - t0) / 1e9
       pool.shutdown()
-      println(f"threads=$n%2d  ${pages.length / dt}%.0f pages/s  (${dt}%.2f s, ${dt * 1000 / pages.length * n}%.2f ms/page/thread)")
+      val total = pages.length.toLong * repeats
+      println(f"threads=$n%2d  ${total / dt}%.0f pages/s  (${dt}%.2f s, ${dt * 1000 / total * n}%.2f ms/page/thread)")
     }
   }
 }

@@ -196,6 +196,16 @@ object GoUrl {
 
   /** net/url escape(s, mode) — byte-wise over UTF-8. */
   def escape(s: String, mode: Mode): String = {
+    // Fast path: pure-ASCII input with nothing to escape returns `s` without
+    // the UTF-8 byte-array allocation. For chars < 0x80 the char IS the
+    // UTF-8 byte, so shouldEscape sees exactly what the byte path would.
+    var k = 0
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if (c >= 0x80 || shouldEscape(c.toByte, mode)) k = s.length + 1
+      else k += 1
+    }
+    if (k == s.length) return s
     val bytes = s.getBytes(StandardCharsets.UTF_8)
     var spaceCount = 0
     var hexCount = 0
