@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.pipeline.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Dedup, Multimodal, Search, Similarity, TextAnalysis}
 import graft.queries.{AnalyticsQueries => A, CrawlQueries => C}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -381,9 +381,13 @@ object SparkEntry {
     "dd_bpe_token_count" -> ((s, d) => Bpe.tokenCounts(s, d)),
     "dd_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "dd_quality_gopher" -> ((s, d) => TextAnalysis.qualityGopher(s, d)),
+    "dd_quality_c4" -> ((s, d) => TextAnalysis.qualityC4(s, d)),
     "dd_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "dd_lang_id_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
     "dd_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "search_postings" -> ((s, d) => Search.postings(s, d)),
+    "search_topk" -> ((s, d) => Search.searchTopK(s, d)),
+    "search_phrase" -> ((s, d) => Search.phraseTopK(s, d)),
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -1097,6 +1101,43 @@ object SparkEntry {
            |WHERE ($gopherPassCond)
            |  AND c.doc_id NOT IN (
            |    SELECT doc_id FROM l${Dedup.ClusterIters} WHERE doc_id <> lbl)""".stripMargin),
+    // C4 cleaning heuristics (Raffel et al. 2020 §2.2) over the
+    // deterministic five-variant injected view (TextAnalysis.c4Docs) —
+    // line filter, sentence-count gate, lorem-ipsum / brace page drops
+    "dd_quality_c4" ->
+      """WITH c4 AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN text || '. This is a good sentence. It ends well today.'
+        |      WHEN 1 THEN text || '. This is a good sentence. It ends well. lorem ipsum dolor sit.'
+        |      WHEN 2 THEN text || '. This line has a { brace. It still ends well today.'
+        |      WHEN 3 THEN text || '.' || chr(10) || 'no terminal punctuation on this line' || chr(10) || 'Please enable javascript in your browser now.' || chr(10) || 'Another full sentence is right here.'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM c4),
+        |k AS (
+        |  SELECT doc_id, text, lines,
+        |    list_filter(lines, l ->
+        |      regexp_matches(l, '[.!?"]$')
+        |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM ln),
+        |c AS (
+        |  SELECT doc_id, text, lines, kept,
+        |    -- array_to_string([]) is NULL in DuckDB; Spark array_join gives ''
+        |    COALESCE(array_to_string(kept, chr(10)), '') AS cleaned FROM k)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  CAST(strlen(cleaned) - strlen(regexp_replace(cleaned, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+        |  CAST(CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS BIGINT) AS has_lorem,
+        |  CAST(CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS BIGINT) AS has_brace,
+        |  CAST(CASE WHEN strlen(cleaned) - strlen(regexp_replace(cleaned, '[.!?]', '', 'g')) >= 3
+        |    AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{') THEN 1 ELSE 0 END AS BIGINT) AS pass,
+        |  cleaned
+        |FROM c""".stripMargin,
     // 5-way profile language ID over the marker-injected view: Han counter
     // gates zh; stop-word profile argmax (ties to profile order) otherwise
     "dd_lang_id_profile" -> {
@@ -1170,6 +1211,57 @@ object SparkEntry {
          |    '$Ipv4Re', '<IP>', 'g'),
          |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
          |FROM pii""".stripMargin
+    },
+    // inverted index: one (term, doc_id) aggregation over the \W+ token
+    // stream — the index-build shuffle, materialized
+    "search_postings" ->
+      """SELECT w AS term, doc_id, COUNT(*) AS tf FROM (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS w
+        |  FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
+    // integer-weighted multi-term search: score = Σ tf(t,d) · (SCALE // df(t)),
+    // top 10 per query by (score desc, doc_id) — mirrors Search.searchTopK
+    "search_topk" -> {
+      val vals = Search.Queries.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+      s"""WITH q(query_id, query) AS (VALUES $vals),
+         |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+         |         unnest(string_split(query, ' ')) AS w FROM q),
+         |tok AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS w
+         |  FROM documents),
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+         |qw AS (SELECT qt.query_id, qt.w,
+         |         CAST(${Search.WeightScale} // dfq.df AS BIGINT) AS weight
+         |       FROM qt JOIN dfq ON dfq.w = qt.w),
+         |sc AS (SELECT qw.query_id, tf.doc_id,
+         |         CAST(SUM(tf.tf * qw.weight) AS BIGINT) AS score
+         |       FROM tf JOIN qw ON qw.w = tf.w GROUP BY 1, 2)
+         |SELECT query_id, rank, doc_id, score FROM (
+         |  SELECT query_id, doc_id, score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM sc)
+         |WHERE rank <= ${Search.TopK}""".stripMargin
+    },
+    // exact phrase occurrence counts by substring deletion; top 10 docs
+    // per phrase among cnt > 0 — mirrors Search.phraseTopK
+    "search_phrase" -> {
+      val vals = Search.Phrases.map { case (id, p) => s"($id, '$p')" }.mkString(", ")
+      s"""WITH p(phrase_id, phrase) AS (VALUES $vals),
+         |m AS (
+         |  SELECT CAST(p.phrase_id AS BIGINT) AS phrase_id, d.doc_id,
+         |    CAST((strlen(d.text) - strlen(replace(d.text, p.phrase, '')))
+         |      // strlen(p.phrase) AS BIGINT) AS n_occurrences
+         |  FROM documents d CROSS JOIN p)
+         |SELECT phrase_id, rank, doc_id, n_occurrences FROM (
+         |  SELECT phrase_id, doc_id, n_occurrences,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY phrase_id
+         |      ORDER BY n_occurrences DESC, doc_id) AS BIGINT) AS rank
+         |  FROM m WHERE n_occurrences > 0)
+         |WHERE rank <= ${Search.TopK}""".stripMargin
     },
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 20),

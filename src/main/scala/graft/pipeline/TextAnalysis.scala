@@ -348,6 +348,66 @@ object TextAnalysis {
       when(pass, 1L).otherwise(0L).as("pass"))
   }
 
+  // ------------------------------------------------- C4 cleaning rules
+
+  /** The corpus text is single-line and punctuation-free, so the C4 rules
+    * run over a deterministic injected view (the [[piiDocs]] pattern):
+    * doc_id % 5 picks one of five line/sentence structures — a clean pass,
+    * a "lorem ipsum" page, a curly-brace page, a page whose non-sentence /
+    * "javascript" lines are dropped until < 3 sentences remain, and a
+    * page with no terminal punctuation at all. Both engines rebuild the
+    * identical string with integer arithmetic only.
+    */
+  private[pipeline] def c4Docs(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = col("text")
+    val m = pmod(col("doc_id"), lit(5))
+    val v = when(m === 0, concat(base, lit(". This is a good sentence. It ends well today.")))
+      .when(m === 1, concat(base, lit(". This is a good sentence. It ends well. lorem ipsum dolor sit.")))
+      .when(m === 2, concat(base, lit(". This line has a { brace. It still ends well today.")))
+      .when(m === 3, concat(base, lit(".\nno terminal punctuation on this line\nPlease enable javascript in your browser now.\nAnother full sentence is right here.")))
+      .otherwise(base)
+    docs(spark, sfDir).select(col("doc_id"), v.as("text"))
+  }
+
+  /** The documented C4 cleaning heuristics (Raffel et al. 2020, "Exploring
+    * the Limits of Transfer Learning...", §2.2 — public) as pure column
+    * expressions:
+    *
+    *   - keep only lines that end in terminal punctuation (`.` `!` `?` `"`)
+    *     AND contain ≥ 5 words AND do not mention "javascript"
+    *   - drop the whole page if the cleaned text has < 3 sentences
+    *     (terminal-punctuation count over kept lines)
+    *   - drop pages containing "lorem ipsum" (case-insensitive) or `{`
+    *
+    * All counters are integers and the cleaned text is an exact string, so
+    * the DuckDB oracle agrees byte-for-byte. One narrow codegen'd map — a
+    * pure scan-rate operator at 100 TB, like [[qualityGopher]].
+    */
+  def qualityC4(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    def bytes(c: Column): Column = octet_length(c).cast("long")
+    val lines = split(t, "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= 5 &&
+        !lower(l).contains("javascript"))
+    val cleaned = array_join(kept, "\n")
+    val nSentences = bytes(cleaned) - bytes(regexp_replace(cleaned, "[.!?]", ""))
+    val hasLorem = when(lower(t).contains("lorem ipsum"), 1L).otherwise(0L)
+    val hasBrace = when(t.contains("{"), 1L).otherwise(0L)
+    val pass = when(
+      nSentences >= 3L && hasLorem === 0L && hasBrace === 0L, 1L).otherwise(0L)
+    c4Docs(spark, sfDir).select(
+      col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      nSentences.as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      pass.as("pass"),
+      cleaned.as("cleaned"))
+  }
+
   private val DeStop = Set("der", "die", "das", "und", "ist", "nicht", "ein",
     "eine", "mit", "von", "auf", "für", "dem", "den", "sich", "im")
   private val EnStop = Set("the", "and", "is", "of", "to", "a", "in", "that",

@@ -491,4 +491,69 @@ class PipelineSpec extends AnyFunSuite {
     assert(kinds.keySet == Set("bmp", "wav", "unknown"))
     assert(kinds.values.forall(_ > 0))
   }
+
+  test("search: scores are exact integer sums, ties break by doc_id, zero-hit query empty") {
+    val rows = Search.searchTopK(spark, sf).collect()
+    // the zero-hit query returns nothing
+    assert(!rows.exists(_.getAs[Long]("query_id") == 4L))
+    // per-query: ranks dense from 1, scores non-increasing, <= TopK rows
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.length <= Search.TopK)
+      val scores = sorted.map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"query $qid not sorted")
+    }
+    // recompute one query's scores locally from the raw docs
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\W+").filter(_.nonEmpty))
+    val terms = Search.Queries.toMap.apply(5L).split(" ")
+    val df_ = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val expected = docs.flatMap { case (id, ws) =>
+      val s = terms.map(t => ws.count(_ == t).toLong * (Search.WeightScale / df_(t))).sum
+      if (s > 0) Some(id -> s) else None
+    }.sortBy { case (id, s) => (-s, id) }.take(Search.TopK)
+    val got = rows.filter(_.getAs[Long]("query_id") == 5L).sortBy(_.getAs[Long]("rank"))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toSeq
+    assert(got == expected.toSeq)
+  }
+
+  test("search: the broadcast query-term prune reaches the plan before the tf aggregation") {
+    val plan = Search.searchTopK(spark, sf).queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast prune:\n$plan")
+    // the full-corpus postings build must NOT appear: every HashAggregate
+    // keyed by (doc_id, w) sits above the broadcast join in this plan, so
+    // a zero-hit workload aggregates nothing
+    val rowsPhrase = Search.phraseTopK(spark, sf).collect()
+    assert(!rowsPhrase.exists(_.getAs[Long]("phrase_id") == 4L)) // zero-hit phrase
+    assert(rowsPhrase.nonEmpty)
+  }
+
+  test("C4 rules: each injected variant lands on its documented outcome") {
+    val rows = TextAnalysis.qualityC4(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val pass = r.getAs[Long]("pass")
+      (id % 5) match {
+        case 0 => // clean: 3 sentences appended, no lorem/brace
+          assert(pass == 1L, s"doc $id should pass")
+          assert(r.getAs[Long]("has_lorem") == 0L && r.getAs[Long]("has_brace") == 0L)
+          assert(r.getAs[Long]("n_sentences") >= 3L)
+        case 1 => // lorem ipsum page drop
+          assert(pass == 0L && r.getAs[Long]("has_lorem") == 1L)
+        case 2 => // curly-brace page drop
+          assert(pass == 0L && r.getAs[Long]("has_brace") == 1L)
+        case 3 => // javascript + unpunctuated lines dropped → < 3 sentences
+          assert(pass == 0L)
+          assert(r.getAs[Long]("n_lines") == 4L)
+          assert(r.getAs[Long]("n_kept_lines") == 2L, s"doc $id kept ${r.getAs[Long]("n_kept_lines")}")
+          assert(r.getAs[Long]("n_sentences") == 2L)
+        case _ => // no terminal punctuation at all → nothing kept
+          assert(pass == 0L)
+          assert(r.getAs[Long]("n_kept_lines") == 0L && r.getAs[String]("cleaned") == "")
+      }
+    }
+  }
 }
