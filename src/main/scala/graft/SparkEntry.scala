@@ -395,7 +395,9 @@ object SparkEntry {
     "ann_dup_pairs" -> ((s, d) => Similarity.embeddingDupPairs(s, d)),
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "ann_recall_planted" -> ((s, d) => Similarity.annRecallPlanted(s, d)),
+    "graph_host_stats" -> ((s, d) => graft.pipeline.HostGraph.hostStats(s, d)),
     "graph_host_edges" -> ((s, d) => graft.pipeline.HostGraph.hostEdges(s, d)),
+    "crawl_sink_warc" -> ((s, d) => graft.sinks.Warc.warcRecords(s, d)),
     "graph_host_pagerank" -> ((s, d) => graft.pipeline.HostGraph.hostPageRank(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
     "mm_blob_features" -> ((s, d) => Multimodal.blobFeatures(s, d)),
@@ -1274,6 +1276,35 @@ object SparkEntry {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 10""".stripMargin,
+    // Common-Crawl-index-style per-host rollup over the corpus pages
+    "graph_host_stats" ->
+      s"""SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         |  COUNT(*) AS n_pages,
+         |  CAST(SUM(octet_length(html)) AS BIGINT) AS total_bytes,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(epoch_ms(MAX(warc_ts)) - epoch_ms(MIN(warc_ts)) AS BIGINT) AS capture_span_ms
+         |FROM ${gt("pages")} GROUP BY 1""".stripMargin,
+    // WARC/1.0 response records (ISO 28500), byte-exact: UUID-shaped md5
+    // record id, labeled sha-256 block digest, CRLF framing
+    "crawl_sink_warc" ->
+      s"""SELECT url,
+         |  'WARC/1.0' || chr(13) || chr(10) ||
+         |  'WARC-Type: response' || chr(13) || chr(10) ||
+         |  'WARC-Record-ID: <urn:uuid:' ||
+         |    substr(md5(url), 1, 8) || '-' || substr(md5(url), 9, 4) || '-' ||
+         |    substr(md5(url), 13, 4) || '-' || substr(md5(url), 17, 4) || '-' ||
+         |    substr(md5(url), 21, 12) || '>' || chr(13) || chr(10) ||
+         |  'WARC-Date: ' || strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') || chr(13) || chr(10) ||
+         |  'WARC-Target-URI: ' || url || chr(13) || chr(10) ||
+         |  'Content-Type: text/html' || chr(13) || chr(10) ||
+         |  -- DuckDB sha256 is VARCHAR-only and CAST(BLOB AS VARCHAR) escapes
+         |  -- bytes; decode() is the UTF-8 decode, identity for valid-UTF-8 html
+         |  'WARC-Block-Digest: sha256:' || sha256(decode(html)) || chr(13) || chr(10) ||
+         |  'Content-Length: ' || CAST(octet_length(html) AS VARCHAR) || chr(13) || chr(10) ||
+         |  chr(13) || chr(10) ||
+         |  decode(html) ||
+         |  chr(13) || chr(10) || chr(13) || chr(10) AS warc_record
+         |FROM ${gt("pages")}""".stripMargin,
     "mm_blob_meta" ->
       s"""SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes,
          |  CAST(CASE WHEN substr(CAST(html AS VARCHAR), 1, 5) = '<html' THEN 1 ELSE 0 END AS BIGINT) AS is_html

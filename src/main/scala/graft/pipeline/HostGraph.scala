@@ -40,6 +40,26 @@ object HostGraph {
   def hostOf(urlCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_extract(urlCol, "^https?://([^/]+)", 1)
 
+  /** Per-host corpus rollup — the Common-Crawl-index-style domain summary
+    * (pages, raw bytes, language breadth, capture-time span). One
+    * host-keyed aggregation over a (url, html-length, lang, warc_ts)
+    * projection; at 100 TB this is the fleet-summary job, bounded by host
+    * count.
+    */
+  def hostStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.corpus.CorpusGen.ensureFor(spark, sfDir)
+    graft.corpus.CorpusGen.pages(spark, dir)
+      .select(hostOf(col("url")).as("host"), octet_length(col("html")).cast("long").as("nb"),
+        col("lang"), col("warc_ts"))
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_pages"),
+        sum(col("nb")).as("total_bytes"),
+        countDistinct(col("lang")).as("n_langs"),
+        (unix_millis(max(col("warc_ts"))) - unix_millis(min(col("warc_ts"))))
+          .as("capture_span_ms"))
+  }
+
   /** Weighted host→host edge list from the multi-host extractor output
     * (self-edges included: same-host links are real graph mass).
     */

@@ -73,4 +73,37 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.json(Seq(pd("", "http://example.com/empty", ""))) ==
       "[\n  {\n    \"title\": \"\",\n    \"url\": \"http://example.com/empty\",\n    \"content\": \"\"\n  }\n]")
   }
+
+  test("warc records: CRLF framing, exact Content-Length, re-derivable digest") {
+    val spark = graft.SparkTestBase.spark
+    val sf = "/root/testdata/sf0.001"
+    val dir = graft.corpus.CorpusGen.ensureFor(spark, sf)
+    val pages = graft.corpus.CorpusGen.pages(spark, dir)
+      .select("url", "html").limit(50).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val recs = graft.sinks.Warc.warcRecords(spark, sf).limit(50).collect()
+    assert(recs.nonEmpty)
+    recs.foreach { r =>
+      val url = r.getString(0)
+      val rec = r.getString(1)
+      assert(rec.startsWith("WARC/1.0\r\n"))
+      assert(rec.endsWith("\r\n\r\n"))
+      val sep = rec.indexOf("\r\n\r\n")
+      val headers = rec.substring(0, sep).split("\r\n").map { l =>
+        val i = l.indexOf(": "); if (i < 0) (l, "") else (l.substring(0, i), l.substring(i + 2))
+      }.toMap
+      val payload = rec.substring(sep + 4, rec.length - 4)
+      pages.get(url).foreach { html =>
+        assert(payload == new String(html, java.nio.charset.StandardCharsets.UTF_8))
+        assert(headers("Content-Length").toLong == html.length.toLong)
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val hex = graft.pipeline.TextAnalysis.hexOf(md.digest(html))
+        assert(headers("WARC-Block-Digest") == s"sha256:$hex")
+      }
+      assert(headers("WARC-Target-URI") == url)
+      assert(headers("WARC-Type") == "response")
+      assert(headers("WARC-Record-ID").matches("<urn:uuid:[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}>"))
+      assert(headers("WARC-Date").matches("\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z"))
+    }
+  }
 }
