@@ -385,6 +385,7 @@ object SparkEntry {
     "dd_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "dd_lang_id_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
     "dd_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "dd_lm_score" -> ((s, d) => graft.pipeline.Lm.lmScore(s, d)),
     "search_postings" -> ((s, d) => Search.postings(s, d)),
     "search_topk" -> ((s, d) => Search.searchTopK(s, d)),
     "search_phrase" -> ((s, d) => Search.phraseTopK(s, d)),
@@ -1213,6 +1214,55 @@ object SparkEntry {
          |    '$Ipv4Re', '<IP>', 'g'),
          |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
          |FROM pii""".stripMargin
+    },
+    // stupid-backoff bigram LM quality score: exact integer counts, and
+    // log2 in Q16 fixed point replayed by the SAME 16-step shift-and-square
+    // integer iteration Lm.log2fix runs (Turner 2010) — a transcendental
+    // made bit-replayable, the kmeans/pagerank unrolled-oracle pattern
+    "dd_lm_score" -> {
+      import graft.pipeline.Lm.{LogScaleBits, LogFracBits}
+      val two = 1L << (LogScaleBits + 1) // mantissa ≥ 2.0 in Q24
+      val steps = (1 to LogFracBits).map { i =>
+        s"""lg$i AS (
+           |  SELECT v, CASE WHEN y >= $two THEN y >> 1 ELSE y END AS x,
+           |    r * 2 + CASE WHEN y >= $two THEN 1 ELSE 0 END AS r
+           |  FROM (SELECT v, r, (x * x) >> $LogScaleBits AS y FROM lg${i - 1}))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS wl
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(wl) AS w FROM d),
+         |uni AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS t FROM uni),
+         |pr AS (SELECT doc_id, unnest(list_zip(wl, wl[2:])) AS p FROM d),
+         |big AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM pr
+         |        WHERE p[2] IS NOT NULL),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+         |sp AS (
+         |  SELECT b.doc_id,
+         |    CAST(CASE WHEN c.c2 IS NOT NULL THEN c.c2 ELSE u2.cw * 2 END AS BIGINT) AS num,
+         |    CAST(CASE WHEN c.c2 IS NOT NULL THEN u1.cw ELSE (SELECT t FROM tot) * 5 END AS BIGINT) AS den
+         |  FROM big b
+         |  LEFT JOIN c2 c ON c.w1 = b.w1 AND c.w2 = b.w2
+         |  JOIN uni u1 ON u1.w = b.w1
+         |  JOIN uni u2 ON u2.w = b.w2),
+         |vals AS (SELECT DISTINCT num AS v FROM sp UNION SELECT DISTINCT den FROM sp),
+         |lg0 AS (
+         |  SELECT v,
+         |    (v << $LogScaleBits) >> (length(format('{:b}', v)) - 1) AS x,
+         |    CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS r
+         |  FROM vals),
+         |$steps,
+         |lgt AS (SELECT v, r AS lg FROM lg$LogFracBits),
+         |agg AS (
+         |  SELECT sp.doc_id, SUM(ln.lg - ld.lg) AS s, COUNT(*) AS n
+         |  FROM sp JOIN lgt ln ON ln.v = sp.num JOIN lgt ld ON ld.v = sp.den
+         |  GROUP BY 1)
+         |SELECT d2.doc_id,
+         |  CAST(COALESCE(a.s, 0) AS BIGINT) AS lm_score_q16,
+         |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_transitions
+         |FROM documents d2 LEFT JOIN agg a ON a.doc_id = d2.doc_id""".stripMargin
     },
     // inverted index: one (term, doc_id) aggregation over the \W+ token
     // stream — the index-build shuffle, materialized

@@ -530,6 +530,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(rowsPhrase.nonEmpty)
   }
 
+  test("log2fix: exact at powers of two, within one Q16 ulp-cluster elsewhere") {
+    (0 to 40).foreach { k =>
+      assert(Lm.log2fix(1L << k) == k.toLong << 16, s"2^$k")
+    }
+    val probe = Seq(3L, 5L, 7L, 10L, 100L, 12345L, 999983L, (1L << 40) + 12345L)
+    probe.foreach { m =>
+      val approx = Lm.log2fix(m).toDouble / 65536.0
+      val exact = math.log(m.toDouble) / math.log(2.0)
+      // truncation iteration only ever undershoots, by < ~2^-14
+      assert(approx <= exact + 1e-9 && exact - approx < 1e-3, s"log2fix($m)=$approx vs $exact")
+    }
+    // monotone over a dense range (ties allowed at Q16 resolution)
+    val vs = (1L to 5000L).map(Lm.log2fix)
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("lm score: negative totals, transition counts match a local recount") {
+    val rows = Lm.lmScore(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\W+").filter(_.nonEmpty))
+      .toMap
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = math.max(0, docs(id).length - 1).toLong
+      assert(r.getAs[Long]("n_transitions") == n, s"doc $id")
+      // every transition's score is a log of a probability < 1 → negative
+      if (n > 0) assert(r.getAs[Long]("lm_score_q16") < 0L, s"doc $id score")
+    }
+  }
+
   test("C4 rules: each injected variant lands on its documented outcome") {
     val rows = TextAnalysis.qualityC4(spark, sf).collect()
     assert(rows.nonEmpty)
