@@ -399,6 +399,8 @@ object SparkEntry {
     "graph_host_stats" -> ((s, d) => graft.pipeline.HostGraph.hostStats(s, d)),
     "graph_host_edges" -> ((s, d) => graft.pipeline.HostGraph.hostEdges(s, d)),
     "crawl_sink_warc" -> ((s, d) => graft.sinks.Warc.warcRecords(s, d)),
+    "crawl_robots_rfc9309" -> ((s, d) => graft.crawl.Robots9309.verdicts(s, d)),
+    "crawl_cdx_index" -> ((s, d) => graft.sinks.Warc.cdxIndex(s, d)),
     "graph_host_pagerank" -> ((s, d) => graft.pipeline.HostGraph.hostPageRank(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
     "mm_blob_features" -> ((s, d) => Multimodal.blobFeatures(s, d)),
@@ -1354,6 +1356,39 @@ object SparkEntry {
          |  chr(13) || chr(10) ||
          |  decode(html) ||
          |  chr(13) || chr(10) || chr(13) || chr(10) AS warc_record
+         |FROM ${gt("pages")}""".stripMargin,
+    // RFC 9309 longest-match robots verdicts: same rule constants, same
+    // pattern→regex translation, same (plen desc, allow-wins, rule_id)
+    // total order in both engines
+    "crawl_robots_rfc9309" -> {
+      import graft.crawl.Robots9309
+      val vals = Robots9309.Rules.zipWithIndex.map { case ((v, p), i) =>
+        s"($i, '$v', '$p', '${Robots9309.ruleRegex(p)}', ${p.length})"
+      }.mkString(", ")
+      s"""WITH r(rule_id, verdict, pattern, regex, plen) AS (VALUES $vals),
+         |pg AS (SELECT url, regexp_replace(url, '^https?://[^/]+', '') AS path
+         |       FROM ${gt("pages")}),
+         |m AS (SELECT pg.url, r.* FROM pg JOIN r ON regexp_matches(pg.path, r.regex)),
+         |w AS (SELECT url, verdict, pattern,
+         |        ROW_NUMBER() OVER (PARTITION BY url
+         |          ORDER BY plen DESC, verdict ASC, rule_id ASC) AS rn
+         |      FROM m)
+         |SELECT pg.url,
+         |  CAST(CASE WHEN w.verdict IS NULL OR w.verdict = 'allow' THEN 1 ELSE 0 END AS BIGINT) AS allowed,
+         |  COALESCE(w.pattern, '') AS rule
+         |FROM pg LEFT JOIN (SELECT * FROM w WHERE rn = 1) w ON w.url = pg.url""".stripMargin
+    },
+    // CDX/SURT capture index: reversed host labels + ')' + path key,
+    // 14-digit timestamp, sha-256 digest
+    "crawl_cdx_index" ->
+      s"""SELECT
+         |  array_to_string(list_reverse(
+         |    string_split(regexp_extract(url, '^https?://([^/]+)', 1), '.')), ',')
+         |    || ')' || regexp_replace(url, '^https?://[^/]+', '') AS surt_key,
+         |  strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14,
+         |  url,
+         |  sha256(decode(html)) AS digest,
+         |  CAST(octet_length(html) AS BIGINT) AS n_bytes
          |FROM ${gt("pages")}""".stripMargin,
     "mm_blob_meta" ->
       s"""SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes,

@@ -1,0 +1,75 @@
+package graft.crawl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.corpus.CorpusGen
+
+/** RFC 9309 (Robots Exclusion Protocol — public IETF spec) group-rule
+  * matching: `allow`/`disallow` path patterns with `*` wildcards and `$`
+  * end anchors, most-specific (longest-pattern) match wins, `allow` wins
+  * length ties, no match ⇒ allowed. This is the full-grammar upgrade of
+  * the crawl engine's prefix-only robots join (J3/X1) — the semantics a
+  * production crawler applies to real robots.txt files.
+  *
+  * The rule set is a deterministic constant (the corpus's robots ground
+  * truth is prefix-only), chosen to exercise every grammar feature:
+  * mid-pattern wildcards, `$` anchoring, allow-overrides-disallow by
+  * length, and an exact allow/disallow length TIE decided by the
+  * allow-wins rule. Patterns are restricted to literal path octets plus
+  * `*`/`$` (no other regex metacharacters), so the regex translation —
+  * `^` + pattern with `*` → `.*` — is exact in both engines.
+  *
+  * Scale shape: rules broadcast against a narrow (url, path) projection,
+  * winner selection is one per-url top-1 window (WindowGroupLimit — no
+  * full sort). Real deployments hold ~10^2 rules/host and bucket rules by
+  * host exactly like the existing robots anti-join; the matcher itself is
+  * what this operator pins.
+  */
+object Robots9309 {
+
+  /** (verdict, pattern) — documented grammar-coverage rule set. */
+  val Rules: Seq[(String, String)] = Seq(
+    ("disallow", "/misc"),
+    ("allow", "/misc/page-1*"),
+    ("disallow", "/*/page-22*"),
+    ("allow", "/docs/page-22*"),
+    ("disallow", "/products/page-3$"),
+    ("allow", "/products"),
+    ("disallow", "/products/page-31*"),
+    ("allow", "/products/page-31$"))
+
+  /** `*` → `.*`, anchored at the start; a trailing `$` is the same anchor
+    * in pattern and regex. Patterns contain no other metacharacters by
+    * construction (asserted).
+    */
+  def ruleRegex(p: String): String = {
+    require(p.forall(c => c.isLetterOrDigit || "/-*$_.".contains(c)), s"pattern $p")
+    "^" + p.replace(".", "\\.").replace("*", ".*")
+  }
+
+  /** (url, allowed, rule) for every corpus page: the RFC 9309 verdict and
+    * the winning pattern ('' when no rule matched).
+    */
+  def verdicts(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val rules = Rules.zipWithIndex.map { case ((v, p), i) =>
+      (i.toLong, v, p, ruleRegex(p), p.length.toLong)
+    }.toDF("rule_id", "verdict", "pattern", "regex", "plen")
+    val pages = CorpusGen.pages(spark, CorpusGen.ensureFor(spark, sfDir))
+      .select(col("url"), regexp_replace(col("url"), "^https?://[^/]+", "").as("path"))
+    val m = pages.join(broadcast(rules), expr("path rlike regex"))
+    val w = Window.partitionBy(col("url"))
+      .orderBy(col("plen").desc, col("verdict").asc, col("rule_id").asc)
+    val winners = m.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("url"),
+        when(col("verdict") === "allow", 1L).otherwise(0L).as("allowed"),
+        col("pattern").as("rule"))
+    pages.select(col("url")).join(winners, Seq("url"), "left")
+      .select(col("url"),
+        coalesce(col("allowed"), lit(1L)).as("allowed"),
+        coalesce(col("rule"), lit("")).as("rule"))
+  }
+}

@@ -57,4 +57,27 @@ object Warc {
       lit(Crlf + Crlf))
     CorpusGen.pages(spark, dir).select(col("url"), record.as("warc_record"))
   }
+
+  /** CDX-style capture index over the corpus — one row per capture with
+    * the SURT key (Sort-friendly URI Reordering Transform, the Internet
+    * Archive / Common Crawl index key: reversed host labels + `)` +
+    * path), the 14-digit capture timestamp, and the payload digest/length.
+    * Range scans over a host's captures become prefix scans of the sorted
+    * key space; at scale this is the index-build job that Common Crawl's
+    * cdx shards come from (sort by surt_key, ts14 → range-partitioned
+    * write).
+    */
+  def cdxIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    val host = regexp_extract(col("url"), "^https?://([^/]+)", 1)
+    val path = regexp_replace(col("url"), "^https?://[^/]+", "")
+    val surt = concat(
+      array_join(reverse(split(host, "\\.")), ","), lit(")"), path)
+    CorpusGen.pages(spark, dir).select(
+      surt.as("surt_key"),
+      date_format(col("warc_ts"), "yyyyMMddHHmmss").as("ts14"),
+      col("url"),
+      sha2(col("html"), 256).as("digest"),
+      octet_length(col("html")).cast("long").as("n_bytes"))
+  }
 }

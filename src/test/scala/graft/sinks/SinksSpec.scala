@@ -106,4 +106,25 @@ class SinksSpec extends AnyFunSuite {
       assert(headers("WARC-Date").matches("\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z"))
     }
   }
+
+  test("cdx index: surt keys reverse host labels and sort host-contiguously") {
+    val spark = graft.SparkTestBase.spark
+    val rows = graft.sinks.Warc.cdxIndex(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val surt = r.getString(0)
+      val url = r.getString(2)
+      val host = url.replaceFirst("^https?://", "").takeWhile(_ != '/')
+      val path = url.replaceFirst("^https?://[^/]+", "")
+      assert(surt == host.split("\\.").reverse.mkString(",") + ")" + path, s"$url -> $surt")
+      assert(r.getString(1).matches("\\d{14}"))
+      assert(r.getString(3).matches("[0-9a-f]{64}"))
+      assert(r.getLong(4) > 0L)
+    }
+    // a host's captures are one contiguous run of the sorted key space
+    val sorted = rows.map(_.getString(0)).sorted
+    val firstHostPrefix = "test,host0)"
+    val run = sorted.dropWhile(!_.startsWith(firstHostPrefix)).takeWhile(_.startsWith(firstHostPrefix))
+    assert(run.length == rows.count(_.getString(2).startsWith("http://host0.test/")))
+  }
 }
