@@ -250,6 +250,38 @@ object SparkEntry {
     * (`l<k>`) — `l<k>` holds (doc_id, lbl) after round k. Shared by the
     * dd_dup_clusters, dd_dup_keep and dd_cluster_residual oracles.
     */
+  /** Shared fixed-point-PageRank CTE chain (defines x, e, hosts, outw, nh,
+    * p0..p{iters}); consumed by graph_host_pagerank and the priority-
+    * frontier scheduler. dm_k = iteration k's dangling-host mass,
+    * redistributed uniformly (dm // N per host) inside the damping update —
+    * total mass conserved within integer-floor slack (mirrors HostGraph).
+    */
+  private lazy val pagerankCteBody: String = {
+    val iters = graft.pipeline.HostGraph.PageRankIters
+    val scale = graft.pipeline.HostGraph.PrScale
+    val head =
+      s"""x AS (SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS s,
+         |  regexp_extract(dst_url, '^https?://([^/]+)', 1) AS d FROM ${gt("xlinks")}),
+         |e AS (SELECT s, d, COUNT(*) AS w FROM x GROUP BY 1, 2),
+         |hosts AS (SELECT DISTINCT h FROM (SELECT s AS h FROM e UNION SELECT d FROM e)),
+         |outw AS (SELECT s, SUM(w) AS ow FROM e GROUP BY s),
+         |nh AS (SELECT COUNT(*) AS n FROM hosts),
+         |p0 AS (SELECT h, CAST($scale AS BIGINT) AS pr FROM hosts)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.d, SUM((p.pr * e.w) // o.ow) AS m
+         |  FROM e JOIN p${k - 1} p ON p.h = e.s JOIN outw o ON o.s = e.s GROUP BY e.d),
+         |dm$k AS (
+         |  SELECT COALESCE(SUM(pr), 0) AS dm FROM p${k - 1}
+         |  WHERE h NOT IN (SELECT s FROM outw)),
+         |p$k AS (
+         |  SELECT h.h, CAST(${15L * scale / 100}
+         |      + (85 * (COALESCE(c.m, 0) + dm.dm // nh.n)) // 100 AS BIGINT) AS pr
+         |  FROM hosts h LEFT JOIN c$k c ON c.d = h.h CROSS JOIN dm$k dm CROSS JOIN nh)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   private lazy val dupClusterCtes: String = {
     val iters = Dedup.ClusterIters
     val head =
@@ -401,6 +433,7 @@ object SparkEntry {
     "crawl_sink_warc" -> ((s, d) => graft.sinks.Warc.warcRecords(s, d)),
     "crawl_robots_rfc9309" -> ((s, d) => graft.crawl.Robots9309.verdicts(s, d)),
     "crawl_cdx_index" -> ((s, d) => graft.sinks.Warc.cdxIndex(s, d)),
+    "crawl_priority_frontier" -> ((s, d) => graft.crawl.PriorityCrawl.schedule(s, d)),
     "graph_host_pagerank" -> ((s, d) => graft.pipeline.HostGraph.hostPageRank(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
     "mm_blob_features" -> ((s, d) => Multimodal.blobFeatures(s, d)),
@@ -1005,33 +1038,46 @@ object SparkEntry {
          |FROM ${gt("xlinks")} GROUP BY 1, 2""".stripMargin,
     // fixed-point integer PageRank, iterations unrolled — integer sums and
     // floor divisions are exact in both engines (k-means-oracle pattern)
-    "graph_host_pagerank" -> {
-      val iters = graft.pipeline.HostGraph.PageRankIters
-      val scale = graft.pipeline.HostGraph.PrScale
+    "graph_host_pagerank" ->
+      s"""WITH $pagerankCteBody
+         |SELECT h AS host, pr FROM p${graft.pipeline.HostGraph.PageRankIters}""".stripMargin,
+    // best-first frontier scheduling: priorities from the pagerank CTEs,
+    // rounds unrolled — pop top-P by (pr desc, url), enqueue-time seen
+    "crawl_priority_frontier" -> {
+      import graft.crawl.PriorityCrawl.{Rounds, PopPerRound}
+      val prIters = graft.pipeline.HostGraph.PageRankIters
+      val hostRe = "'^https?://([^/]+)'"
+      // every per-round CTE is referenced 2-3× by the next round; without
+      // MATERIALIZED DuckDB inlines each reference and the tree grows
+      // exponentially in Rounds (the dupClusterCtes lesson)
       val head =
-        s"""x AS (SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS s,
-           |  regexp_extract(dst_url, '^https?://([^/]+)', 1) AS d FROM ${gt("xlinks")}),
-           |e AS (SELECT s, d, COUNT(*) AS w FROM x GROUP BY 1, 2),
-           |hosts AS (SELECT DISTINCT h FROM (SELECT s AS h FROM e UNION SELECT d FROM e)),
-           |outw AS (SELECT s, SUM(w) AS ow FROM e GROUP BY s),
-           |nh AS (SELECT COUNT(*) AS n FROM hosts),
-           |p0 AS (SELECT h, CAST($scale AS BIGINT) AS pr FROM hosts)""".stripMargin
-      // dm$k = the dangling-host mass of iteration k, redistributed
-      // uniformly (dm // N per host) inside the damping update — total mass
-      // is conserved within integer-floor slack (mirrors HostGraph)
-      val steps = (1 to iters).map { k =>
-        s"""c$k AS (
-           |  SELECT e.d, SUM((p.pr * e.w) // o.ow) AS m
-           |  FROM e JOIN p${k - 1} p ON p.h = e.s JOIN outw o ON o.s = e.s GROUP BY e.d),
-           |dm$k AS (
-           |  SELECT COALESCE(SUM(pr), 0) AS dm FROM p${k - 1}
-           |  WHERE h NOT IN (SELECT s FROM outw)),
-           |p$k AS (
-           |  SELECT h.h, CAST(${15L * scale / 100}
-           |      + (85 * (COALESCE(c.m, 0) + dm.dm // nh.n)) // 100 AS BIGINT) AS pr
-           |  FROM hosts h LEFT JOIN c$k c ON c.d = h.h CROSS JOIN dm$k dm CROSS JOIN nh)""".stripMargin
+        s"""prh AS MATERIALIZED (SELECT h AS host, pr FROM p$prIters),
+           |seeds AS (SELECT url FROM ${gt("pages")}
+           |          WHERE regexp_matches(url, '^https?://[^/]+/$$')),
+           |f0 AS MATERIALIZED (SELECT s.url, COALESCE(p.pr, 0) AS pr FROM seeds s
+           |       LEFT JOIN prh p ON p.host = regexp_extract(s.url, $hostRe, 1)),
+           |seen0 AS MATERIALIZED (SELECT url FROM seeds)""".stripMargin
+      val steps = (1 to Rounds).map { i =>
+        s"""pop$i AS MATERIALIZED (
+           |  SELECT url, pr, rn AS rank FROM (
+           |    SELECT url, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, url) AS rn
+           |    FROM f${i - 1}) WHERE rn <= $PopPerRound),
+           |new$i AS MATERIALIZED (
+           |  SELECT DISTINCT x.dst_url AS url FROM ${gt("xlinks")} x
+           |  JOIN pop$i p ON x.src_url = p.url
+           |  WHERE x.dst_url NOT IN (SELECT url FROM seen${i - 1})),
+           |f$i AS MATERIALIZED (
+           |  SELECT f.url, f.pr FROM f${i - 1} f
+           |  WHERE f.url NOT IN (SELECT url FROM pop$i)
+           |  UNION ALL
+           |  SELECT n.url, COALESCE(p.pr, 0) FROM new$i n
+           |  LEFT JOIN prh p ON p.host = regexp_extract(n.url, $hostRe, 1)),
+           |seen$i AS MATERIALIZED (SELECT url FROM seen${i - 1} UNION ALL SELECT url FROM new$i)""".stripMargin
       }
-      (head +: steps).mkString("WITH ", ",\n", s"\nSELECT h AS host, pr FROM p$iters")
+      val out = (1 to Rounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS round, CAST(rank AS BIGINT) AS rank, url FROM pop$i")
+        .mkString("\nUNION ALL\n")
+      s"WITH $pagerankCteBody,\n$head,\n${steps.mkString(",\n")}\n$out"
     },
     // resize / frame-sample: the engine's strided decode vs the transforms
     // the generator computed while encoding

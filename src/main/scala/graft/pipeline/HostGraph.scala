@@ -73,13 +73,20 @@ object HostGraph {
     * [[PrScale]] units after [[PageRankIters]] synchronous iterations from a
     * uniform [[PrScale]] start.
     */
-  def hostPageRank(spark: SparkSession, sfDir: String): DataFrame = {
+  def hostPageRank(spark: SparkSession, sfDir: String): DataFrame =
+    hostPageRankFromEdges(hostEdges(spark, sfDir))
+
+  /** Same, over an already-built (src_host, dst_host, n_links) edge table —
+    * callers that also need the url-level edges (e.g. the priority-frontier
+    * scheduler) extract once and share.
+    */
+  def hostPageRankFromEdges(hostEdgesDf: DataFrame): DataFrame = {
     // EAGER localCheckpoint, not persist-then-unpersist: the returned plan
     // is lazy and references the edge table ~4× per iteration — without a
     // materialized cut-point the caller's first action would re-run the
     // full-corpus link extraction ~20×. The checkpointed tables are
     // host-cardinality-bounded (tiny) and live for the session.
-    val edges = hostEdges(spark, sfDir)
+    val edges = hostEdgesDf
       .withColumnRenamed("src_host", "s").withColumnRenamed("dst_host", "d")
       .withColumnRenamed("n_links", "w")
       .localCheckpoint(true)
