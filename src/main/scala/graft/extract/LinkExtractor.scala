@@ -64,20 +64,23 @@ object LinkExtractor {
             pageUrl.parseRef(href) match {
               case Left(_) => // unparseable href → skipped (crawler.go:503)
               case Right(abs) =>
-                UrlNorm.normalize(abs.toUrlString) match {
+                UrlNorm.normalizeParsed(abs.toUrlString) match {
                   case Left(_) => // normalize error → skipped (crawler.go:509)
-                  case Right(norm) =>
-                    GoUrl.parse(norm) match {
-                      case Left(_) =>
-                      case Right(resolved) =>
-                        val ok =
-                          (resolved.scheme == "http" || resolved.scheme == "https") &&
-                            (allHosts || resolved.hostname == startHost) &&
-                            GlobSet.shouldFollow(followGlobs, resolved.path)
-                        if (ok && !seen.contains(norm)) {
-                          seen += norm
-                          out += norm
-                        }
+                  case Right(resolved) =>
+                    // predicates on the parsed normal form directly — no
+                    // serialize→reparse round trip per href (FuzzSpec pins
+                    // parse(toUrlString(u)) ≡ u on the adversarial grid);
+                    // the string is only built for links that pass
+                    val ok =
+                      (resolved.scheme == "http" || resolved.scheme == "https") &&
+                        (allHosts || resolved.hostname == startHost) &&
+                        GlobSet.shouldFollow(followGlobs, resolved.path)
+                    if (ok) {
+                      val norm = resolved.toUrlString
+                      if (!seen.contains(norm)) {
+                        seen += norm
+                        out += norm
+                      }
                     }
                 }
             }

@@ -20,9 +20,17 @@ object Markdown {
 
   def convertElement(e: HElement): String = collapse(renderBlocks(e)).trim
 
+  // precompiled: String.replaceAll re-compiles its pattern on EVERY call,
+  // and these run per block / per table cell in the extraction hot path
+  private val WsOnlyLine = java.util.regex.Pattern.compile("(?m)^[ \\t]+$")
+  private val NewlineRun3 = java.util.regex.Pattern.compile("\\n{3,}")
+  private val NewlineRun = java.util.regex.Pattern.compile("\\n+")
+  private val TrailingWs = java.util.regex.Pattern.compile("\\s+$")
+
   /** Blank out whitespace-only lines, then collapse 3+ newlines to 2. */
   private def collapse(s: String): String =
-    s.replaceAll("(?m)^[ \\t]+$", "").replaceAll("\\n{3,}", "\n\n")
+    NewlineRun3.matcher(WsOnlyLine.matcher(s).replaceAll(""))
+      .replaceAll("\n\n")
 
   private val blockTags = Set("p", "div", "section", "article", "main", "aside",
     "header", "footer", "nav", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol",
@@ -50,7 +58,7 @@ object Markdown {
     case "html" | "body" => renderBlocks(e)
     case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
       val level = e.tag.charAt(1) - '0'
-      val text = inline(e).trim.replaceAll("\\n+", " ")
+      val text = NewlineRun.matcher(inline(e).trim).replaceAll(" ")
       if (text.isEmpty) "" else "\n\n" + ("#" * level) + " " + text + "\n\n"
     case "p" =>
       val content = inline(e).trim
@@ -60,7 +68,7 @@ object Markdown {
     case "blockquote" =>
       val inner = collapse(renderBlocks(e)).trim
       if (inner.isEmpty) ""
-      else "\n\n" + inner.linesIterator.map(l => ("> " + l).replaceAll("\\s+$", "")).mkString("\n") + "\n\n"
+      else "\n\n" + inner.linesIterator.map(l => TrailingWs.matcher("> " + l).replaceAll("")).mkString("\n") + "\n\n"
     case "pre" =>
       val code = e.text.stripLineEnd
       "\n\n```\n" + code + "\n```\n\n"
@@ -142,7 +150,7 @@ object Markdown {
     def cells(tr: HElement): Vector[(String, String)] =
       tr.children.collect {
         case c: HElement if c.tag == "td" || c.tag == "th" =>
-          (c.tag, inline(c).trim.replaceAll("\\n+", " ").replace("|", "\\|"))
+          (c.tag, NewlineRun.matcher(inline(c).trim).replaceAll(" ").replace("|", "\\|"))
       }.toVector
     val allRows = rows.map(cells).filter(_.nonEmpty)
     if (allRows.isEmpty) return ""
@@ -217,9 +225,40 @@ object Markdown {
     case _ => inline(e)
   }
 
-  /** Whitespace-collapse inline text like an HTML renderer would. */
+  /** Whitespace-collapse inline text like an HTML renderer would —
+    * exactly `replaceAll("\\s+", " ")` (Java's ASCII \s set) without the
+    * regex; the fast path (nothing to rewrite) costs one scan and no
+    * allocation. Runs per text node of every page.
+    */
   private def inlineText(s: String): String = {
-    val collapsed = s.replaceAll("\\s+", " ")
-    collapsed
+    @inline def ws(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val n = s.length
+    var i = 0
+    var prevWs = false
+    var rewrite = false
+    while (i < n && !rewrite) {
+      val c = s.charAt(i)
+      val w = ws(c)
+      if (w && (prevWs || c != ' ')) rewrite = true
+      prevWs = w
+      i += 1
+    }
+    if (!rewrite) return s
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    prevWs = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (ws(c)) {
+        if (!prevWs) sb.append(' ')
+        prevWs = true
+      } else {
+        sb.append(c)
+        prevWs = false
+      }
+      i += 1
+    }
+    sb.toString
   }
 }

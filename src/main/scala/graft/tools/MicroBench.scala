@@ -16,7 +16,8 @@ import graft.extract.{LinkExtractor, Processor}
 object MicroBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val threadsToTry = Seq(1, 8, 32)
+    val threadsToTry = sys.env.get("SPARK_GRAFT_MICRO_THREADS")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 8, 32))
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

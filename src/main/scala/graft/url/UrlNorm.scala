@@ -25,7 +25,17 @@ object UrlNorm {
   }
 
   /** normalizeURLtoString parity. Left(reason) where the reference errors. */
-  def normalize(urlString: String): Either[String, String] = {
+  def normalize(urlString: String): Either[String, String] =
+    normalizeParsed(urlString).map(_.toUrlString)
+
+  /** The parsed normal form behind [[normalize]] — callers that need the
+    * normalized STRING and its components (the link extractor's scheme/
+    * host/path predicates) avoid a serialize→reparse round trip. Reusing
+    * the parsed form is equivalent to reparsing the serialized one
+    * (UrlNormSpec/FuzzSpec pin `parse(u.toUrlString) ≡ u` on the full
+    * adversarial grid).
+    */
+  def normalizeParsed(urlString: String): Either[String, GoUrl] = {
     val trimmed = goTrimSpace(urlString)
     if (trimmed.isEmpty)
       return Left("input URL string is empty or only whitespace")
@@ -64,7 +74,7 @@ object UrlNorm {
         if (parsed.path.length > 1 && parsed.path.endsWith("/"))
           parsed = parsed.copy(path = parsed.path.dropRight(1))
 
-        Right(parsed.toUrlString)
+        Right(parsed)
     }
   }
 

@@ -135,4 +135,47 @@ class GoUrlResolveSpec extends AnyFunSuite {
   test("decoded path used for matching") {
     assert(UrlNorm.pathOf("http://example.com/%E6%97%A5%E6%9C%AC%E8%AA%9E/x") == "/日本語/x")
   }
+
+  test("normalizeParsed reuse == reparse of the normalized string (adversarial grid)") {
+    // the link extractor evaluates its predicates on normalizeParsed's
+    // result WITHOUT reparsing the serialized string — pin the identity
+    val structured = Seq(
+      "http://example.com", "http://example.com/", "http://example.com/a/b/",
+      "HTTP://EXAMPLE.com/Path", "//example.com/x", "example.com/x.html",
+      "http://example.com/a%20b/c", "http://example.com/a b",
+      "http://example.com/%e6%97%a5", "http://example.com/?q=a b&r=%zz",
+      "http://example.com/a?q=1#frag", "http://user:pw@example.com:8080/p",
+      "mailto:team@example.com", "ftp://example.com/f", "tel:+1-555",
+      "http://example.com/../..", "http://example.com/a/./b/../c",
+      "/relative/only", "rel/ative", "?onlyquery", "#onlyfrag", "",
+      "http://[::1]:80/x", "http://example.com/%", "http://example.com/%2",
+      "http://example.com/日本語", " http://spaces.example/  ",
+      "https://example.com/a//b", "http://example.com//double",
+      "javascript:void(0)", "data:text/plain,hi")
+    val rnd = new scala.util.Random(20260817)
+    val alphabet = "abz09/:?#%&=._~!$'()*+,;@[]- \t\u00e9\u65e5"
+    val fuzz = (1 to 4000).map { _ =>
+      val n = 1 + rnd.nextInt(24)
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val prefixes = Seq("", "http://h.test/", "http://h.test/a/", "//h.test/", "x:")
+    var checked = 0
+    (structured ++ fuzz.flatMap(f => prefixes.map(_ + f))).foreach { s =>
+      UrlNorm.normalizeParsed(s) match {
+        case Left(_) =>
+        case Right(u) =>
+          val str = u.toUrlString
+          GoUrl.parse(str) match {
+            case Left(err) => fail(s"normalized '$s' -> '$str' fails reparse: $err")
+            case Right(v) =>
+              assert(v.scheme == u.scheme, s"'$s': scheme ${v.scheme} != ${u.scheme}")
+              assert(v.hostname == u.hostname, s"'$s': host ${v.hostname} != ${u.hostname}")
+              assert(v.path == u.path, s"'$s': path '${v.path}' != '${u.path}'")
+              assert(v.toUrlString == str, s"'$s': serialize not a fixpoint")
+              checked += 1
+          }
+      }
+    }
+    assert(checked > 5000, s"grid too small: only $checked urls normalized")
+  }
 }
