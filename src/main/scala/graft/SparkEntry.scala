@@ -361,6 +361,7 @@ object SparkEntry {
     "crawl_saved_articles" -> ((s, d) => C.savedArticles(s, d)),
     "crawl_limit_cut" -> ((s, d) => C.limitCut(s, d, 100)),
     "crawl_robots_seen" -> ((s, d) => C.robotsSeen(s, d)),
+    "crawl_bfs_rfc9309" -> ((s, d) => C.robots9309Seen(s, d)),
     "crawl_multihost_seen" -> ((s, d) => C.multihostSeen(s, d)),
     "crawl_xlink_extract" -> ((s, d) => C.xlinkExtract(s, d)),
     "crawl_follow_seen" -> ((s, d) => C.followSeen(s, d)),
@@ -516,6 +517,27 @@ object SparkEntry {
          |    WHERE l.dst_url LIKE 'http://' || rb.host || rb.disallow_prefix || '%')
          |)
          |SELECT url, CAST(MIN(depth) AS BIGINT) AS depth FROM reach GROUP BY url""".stripMargin,
+    // BFS reachability gated by the RFC 9309 rule set: a link is enqueued
+    // only if its longest-matching rule (allow wins ties) is an allow —
+    // the winner evaluated as a correlated top-1 subquery per edge
+    "crawl_bfs_rfc9309" -> {
+      import graft.crawl.Robots9309
+      val vals = Robots9309.Rules.zipWithIndex.map { case ((v, p), i) =>
+        s"($i, '$v', '$p', '${Robots9309.ruleRegex(p)}', ${p.length})"
+      }.mkString(", ")
+      s"""WITH RECURSIVE r9(rule_id, verdict, pattern, regex, plen) AS (VALUES $vals),
+         |reach(url, depth) AS (
+         |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url, 0 AS depth
+         |  UNION
+         |  SELECT l.dst_url, r.depth + 1
+         |  FROM reach r JOIN ${gt("links")} l ON l.src_url = r.url
+         |  WHERE r.depth < 64 AND COALESCE((
+         |    SELECT rb.verdict FROM r9 rb
+         |    WHERE regexp_matches(regexp_replace(l.dst_url, '^https?://[^/]*', ''), rb.regex)
+         |    ORDER BY rb.plen DESC, rb.verdict ASC, rb.rule_id ASC LIMIT 1), 'allow') = 'allow'
+         |)
+         |SELECT url, CAST(MIN(depth) AS BIGINT) AS depth FROM reach GROUP BY url""".stripMargin
+    },
     // multi-host BFS reachability with robots: the frontier crosses hosts
     // along the ground-truth xlinks graph; a robots-disallowed url is never
     // enqueued (same rule semantics as crawl_robots_seen)

@@ -49,6 +49,47 @@ object Robots9309 {
     "^" + p.replace(".", "\\.").replace("*", ".*")
   }
 
+  // compiled once per JVM — the in-kernel gate runs per discovered link
+  private lazy val compiledRules: Array[(Int, Boolean, Int, java.util.regex.Pattern)] =
+    Rules.zipWithIndex.map { case ((v, p), i) =>
+      (i, v == "allow", p.length, java.util.regex.Pattern.compile(ruleRegex(p)))
+    }.toArray
+
+  /** The RFC 9309 verdict for a raw (percent-encoded) url path: longest
+    * matching pattern wins, allow wins length ties, lowest rule id breaks
+    * exact ties, no match ⇒ allowed. The same total order the SQL replay
+    * sorts by.
+    */
+  def allowedPath(path: String): Boolean = {
+    var bestAllow = true
+    var bestLen = -1
+    var bestId = Int.MaxValue
+    var i = 0
+    while (i < compiledRules.length) {
+      val (id, isAllow, plen, re) = compiledRules(i)
+      if (re.matcher(path).find()) {
+        // order: plen desc, allow-before-disallow, id asc
+        val better = plen > bestLen ||
+          (plen == bestLen && bestLen >= 0 && isAllow && !bestAllow) ||
+          (plen == bestLen && bestLen >= 0 && isAllow == bestAllow && id < bestId)
+        if (bestLen < 0 || better) { bestAllow = isAllow; bestLen = plen; bestId = id }
+      }
+      i += 1
+    }
+    bestAllow
+  }
+
+  /** Raw path of a url string (everything from the first `/` after the
+    * authority) — RFC 9309 matches the percent-ENCODED path, so the gate
+    * must not decode.
+    */
+  def rawPathOf(url: String): String = {
+    val ss = url.indexOf("//")
+    val from = if (ss >= 0) ss + 2 else 0
+    val slash = url.indexOf('/', from)
+    if (slash < 0) "" else url.substring(slash)
+  }
+
   /** (url, allowed, rule) for every corpus page: the RFC 9309 verdict and
     * the winning pattern ('' when no rule matched).
     */

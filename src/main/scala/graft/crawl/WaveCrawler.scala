@@ -69,6 +69,11 @@ final case class CrawlConfig(
     contentSelector: String = "",
     hostPageBudget: Int = 0, // 0 = unlimited (reference parity)
     useRobots: Boolean = false,
+    /** RFC 9309 full-grammar robots gate ([[Robots9309]] rule set, X25) —
+      * evaluated in-kernel per discovered link on the RAW url path, on top
+      * of (independent of) the corpus prefix rules behind [[useRobots]].
+      */
+    robots9309: Boolean = false,
     /** Reference parity: follow only the seed's hostname
       * (crawler.go:516-518). false = multi-host (Common-Crawl-shaped)
       * frontier: every http(s) link is followed across hosts; robots
@@ -559,6 +564,9 @@ object WaveCrawler {
         if (popped <= config.broadcastFrontierMax) broadcast(frontier) else frontier
       val joined = frontierForJoin.join(pagesSlim, Seq("url"), "inner")
 
+      // plain Boolean hoisted out of the closure: capturing `config` itself
+      // would drag its DataFrame/function fields into task serialization
+      val use9309 = config.robots9309
       val processed = joined
         .select($"url", $"host", $"depth", $"seq", $"html")
         .as[(String, String, Int, Long, Array[Byte])]
@@ -592,10 +600,10 @@ object WaveCrawler {
                   raw.zipWithIndex.flatMap { case (dst, pos) =>
                     val dstHost = UrlNorm.hostnameOf(dst)
                     val dstPath = UrlNorm.pathOf(dst)
-                    val allowed = robots.get(dstHost) match {
+                    val allowed = (robots.get(dstHost) match {
                       case Some(prefixes) => !prefixes.exists(p => dstPath.startsWith(p))
                       case None           => true
-                    }
+                    }) && (!use9309 || Robots9309.allowedPath(Robots9309.rawPathOf(dst)))
                     if (allowed) Some(ProcLink(dst, dstHost, pos)) else None
                   }
                 } else Nil

@@ -63,6 +63,21 @@ object CrawlQueries {
         CrawlConfig(startUrl = Seed, useRobots = true))
     }
 
+  /** Crawl gated by the RFC 9309 full-grammar rule set (X25 integrated
+    * into the wave scheduler): a link is enqueued only if its longest-
+    * matching rule is an allow (or nothing matches).
+    */
+  def robots9309Crawl(spark: SparkSession, sfDir: String): CrawlOutput =
+    cached(spark, sfDir, "robots9309") { dir =>
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(startUrl = Seed, robots9309 = true))
+    }
+
+  /** Seen set of the RFC-9309-gated crawl. */
+  def robots9309Seen(spark: SparkSession, sfDir: String): DataFrame =
+    robots9309Crawl(spark, sfDir).seen
+      .select(col("url"), col("depth").cast("long").as("depth"))
+
   /** Crawl with --follow-match restricting link expansion (P5): only links
     * whose path matches the glob are enqueued (saving is unrestricted).
     */

@@ -48,4 +48,36 @@ class Robots9309Spec extends AnyFunSuite {
     assert(rulesFired.contains(""))
     assert(got.values.exists { case (a, r) => a == 1L && r.startsWith("/misc/page-1") })
   }
+
+  test("RFC-gated wave crawl equals a local gated BFS over the ground-truth links") {
+    import graft.queries.CrawlQueries
+    val seen = CrawlQueries.robots9309Seen(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dir = graft.corpus.CorpusGen.ensureFor(spark, sf)
+    val links = spark.read.parquet(s"$dir/links.parquet")
+      .select("src_url", "dst_url").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // local BFS with the same gate
+    val seed = "http://host0.test/"
+    val expected = scala.collection.mutable.Map(seed -> 0L)
+    var frontier = Vector(seed)
+    var depth = 0L
+    while (frontier.nonEmpty) {
+      depth += 1
+      val next = frontier.flatMap(u => links.getOrElse(u, Nil))
+        .filter(d => !expected.contains(d) &&
+          Robots9309.allowedPath(Robots9309.rawPathOf(d)))
+        .distinct
+      next.foreach(d => expected(d) = depth)
+      frontier = next
+    }
+    assert(seen == expected.toMap)
+    // the gate actually bites: the plain crawl reaches more urls
+    val plain = CrawlQueries.bfsSeen(spark, sf).count()
+    assert(plain > seen.size)
+    // and the allow-override keeps some /misc/page-1* urls reachable
+    assert(seen.keys.exists(_.contains("/misc/page-1")) ||
+      !links.values.flatten.exists(_.contains("/misc/page-1")))
+  }
 }
