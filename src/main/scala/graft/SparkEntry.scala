@@ -434,6 +434,7 @@ object SparkEntry {
     "crawl_sink_warc" -> ((s, d) => graft.sinks.Warc.warcRecords(s, d)),
     "crawl_robots_rfc9309" -> ((s, d) => graft.crawl.Robots9309.verdicts(s, d)),
     "crawl_cdx_index" -> ((s, d) => graft.sinks.Warc.cdxIndex(s, d)),
+    "crawl_sink_wet" -> ((s, d) => graft.sinks.Warc.wetRecords(s, d)),
     "crawl_priority_frontier" -> ((s, d) => graft.crawl.PriorityCrawl.schedule(s, d)),
     "graph_host_pagerank" -> ((s, d) => graft.pipeline.HostGraph.hostPageRank(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
@@ -1445,6 +1446,29 @@ object SparkEntry {
          |  CAST(CASE WHEN w.verdict IS NULL OR w.verdict = 'allow' THEN 1 ELSE 0 END AS BIGINT) AS allowed,
          |  COALESCE(w.pattern, '') AS rule
          |FROM pg LEFT JOIN (SELECT * FROM w WHERE rn = 1) w ON w.url = pg.url""".stripMargin
+    },
+    // WET conversion records: the payload is the ENGINE's extracted
+    // markdown; the oracle rebuilds the record from encode-side ground
+    // truth — extraction AND formatting must both be byte-exact
+    "crawl_sink_wet" -> {
+      val gtMeta = gt("meta")
+      val gtPages = gt("pages")
+      s"""SELECT m.url,
+         |  'WARC/1.0' || chr(13) || chr(10) ||
+         |  'WARC-Type: conversion' || chr(13) || chr(10) ||
+         |  'WARC-Record-ID: <urn:uuid:' ||
+         |    substr(md5('conv:' || m.url), 1, 8) || '-' || substr(md5('conv:' || m.url), 9, 4) || '-' ||
+         |    substr(md5('conv:' || m.url), 13, 4) || '-' || substr(md5('conv:' || m.url), 17, 4) || '-' ||
+         |    substr(md5('conv:' || m.url), 21, 12) || '>' || chr(13) || chr(10) ||
+         |  'WARC-Date: ' || strftime(p.warc_ts, '%Y-%m-%dT%H:%M:%SZ') || chr(13) || chr(10) ||
+         |  'WARC-Target-URI: ' || m.url || chr(13) || chr(10) ||
+         |  'Content-Type: text/plain' || chr(13) || chr(10) ||
+         |  'WARC-Block-Digest: sha256:' || sha256(m.markdown) || chr(13) || chr(10) ||
+         |  'Content-Length: ' || CAST(strlen(m.markdown) AS VARCHAR) || chr(13) || chr(10) ||
+         |  chr(13) || chr(10) ||
+         |  m.markdown ||
+         |  chr(13) || chr(10) || chr(13) || chr(10) AS wet_record
+         |FROM $gtMeta m JOIN $gtPages p ON p.url = m.url""".stripMargin
     },
     // CDX/SURT capture index: reversed host labels + ')' + path key,
     // 14-digit timestamp, sha-256 digest

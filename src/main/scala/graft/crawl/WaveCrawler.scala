@@ -609,7 +609,7 @@ object WaveCrawler {
                 } else Nil
               val (title, md, ah) =
                 if (matched && doExtract && doc != null)
-                  Processor.processParsed(url, html, doc, selector)
+                  Processor.processParsed(url, html, doc, selector, needArticleHtml = keepAH)
                     .fold(_ => ("", "", ""),
                       pd => (pd.title, pd.markdown, if (keepAH) pd.articleHtml else ""))
                 else ("", "", "")

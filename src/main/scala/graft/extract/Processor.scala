@@ -41,11 +41,16 @@ object Processor {
     * parses each page exactly once and shares the tree with link extraction
     * (which must run first: the pre-filter MUTATES `doc`).
     */
+  /** @param needArticleHtml false → PageData.articleHtml is "" and the
+    *   article is never re-serialized (the crawl path with
+    *   keepArticleHtml=false; title+markdown consume the DOM directly).
+    */
   def processParsed(
       pageUrl: String,
       rawHtml: String,
       doc: graft.html.HDocument,
-      contentSelector: String): Either[String, PageData] = {
+      contentSelector: String,
+      needArticleHtml: Boolean = true): Either[String, PageData] = {
     val parsedUrl = GoUrl.parse(pageUrl) match {
       case Right(u) => u
       case Left(e)  => return Left(s"failed to parse page URL $pageUrl: $e")
@@ -73,8 +78,9 @@ object Processor {
     val htmlToProcess = chosen._1
     val preparsed = chosen._2
     val (article, resultEl) =
-      if (preparsed != null) Readability.parseToDom(htmlToProcess, parsedUrl, preparsed)
-      else Readability.parseToDom(htmlToProcess, parsedUrl)
+      if (preparsed != null)
+        Readability.parseToDom(htmlToProcess, parsedUrl, preparsed, needContent = needArticleHtml)
+      else Readability.parseToDom(htmlToProcess, parsedUrl, needContent = needArticleHtml)
     // consume the readability DOM directly — no serialize→re-parse round trip
     val markdown =
       (if (resultEl != null) Markdown.convertElement(resultEl)

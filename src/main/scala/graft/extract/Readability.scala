@@ -62,8 +62,14 @@ object Readability {
     *                   first (read-only-until-grab) attempt so the caller's
     *                   parse is not repeated; retries still re-parse rawHtml.
     */
+  /** @param needContent serialize Article.content / walk Article.textContent
+    *                     — skipped (both "") when the caller consumes only
+    *                     the DOM + title (the crawl path with
+    *                     keepArticleHtml=false): one full article serialize
+    *                     and one text walk per page saved.
+    */
   def parseToDom(rawHtml: String, pageUrl: GoUrl,
-      preparsed: HDocument = null): (Article, HElement) = {
+      preparsed: HDocument = null, needContent: Boolean = true): (Article, HElement) = {
     // metadata title is read from the pristine document
     val metaDoc = if (preparsed != null) preparsed else HtmlParser.parse(rawHtml)
     val metaTitle = getArticleMetadataTitle(metaDoc)
@@ -110,8 +116,8 @@ object Readability {
     (Article(
       title = articleTitle,
       byline = byline.text,
-      content = result.innerHtml,
-      textContent = result.text), result)
+      content = if (needContent) result.innerHtml else "",
+      textContent = if (needContent) result.text else ""), result)
   }
 
   // ---- title ----

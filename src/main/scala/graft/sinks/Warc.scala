@@ -58,6 +58,40 @@ object Warc {
     CorpusGen.pages(spark, dir).select(col("url"), record.as("warc_record"))
   }
 
+  /** WET sibling of [[warcRecords]]: `WARC-Type: conversion` records whose
+    * payload is the ENGINE'S extracted markdown (the full
+    * readability→markdown kernel runs per page), which the oracle rebuilds
+    * from the generator's encode-side ground truth — so this sink is an
+    * end-to-end extraction+formatting check, not just string assembly.
+    * Text corpora distributed as WET (e.g. Common Crawl's) have exactly
+    * this shape.
+    */
+  def wetRecords(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    val md = graft.queries.CrawlQueries.extractMarkdown(spark, sfDir)
+    val withTs = CorpusGen.pages(spark, dir)
+      .select(col("url"), col("warc_ts")).join(md, Seq("url"))
+    val h = md5(concat(lit("conv:"), col("url")).cast("binary"))
+    val recordId = concat(
+      lit("<urn:uuid:"), substring(h, 1, 8), lit("-"), substring(h, 9, 4),
+      lit("-"), substring(h, 13, 4), lit("-"), substring(h, 17, 4),
+      lit("-"), substring(h, 21, 12), lit(">"))
+    val date = date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    val record = concat(
+      lit("WARC/1.0" + Crlf),
+      lit("WARC-Type: conversion" + Crlf),
+      lit("WARC-Record-ID: "), recordId, lit(Crlf),
+      lit("WARC-Date: "), date, lit(Crlf),
+      lit("WARC-Target-URI: "), col("url"), lit(Crlf),
+      lit("Content-Type: text/plain" + Crlf),
+      lit("WARC-Block-Digest: sha256:"), sha2(col("markdown").cast("binary"), 256), lit(Crlf),
+      lit("Content-Length: "), octet_length(col("markdown")).cast("string"), lit(Crlf),
+      lit(Crlf),
+      col("markdown"),
+      lit(Crlf + Crlf))
+    withTs.select(col("url"), record.as("wet_record"))
+  }
+
   /** CDX-style capture index over the corpus — one row per capture with
     * the SURT key (Sort-friendly URI Reordering Transform, the Internet
     * Archive / Common Crawl index key: reversed host labels + `)` +
