@@ -126,16 +126,11 @@ object SparkEntry {
     * unrolled [[graft.pipeline.Similarity.KmeansIters]] times; empty
     * clusters keep their previous centroid via the COALESCE join.
     */
-  private val ivfKmeansCtes: String = {
+  private def ivfKmeansCtesOver(eCte: String): String = {
     import graft.pipeline.Similarity
     val iters = Similarity.KmeansIters
-    val scale = Similarity.KmeansScale.toLong
     val head =
-      s"""e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale) AS BIGINT)
-         |     for i in generate_series(1, len(embedding))] AS q
-         |  FROM embeddings),
+      s"""$eCte,
          |c0 AS (
          |  SELECT vec_id AS cid, CAST(q AS DOUBLE[]) AS m
          |  FROM e WHERE vec_id < ${Similarity.IvfLists})""".stripMargin
@@ -158,6 +153,32 @@ object SparkEntry {
          |  FROM c${k - 1} p LEFT JOIN n$k n ON n.cid = p.cid)""".stripMargin
     }
     (head +: steps).mkString(",\n")
+  }
+
+  private val ivfKmeansCtes: String = {
+    val scale = graft.pipeline.Similarity.KmeansScale.toLong
+    ivfKmeansCtesOver(
+      s"""e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale) AS BIGINT)
+         |     for i in generate_series(1, len(embedding))] AS q
+         |  FROM embeddings)""".stripMargin)
+  }
+
+  /** [[ivfKmeansCtesOver]] instantiated on the dup-injected embedding view
+    * (dup_emb, the ann_dup_pairs CTE) — the SemDeDup oracle's clustering.
+    * dup_emb's v is already CAST(embedding AS DOUBLE[]) elementwise, so
+    * quantization on v is bit-identical to quantization on the REAL list.
+    */
+  private lazy val semKmeansCtes: String = {
+    val scale = graft.pipeline.Similarity.KmeansScale.toLong
+    s"""$dupEmbCte,
+       |${ivfKmeansCtesOver(
+      s"""e AS (
+         |  SELECT vec_id, v,
+         |    [CAST(floor(v[i] * $scale) AS BIGINT)
+         |     for i in generate_series(1, len(v))] AS q
+         |  FROM dup_emb)""".stripMargin)}""".stripMargin
   }
 
   /** BPE training (graft.pipeline.Bpe) replayed exactly in SQL, one CTE
@@ -419,8 +440,11 @@ object SparkEntry {
     "dd_lang_id_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
     "dd_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "dd_lm_score" -> ((s, d) => graft.pipeline.Lm.lmScore(s, d)),
+    "dd_line_dedup" -> ((s, d) => Dedup.lineDedup(s, d)),
+    "dd_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "search_postings" -> ((s, d) => Search.postings(s, d)),
     "search_topk" -> ((s, d) => Search.searchTopK(s, d)),
+    "search_bm25" -> ((s, d) => Search.bm25TopK(s, d)),
     "search_phrase" -> ((s, d) => Search.phraseTopK(s, d)),
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -1046,6 +1070,56 @@ object SparkEntry {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          |FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND hamming(a.s, b.s) <= 2
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
+    // SemDeDup: the dup-injected embeddings k-means-clustered by the
+    // unrolled exact-integer Lloyd CTEs, final assignment vs c<iters>,
+    // then the within-cluster lower-id dominance rule — pairs are only
+    // ever compared inside a cluster, exactly like the engine
+    "dd_semdedup" -> {
+      import graft.pipeline.Similarity
+      s"""WITH $semKmeansCtes,
+         |af AS (
+         |  SELECT vec_id, q, cid FROM (
+         |    SELECT e.vec_id, e.q, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(c.m, CAST(e.q AS DOUBLE[])) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c${Similarity.KmeansIters} c) WHERE rn = 1)
+         |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+         |  CAST(CASE WHEN EXISTS (
+         |    SELECT 1 FROM af b WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+         |      AND list_cosine_similarity(CAST(b.q AS DOUBLE[]), CAST(a.q AS DOUBLE[])) >= 0.95)
+         |  THEN 0 ELSE 1 END AS BIGINT) AS kept
+         |FROM af a""".stripMargin
+    },
+    // CCNet line-level dedup over the line-structured view: first-wins is
+    // the integer MIN over doc_id*8+line_no, replayed term-for-term
+    "dd_line_dedup" ->
+      s"""WITH ld AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN
+         |      '${Dedup.LineBoiler}' || chr(10) ||
+         |      array_to_string(ws[1:5], ' ') || chr(10) ||
+         |      '${Dedup.LineBoiler3}' || chr(10) ||
+         |      array_to_string(ws[6:10], ' ')
+         |    ELSE
+         |      '${Dedup.LineBoiler}' || chr(10) ||
+         |      array_to_string(ws[1:5], ' ') || chr(10) ||
+         |      array_to_string(ws[6:10], ' ')
+         |    END AS text
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         |l AS (
+         |  SELECT doc_id, p[2] - 1 AS line_no, p[1] AS line
+         |  FROM (SELECT doc_id, unnest(list_zip(ls, generate_series(1, len(ls)))) AS p
+         |        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM ld))),
+         |w AS (SELECT line, MIN(doc_id * 8 + line_no) AS ord FROM l GROUP BY line),
+         |f AS (SELECT l.doc_id, l.line_no, l.line,
+         |        CASE WHEN l.doc_id * 8 + l.line_no = w.ord THEN 1 ELSE 0 END AS kept
+         |      FROM l JOIN w ON w.line = l.line)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+         |  COALESCE(string_agg(CASE WHEN kept = 1 THEN line END, chr(10) ORDER BY line_no), '')
+         |    AS cleaned
+         |FROM f GROUP BY doc_id""".stripMargin,
     // engine decodes the opaque payload bytes (from-scratch BMP/WAV
     // parsers); oracle reads the features the generator computed while
     // ENCODING them — a decode bug cannot self-confirm
@@ -1366,6 +1440,60 @@ object SparkEntry {
          |  SELECT query_id, doc_id, score,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM sc)
+         |WHERE rank <= ${Search.TopK}""".stripMargin
+    },
+    // Okapi BM25 in exact Q16 integers: idf = log2fix(2N+2) − log2fix(2df+1)
+    // via the same unrolled Turner iteration as dd_lm_score; the tf
+    // normalization is pure integer floor division — mirrors Search.bm25TopK
+    "search_bm25" -> {
+      import graft.pipeline.Lm.{LogScaleBits, LogFracBits}
+      import Search.{Q16, Q16K1, Q16B}
+      val two = 1L << (LogScaleBits + 1)
+      val steps = (1 to LogFracBits).map { i =>
+        s"""lg$i AS (
+           |  SELECT v, CASE WHEN y >= $two THEN y >> 1 ELSE y END AS x,
+           |    r * 2 + CASE WHEN y >= $two THEN 1 ELSE 0 END AS r
+           |  FROM (SELECT v, r, (x * x) >> $LogScaleBits AS y FROM lg${i - 1}))""".stripMargin
+      }.mkString(",\n")
+      val qvals = Search.Queries.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS wl
+         |  FROM documents),
+         |dln AS (SELECT doc_id, CAST(len(wl) AS BIGINT) AS dl FROM d),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dln),
+         |q(query_id, query) AS (VALUES $qvals),
+         |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+         |         unnest(string_split(query, ' ')) AS w FROM q),
+         |tok AS (SELECT doc_id, unnest(wl) AS w FROM d),
+         |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+         |       WHERE w IN (SELECT DISTINCT w FROM qt) GROUP BY 1, 2),
+         |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |vals AS (SELECT DISTINCT 2 * df + 1 AS v FROM dfq
+         |         UNION SELECT DISTINCT 2 * n + 2 FROM st),
+         |lg0 AS (
+         |  SELECT v,
+         |    (v << $LogScaleBits) >> (length(format('{:b}', v)) - 1) AS x,
+         |    CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS r
+         |  FROM vals),
+         |$steps,
+         |lgt AS (SELECT v, r AS lg FROM lg$LogFracBits),
+         |idf AS (SELECT dfq.w,
+         |    (SELECT lg FROM lgt WHERE v = (SELECT 2 * n + 2 FROM st)) - lgt.lg AS idf_q16
+         |  FROM dfq JOIN lgt ON lgt.v = 2 * dfq.df + 1),
+         |sc AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    CAST(SUM((idf.idf_q16 * ((tf.tf * ${Q16K1 + Q16} * $Q16) //
+         |      (tf.tf * $Q16 + $Q16K1 * (($Q16 - $Q16B)
+         |        + ($Q16B * dln.dl * st.n) // st.t)))) // $Q16) AS BIGINT) AS score_q16
+         |  FROM tf JOIN qt ON qt.w = tf.w JOIN idf ON idf.w = tf.w
+         |  JOIN dln ON dln.doc_id = tf.doc_id CROSS JOIN st
+         |  GROUP BY 1, 2)
+         |SELECT query_id, rank, doc_id, score_q16 FROM (
+         |  SELECT query_id, doc_id, score_q16,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score_q16 DESC, doc_id) AS BIGINT) AS rank
          |  FROM sc)
          |WHERE rank <= ${Search.TopK}""".stripMargin
     },

@@ -579,4 +579,63 @@ object Dedup {
         count(lit(1)).as("n_windows"),
         coalesce(sum(col("rep")), lit(0L)).as("n_repeated"))
   }
+
+  // ------------------------------------------- line-level dedup (CCNet)
+
+  /** Boilerplate lines for the line-dedup view: line 0 rides EVERY doc,
+    * the subscribe line every doc_id % 3 == 0 doc — the cookie-banner /
+    * newsletter-footer duplication CCNet-style line dedup exists to remove.
+    */
+  val LineBoiler = "We use cookies to improve your browsing experience."
+  val LineBoiler3 = "Subscribe to our newsletter for weekly updates."
+
+  /** The documents table is single-line word soup, so line-level dedup runs
+    * over a deterministic line-structured view (the langMarked/c4Docs
+    * pattern): each doc becomes 3-4 newline-separated lines — the global
+    * boilerplate line, words 1-5, (doc_id % 3 == 0 only) the subscribe
+    * line, and words 6-10. Slices stay inside the corpus's 10-word minimum
+    * so both engines rebuild the identical string with no empty-array edge
+    * (DuckDB's array_to_string([]) is NULL where Spark's array_join is '').
+    */
+  private[pipeline] def lineDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val l1 = array_join(slice(ws, 1, 5), " ")
+    val l3 = array_join(slice(ws, 6, 5), " ")
+    val text = when(pmod(col("doc_id"), lit(3)) === 0,
+      concat_ws("\n", lit(LineBoiler), l1, lit(LineBoiler3), l3))
+      .otherwise(concat_ws("\n", lit(LineBoiler), l1, l3))
+    docs(spark, sfDir).select(col("doc_id"), text.as("text"))
+  }
+
+  /** Corpus-wide line-level exact dedup (CCNet, Wenzek et al. 2020 §3.1 —
+    * public — dedups at paragraph granularity before any doc-level pass):
+    * a line survives only at its FIRST occurrence in (doc_id, line_no)
+    * order; every later occurrence anywhere in the corpus is dropped.
+    * Returns per doc (doc_id, n_lines, n_kept, cleaned) where cleaned is
+    * the surviving lines re-joined in original order.
+    *
+    * Order is the exact integer key doc_id·8 + line_no (line_no < 8 by the
+    * view's construction), so first-wins is a plain integer MIN the oracle
+    * replays. Scale shape: one shuffle keyed by the line text (the dedup
+    * shuffle — at 100 TB key by a 128-bit line hash instead and keep the
+    * text on the probe side), one doc_id-keyed re-aggregation; no window
+    * wider than a per-doc sort, no driver state.
+    */
+  def lineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = lineDocs(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+    val winners = lines
+      .groupBy(col("line"))
+      .agg(min(col("doc_id") * 8 + col("line_no")).as("ord"))
+    lines.join(winners, Seq("line"))
+      .withColumn("kept", (col("doc_id") * 8 + col("line_no") === col("ord")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("kept")).as("n_kept"),
+        coalesce(array_join(transform(
+          array_sort(collect_list(when(col("kept") === 1L,
+            struct(col("line_no"), col("line"))))),
+          x => x.getField("line")), "\n"), lit("")).as("cleaned"))
+  }
 }

@@ -103,6 +103,73 @@ object Search {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  // ------------------------------------------------------ integer BM25
+
+  /** BM25 fixed-point constants (Q16): k1 = 1.2, b = 0.75 — the standard
+    * Robertson/Sparck-Jones defaults, scaled to integers so every score is
+    * exact. Q16B is exact (0.75·2^16); Q16K1 is ⌊1.2·2^16⌋.
+    */
+  val Q16 = 65536L
+  val Q16K1 = 78643L
+  val Q16B = 49152L
+
+  /** Okapi BM25 top-k ranking in exact Q16 integer arithmetic (Robertson &
+    * Zaragoza 2009, "The Probabilistic Relevance Framework: BM25 and
+    * Beyond" — public; Lucene-style idf = log(1 + (N−df+0.5)/(df+0.5)),
+    * always positive):
+    *
+    *   idf_q16(t)   = log2fix(2N+2) − log2fix(2·df(t)+1)   (exact Q16 logs:
+    *                  log2((N+1)/(df+0.5)) with the halves cleared by ×2 —
+    *                  [[graft.pipeline.Lm.log2fix]]'s bit-replayable
+    *                  iteration, so the oracle reproduces the transcendental)
+    *   tfn_q16(t,d) = (tf·(k1+1)·S) div (tf·S + k1·((S−b) + (b·dl·N) div T))
+    *   score(q,d)   = Σ_t (idf_q16 · tfn_q16) div S
+    *
+    * dl = |d| in tokens, T = Σ dl, N = doc count; every div is a floor on
+    * positives, identical in Spark (`div`) and DuckDB (`//`). Overflow
+    * audit at sandbox scales: tf·(k1+1)·S ≤ 10^4·1.4e5·6.6e4 ≈ 9e13;
+    * b·dl·N ≤ 4.9e4·10^4·10^4 ≈ 5e12 — Long-safe. At 10^10 docs reorder
+    * the length norm to b·((dl·S) div avgdl) (one more floor, same shape)
+    * before N·dl can reach 2^63.
+    *
+    * Scale shape = [[searchTopK]]: the broadcast query-term table prunes
+    * the token stream BEFORE the tf aggregation and dl rides the token
+    * rows (computed narrowly per doc, no corpus-wide dl join); only
+    * Σ_t df(t) rows ever shuffle.
+    */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = docs(spark, sfDir).select(col("doc_id"),
+      filter(split(lower(col("text")), "\\W+"), w => w =!= "").as("wl"))
+    // corpus stats: one 1-row agg (N docs, T total tokens)
+    val stats = d.agg(count(lit(1)), coalesce(sum(size(col("wl")).cast("long")), lit(0L))).head()
+    val nDocs = stats.getLong(0)
+    val totTok = stats.getLong(1)
+
+    val qt = Queries.toDF("query_id", "query")
+      .select(col("query_id"), explode(split(col("query"), " ")).as("w"))
+    val tok = d.select(col("doc_id"), size(col("wl")).cast("long").as("dl"),
+        explode(col("wl")).as("w"))
+      .join(broadcast(qt.select("w").distinct()), "w")
+    val tfq = tok.groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfq = tfq.groupBy("w").agg(count(lit(1)).as("df"))
+    val idfOf = udf((df: Long) => Lm.log2fix(2L * nDocs + 2L) - Lm.log2fix(2L * df + 1L))
+    val qw = qt.join(broadcast(dfq), "w")
+      .select(col("query_id"), col("w"), idfOf(col("df")).as("idf_q16"))
+    val scored = tfq.join(broadcast(qw), "w")
+      .withColumn("tfn_q16", expr(
+        s"(tf * ${Q16K1 + Q16} * $Q16) div " +
+          s"(tf * $Q16 + $Q16K1 * (($Q16 - $Q16B) + ($Q16B * dl * $nDocs) div $totTok))"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr(s"(idf_q16 * tfn_q16) div $Q16")).as("score_q16"))
+    val win = Window.partitionBy("query_id").orderBy(col("score_q16").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_q16"))
+  }
+
   /** Exact phrase search: occurrence counts by substring deletion
     * ((len(text) − len(remove(text, p))) div len(p) — exact in both
     * engines), top 10 docs per phrase among cnt > 0. Broadcast phrase

@@ -318,13 +318,17 @@ object Similarity {
     * clusters deterministically keep their previous centroid. Final search =
     * [[ivfTopK]]'s probe shape over the refined lists.
     */
-  def ivfKmeansTopK(spark: SparkSession, sfDir: String,
-      nQueries: Int = 20, k: Int = 10): DataFrame = {
+  /** Lloyd's centroid refinement over any (vec_id, embedding) dataset —
+    * the [[ivfKmeansTopK]] training loop, factored out so [[semDedup]]
+    * clusters with the identical (oracle-replayable) arithmetic. Seeds are
+    * the quantized vectors of the [[IvfLists]] lowest vec_ids;
+    * [[KmeansIters]] rounds of broadcast-assign + exact-integer partial
+    * sums (driver holds K×D only, never O(n)).
+    */
+  def trainKmeans(spark: SparkSession,
+      all: org.apache.spark.sql.Dataset[(Long, Array[Float])]): Array[Array[Double]] = {
     val spark2 = spark
     import spark2.implicits._
-    val all = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-
     // seed: quantized vectors of the K lowest vec_ids (count-1 means)
     var centroids: Array[Array[Double]] = all.filter(_._1 < IvfLists).collect()
       .sortBy(_._1).map { case (_, v) => quantize(v).map(_.toDouble) }
@@ -362,7 +366,16 @@ object Similarity {
         else sums(c).map(_.toDouble / cnts(c))
       }
     }
+    centroids
+  }
 
+  def ivfKmeansTopK(spark: SparkSession, sfDir: String,
+      nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val all = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val centroids = trainKmeans(spark, all)
     val bcC = spark.sparkContext.broadcast(centroids)
     val queries = all.orderBy(col("vec_id")).limit(nQueries).collect()
     val probeOf: Map[Long, Seq[Int]] = queries.map { case (qid, qv) =>
@@ -569,5 +582,85 @@ object Similarity {
       }
       .toDF("vec_a", "vec_b")
       .distinct()
+  }
+
+  // --------------------------------------------------------- SemDeDup
+
+  /** Cosine of two quantized vectors — double accumulation over the exact
+    * Long components, the value DuckDB's list_cosine_similarity computes
+    * on CAST(q AS DOUBLE[]) (same ulp caveat as [[cosineQ]]; the injected
+    * dups sit at ≈ 0.9999 and uniform pairs at ≈ 0, so the 0.95 threshold
+    * is never within float noise of a pair).
+    */
+  def cosineQQ(a: Array[Long], b: Array[Long]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Per-cluster member cap for [[semDedup]] (the Dedup.capDropStats
+    * pattern: bounds the one collect_list so a degenerate cluster cannot
+    * blow up a task; at K·cap ≥ N it never engages).
+    */
+  val SemMaxCluster = 5000
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — public): k-means the
+    * embedding space, then compare pairs ONLY within a cluster and drop
+    * all but one member of each semantic-duplicate relation. Clustering
+    * is what makes web-scale semantic dedup tractable — pairwise work is
+    * (N/K)² per cluster, never N².
+    *
+    * Deterministic keeper rule: a vector is dropped iff a LOWER vec_id in
+    * its cluster is within the cosine threshold (the paper elects by
+    * distance-to-centroid; that comparison sits inside float noise for
+    * near-identical copies, so this engine uses the id total order — same
+    * dataflow, tie-free in both engines). Runs over the dup-injected view
+    * ([[embWithDups]]); training/assignment reuse [[trainKmeans]]'s
+    * exact-integer arithmetic, so the DuckDB oracle replays the clusters
+    * bit-for-bit. Returns (vec_id, cid, kept).
+    *
+    * Scale shape: assignment is a narrow map over broadcast K×D; the only
+    * wide op is one cid-keyed aggregation whose groups the cap bounds.
+    */
+  def semDedup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.95): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val all = embWithDups(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val centroids = trainKmeans(spark, all)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val assigned = all.map { case (id, v) =>
+      val q = quantize(v)
+      (id, nearestQ(bcC.value, q), q)
+    }.toDF("vec_id", "cid", "q")
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("vec_id"))
+    assigned
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= SemMaxCluster)
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("q")))).as("members"))
+      .select(col("cid"), col("members")).as[(Int, Seq[(Long, Array[Long])])]
+      .flatMap { case (cid, ms) =>
+        ms.indices.iterator.map { i =>
+          val (id, qi) = ms(i)
+          var dup = false
+          var j = 0
+          while (j < i && !dup) {
+            if (cosineQQ(ms(j)._2, qi) >= threshold) dup = true
+            j += 1
+          }
+          (id, cid.toLong, if (dup) 0L else 1L)
+        }
+      }
+      .toDF("vec_id", "cid", "kept")
   }
 }

@@ -588,4 +588,70 @@ class PipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("line dedup: boilerplate survives only at its first corpus occurrence") {
+    val rows = Dedup.lineDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"), r.getAs[String]("cleaned")))
+      .toMap
+    assert(rows.size == 500)
+    // doc 0 (lowest id, % 3 == 0) owns both boilerplate lines
+    val (n0, k0, c0) = rows(0L)
+    assert(n0 == 4L && c0.contains(Dedup.LineBoiler) && c0.contains(Dedup.LineBoiler3))
+    // every OTHER doc lost the cookie line; % 3 == 0 docs also lost the
+    // subscribe line — kept is at most the doc's own content lines
+    rows.foreach { case (id, (nLines, nKept, cleaned)) =>
+      if (id != 0L) {
+        assert(!cleaned.contains(Dedup.LineBoiler), s"doc $id kept the cookie line")
+        assert(!cleaned.contains(Dedup.LineBoiler3), s"doc $id kept the subscribe line")
+        val expectedLines = if (id % 3 == 0) 4L else 3L
+        assert(nLines == expectedLines)
+        assert(nKept <= expectedLines - (if (id % 3 == 0) 2 else 1))
+      }
+      // kept lines reappear verbatim, in order, inside the cleaned text
+      assert(nKept == (if (cleaned.isEmpty) 0L else cleaned.split("\n", -1).length.toLong))
+    }
+    // the cookie line exists exactly once across the whole cleaned corpus
+    val cookieTotal = rows.values.map(_._3.split("\n", -1).count(_ == Dedup.LineBoiler)).sum
+    assert(cookieTotal == 1)
+  }
+
+  test("semdedup: injected near-identical copies drop, originals survive") {
+    val rows = Similarity.semDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"), r.getAs[Long]("kept")))
+    assert(rows.length == 625) // 500 + 125 injected
+    val byId = rows.map(r => r._1 -> r).toMap
+    // every injected copy (vec_id ≥ 100000) shares its base's cluster and
+    // is dropped by the lower-id rule; every base survives (uniform
+    // corpus pairs never reach the 0.95 threshold)
+    rows.filter(_._1 >= 100000L).foreach { case (id, cid, kept) =>
+      val base = byId(id - 100000L)
+      assert(cid == base._2, s"copy $id landed in cluster $cid, base in ${base._2}")
+      assert(kept == 0L, s"copy $id was kept")
+    }
+    rows.filter(_._1 < 100000L).foreach { case (id, _, kept) =>
+      assert(kept == 1L, s"original $id was dropped")
+    }
+    // clusters are non-trivial: more than one cid in play
+    assert(rows.map(_._2).distinct.length > 1)
+  }
+
+  test("bm25: ranks contiguous, scores non-increasing, zero-hit query empty") {
+    val rows = Search.bm25TopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_q16")))
+    assert(rows.nonEmpty)
+    // query 4 ("quantum chromodynamics") hits nothing
+    assert(!rows.exists(_._1 == 4L))
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"query $qid ranks")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3), s"query $qid tie order")
+        case _ =>
+      }
+      assert(sorted.forall(_._4 > 0L), s"query $qid nonpositive score")
+    }
+  }
 }
