@@ -354,6 +354,53 @@ object SparkEntry {
       |     for i in generate_series(1, len(embedding))] AS v
       |  FROM embeddings WHERE vec_id % 4 = 0)""".stripMargin
 
+  /** Per-host pop cap and unroll depth for crawl_politeness_cap (the
+    * engine drains host0's sf0.01 frontier in well under [[CapRounds]]
+    * capped waves; extra oracle rounds are empty on both sides).
+    */
+  val PolitenessCap = 300
+  val CapRounds = 24
+
+  /** The politeness-capped crawl schedule replayed in SQL: [[CapRounds]]
+    * unrolled rounds of (FIFO rank ≤ cap → pop; links of popped pages,
+    * first-wins by (parent_seq, pos), anti-joined against everything ever
+    * enqueued → fresh rows seq'd after the running max). Single-host crawl
+    * ⇒ the global seq rank IS the per-host rank. MATERIALIZED is
+    * load-bearing: DuckDB inlines CTEs, so an un-materialized iterative
+    * chain is exponential in rounds.
+    */
+  private lazy val politenessCapCtes: String = {
+    val cap = PolitenessCap
+    val head =
+      s"""p0 AS MATERIALIZED (
+         |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url, 0 AS depth,
+         |    CAST(0 AS BIGINT) AS seq),
+         |s0 AS MATERIALIZED (SELECT url, seq FROM p0)""".stripMargin
+    val steps = (1 to CapRounds).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT url, depth, seq, ROW_NUMBER() OVER (ORDER BY seq) AS rk FROM p${k - 1}),
+         |k$k AS MATERIALIZED (SELECT url, depth, seq FROM r$k WHERE rk <= $cap),
+         |d$k AS MATERIALIZED (SELECT url, depth, seq FROM r$k WHERE rk > $cap),
+         |l$k AS MATERIALIZED (
+         |  SELECT l.dst_url AS url, p.seq AS pseq, l.pos, p.depth AS pd
+         |  FROM ${gt("links")} l JOIN k$k p ON l.src_url = p.url),
+         |w$k AS MATERIALIZED (
+         |  SELECT url, MIN(pseq * 1000000 + pos) AS ok FROM l$k
+         |  WHERE url NOT IN (SELECT url FROM s${k - 1}) GROUP BY url),
+         |n$k AS MATERIALIZED (
+         |  SELECT w.url, l.pd + 1 AS depth,
+         |    (SELECT MAX(seq) FROM s${k - 1})
+         |      + ROW_NUMBER() OVER (ORDER BY w.ok) AS seq
+         |  FROM w$k w JOIN l$k l ON l.url = w.url AND l.pseq * 1000000 + l.pos = w.ok),
+         |p$k AS MATERIALIZED (
+         |  SELECT url, depth, seq FROM d$k UNION ALL SELECT url, depth, seq FROM n$k),
+         |s$k AS MATERIALIZED (
+         |  SELECT url, seq FROM s${k - 1} UNION ALL SELECT url, seq FROM n$k),
+         |o$k AS MATERIALIZED (SELECT url, depth, $k AS wave FROM k$k)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   /** Min-depth BFS reachability over the ground-truth link graph — the
     * relational statement of the reference's FIFO crawl (SURVEY §7.4a).
     */
@@ -400,6 +447,7 @@ object SparkEntry {
     "crawl_limit_set" -> ((s, d) => C.limitSet(s, d, 100)),
     "crawl_robots_blocked" -> ((s, d) => C.robotsBlocked(s, d)),
     "crawl_host_budget" -> ((s, d) => C.hostBudget(s, d, 50)),
+    "crawl_politeness_cap" -> ((s, d) => C.politenessCap(s, d, PolitenessCap)),
     "crawl_list_dedup" -> ((s, d) => C.listDedup(s, d)),
     "crawl_url_normalize" -> ((s, d) => C.urlNormalize(s, d)),
     "crawl_glob_match" -> ((s, d) => C.globMatch(s, d)),
@@ -496,6 +544,15 @@ object SparkEntry {
       s"""$reachCte
          |SELECT CAST(LEAST(100, COUNT(*)) AS BIGINT) AS saved_cnt
          |FROM seen r JOIN ${gt("meta")} m ON m.url = r.url
+         |WHERE m.empty_html = 0""".stripMargin,
+    // politeness wave cap: fetched pages with their pop wave — the unrolled
+    // pop/defer rounds; non-empty pages only (empty html ≙ fetch error)
+    "crawl_politeness_cap" ->
+      s"""WITH $politenessCapCtes,
+         |oall AS (${(1 to CapRounds).map(k => s"SELECT url, depth, wave FROM o$k")
+        .mkString(" UNION ALL ")})
+         |SELECT o.url, CAST(o.depth AS BIGINT) AS depth, CAST(o.wave AS BIGINT) AS wave
+         |FROM oall o JOIN ${gt("meta")} m ON m.url = o.url
          |WHERE m.empty_html = 0""".stripMargin,
     "crawl_limit_prefix" ->
       s"""$reachCte,

@@ -139,7 +139,19 @@ final case class CrawlConfig(
       * inside ambient noise, so the engine ships with Spark's default and
       * leaves the knob for cluster-specific tuning.
       */
-    aqeMinWaveRows: Long = 0L
+    aqeMinWaveRows: Long = 0L,
+    /** Politeness rate cap: when > 0, each wave pops at most this many
+      * frontier urls PER HOST (FIFO by seq — the reference's queue order)
+      * and defers the rest to later waves. This is the per-scheduling-round
+      * fetch-rate ceiling a polite 10^10-url crawler enforces per origin
+      * (robots "crawl-delay" semantics mapped onto wave scheduling:
+      * cap ≈ wave duration ÷ per-host delay). 0 = pop everything (BFS).
+      * Depth stays the FIRST-discoverer's depth + 1 (min (parent_seq,pos)),
+      * so the seen set and depths are cap-independent; only wave numbers
+      * (fetch times) move. Selection is the budget path's salted two-phase
+      * rank, so no task ever ranks a whole mega-host's frontier.
+      */
+    hostWaveCap: Int = 0
 )
 
 final case class ProcLink(dst: String, dstHost: String, pos: Int)
@@ -537,6 +549,19 @@ object WaveCrawler {
     var stopped = false
     val metrics = Seq.newBuilder[WaveMetrics]
 
+    // Single-pass fusion for the bulk-extract list wave (no --match, no
+    // --limit, no per-host budget — the 100-TB "fetch+extract everything"
+    // shape and the bench headline): the extracted rows then have exactly
+    // ONE consumer, the saved delta, and every wave counter is derivable
+    // from its materialization alone (no match patterns ⇒ ok ≡ saved;
+    // list mode ⇒ links ≡ 0). Skipping the cache+agg drops a full
+    // write+2×read of the extracted output through the in-memory columnar
+    // store plus one job per wave — pure DRAM traffic on a box whose
+    // 8-core side is already bandwidth-bound (BASELINE.md round-4 scaling
+    // analysis), and pure extra I/O at any core count.
+    val fuseListWave = listMode && config.pageLimit <= 0 &&
+      config.hostPageBudget <= 0 && config.matchPatterns.isEmpty
+
     // Wave-size-adaptive AQE (see CrawlConfig.aqeMinWaveRows): restore the
     // caller's setting whatever happens. Session-scoped conf — callers
     // running concurrent queries on the same session should pass 0.
@@ -557,17 +582,47 @@ object WaveCrawler {
       wave += 1
       setAqe(popped >= config.aqeMinWaveRows)
 
+      // Politeness wave cap (CrawlConfig.hostWaveCap): pop at most cap urls
+      // per host this wave (FIFO by seq), defer the rest. Selection is the
+      // budget path's salted two-phase rank — a slice rank > cap already
+      // implies the exact per-host rank > cap, so phase 2 ranks only the
+      // ≤ salts·cap survivors per host; no task ranks a whole mega-host.
+      val (waveFrontier, deferred, popN) =
+        if (config.hostWaveCap > 0) {
+          val cap = config.hostWaveCap
+          val salted = frontier.withColumn("salt", pmod(hash($"url"), lit(BudgetSalts)))
+          val w1 = Window.partitionBy($"host", $"salt").orderBy($"seq")
+          val p1 = salted.withColumn("rk1", row_number().over(w1))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val w2 = Window.partitionBy($"host").orderBy($"seq")
+          val r2 = p1.filter($"rk1" <= cap).withColumn("rk", row_number().over(w2))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          // both sides checkpointed: pop materializes via its count below,
+          // defer at the NEXT wave's pop (its parents are materialized, so
+          // lineage depth stays constant across waves)
+          val pop = r2.filter($"rk" <= cap)
+            .select($"url", $"host", $"depth", $"seq").localCheckpoint(false)
+          val defer = r2.filter($"rk" > cap)
+            .select($"url", $"host", $"depth", $"seq")
+            .unionByName(p1.filter($"rk1" > cap).select($"url", $"host", $"depth", $"seq"))
+            .localCheckpoint(false)
+          val n = pop.count()
+          p1.unpersist(); r2.unpersist()
+          (pop, defer, n)
+        } else (frontier, null: DataFrame, popped)
+      val deferredN = popped - popN // rows pushed to later waves by the cap
+
       // J1: "fetch" = equi-join against the corpus. Waves are broadcast while
       // small (the common case); at 10^10-frontier scale this becomes a
       // sort-merge join against url-bucketed pages.
       val frontierForJoin =
-        if (popped <= config.broadcastFrontierMax) broadcast(frontier) else frontier
+        if (popN <= config.broadcastFrontierMax) broadcast(waveFrontier) else waveFrontier
       val joined = frontierForJoin.join(pagesSlim, Seq("url"), "inner")
 
       // plain Boolean hoisted out of the closure: capturing `config` itself
       // would drag its DataFrame/function fields into task serialization
       val use9309 = config.robots9309
-      val processed = joined
+      val processedPlan = joined
         .select($"url", $"host", $"depth", $"seq", $"html")
         .as[(String, String, Int, Long, Array[Byte])]
         .mapPartitions { it =>
@@ -617,23 +672,32 @@ object WaveCrawler {
             }
           }
         }
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // fused wave: extraction flows straight into the saved delta — one
+      // pass, nothing cached (a second consumer would recompute it)
+      val processed =
+        if (fuseListWave) processedPlan
+        else processedPlan.persist(StorageLevel.MEMORY_AND_DISK)
 
-      // ---- the wave's ONE metrics aggregation ----
-      val Row(fetchedOk: Long, matchedN: Long, linksN: Long) = timed(s"w$wave agg+extract")(processed
-        .agg(
-          coalesce(sum(when($"ok", 1L).otherwise(0L)), lit(0L)),
-          coalesce(sum(when($"ok" && $"matched", 1L).otherwise(0L)), lit(0L)),
-          coalesce(sum(size($"links")).cast("long"), lit(0L)))
-        .head())
-      val fetchErrors = popped - fetchedOk
+      // ---- the wave's ONE metrics aggregation (skipped when fused: the
+      // saved-delta count below IS fetchedOk/matchedN, and links ≡ 0) ----
+      val (fetchedOkAgg, matchedNAgg, linksN) =
+        if (fuseListWave) (0L, 0L, 0L)
+        else {
+          val Row(a: Long, b: Long, c: Long) = timed(s"w$wave agg+extract")(processed
+            .agg(
+              coalesce(sum(when($"ok", 1L).otherwise(0L)), lit(0L)),
+              coalesce(sum(when($"ok" && $"matched", 1L).otherwise(0L)), lit(0L)),
+              coalesce(sum(size($"links")).cast("long"), lit(0L)))
+            .head())
+          (a, b, c)
+        }
 
       // ---- saved rows: per-host budget, then the global limit cut ----
       var savedCand = processed.filter($"ok" && $"matched")
         .select($"url", $"host", $"depth", $"seq", lit(wave).as("wave"), $"title",
           $"markdown", $"articleHtml".as("article_html"))
 
-      if (config.hostPageBudget > 0 && matchedN > 0) {
+      if (config.hostPageBudget > 0 && matchedNAgg > 0) {
         // salted two-phase rank: phase 1 bounds every (host, salt) slice to
         // the budget so no task ever ranks a whole mega-host; phase 2 ranks
         // the ≤ salts×budget survivors per host exactly.
@@ -661,7 +725,7 @@ object WaveCrawler {
       var keptTmp: DataFrame = null
       if (config.pageLimit > 0) {
         val remaining = config.pageLimit - savedTotal
-        val indexed = withGlobalIndexN(savedCand, "rank_idx", nParts(spark, matchedN), $"seq".asc)
+        val indexed = withGlobalIndexN(savedCand, "rank_idx", nParts(spark, matchedNAgg), $"seq".asc)
           .persist(StorageLevel.MEMORY_AND_DISK)
         keptTmp = indexed
         // ONE agg job: budget-survivor count, limit-survivor count, and the
@@ -725,8 +789,20 @@ object WaveCrawler {
       val newFrontier = (if (linksN > 0) {
         val ordered = withGlobalIndexN(fresh, "idx", nParts(spark, linksN),
           $"parent_seq".asc, $"pos".asc)
-        ordered.select($"url", $"host", lit(depth + 1).as("depth"),
-          ($"idx" + lit(maxSeq + 1)).as("seq"))
+        if (config.hostWaveCap > 0)
+          // capped waves pop mixed depths, so a new url's depth is its
+          // FIRST discoverer's depth + 1 (the discoverer owning the min
+          // (parent_seq, pos) — joined back from the popped wave, which is
+          // host-cap-bounded and therefore broadcastable; a 10^10 frontier
+          // shuffles this join on parent_seq instead)
+          ordered.join(
+            broadcast(waveFrontier.select($"seq".as("parent_seq"),
+              ($"depth" + 1).as("ndepth"))), Seq("parent_seq"))
+            .select($"url", $"host", $"ndepth".as("depth"),
+              ($"idx" + lit(maxSeq + 1)).as("seq"))
+        else
+          ordered.select($"url", $"host", lit(depth + 1).as("depth"),
+            ($"idx" + lit(maxSeq + 1)).as("seq"))
       } else {
         frontier.limit(0)
       }).localCheckpoint(false) // lazy: the count below materializes it (1 job)
@@ -750,6 +826,11 @@ object WaveCrawler {
       // without --limit, every budget survivor was saved: savedWaveN IS the
       // survivor count (and equals matchedN when no budget is set either)
       val budgetKeptN = if (budgetKeptFromAgg >= 0) budgetKeptFromAgg else savedWaveN
+      // fused wave: the saved count IS the ok count (no match patterns) and
+      // the matched count — identical values to the skipped agg's
+      val fetchedOk = if (fuseListWave) savedWaveN else fetchedOkAgg
+      val matchedN = if (fuseListWave) savedWaveN else matchedNAgg
+      val fetchErrors = popN - fetchedOk
       val skippedMatch = fetchedOk - matchedN
       val skippedBudget = matchedN - budgetKeptN
       val skippedLimit = budgetKeptN - savedWaveN
@@ -762,8 +843,17 @@ object WaveCrawler {
         prev.unpersist()
       }
 
-      metrics += WaveMetrics(wave, depth, popped, fetchedOk, fetchErrors, savedWaveN,
+      metrics += WaveMetrics(wave, depth, popN, fetchedOk, fetchErrors, savedWaveN,
         skippedMatch, skippedBudget, skippedLimit, linksN, dupDropped, newN)
+
+      // next wave's pending = fresh links ∪ rows the cap deferred. Only the
+      // FRESH rows are a seen-delta (deferred urls entered seen at their
+      // original enqueue wave) — but the checkpointed frontier table carries
+      // the FULL pending so a resume repops the deferred rows too (resume's
+      // seen reconstruction then holds them twice, which the anti-joins
+      // don't care about).
+      val nextFrontier =
+        if (deferred != null) newFrontier.unionByName(deferred) else newFrontier
 
       // ---- checkpoint / lineage ----
       config.checkpointDir.foreach { dir =>
@@ -771,19 +861,19 @@ object WaveCrawler {
           stopped || (config.pageLimit > 0 && savedTotal >= config.pageLimit),
           stopReason)
         TableIO.writeWave(dir, wave,
-          Map("frontier" -> newFrontier, "saved_delta" -> savedDelta), m,
+          Map("frontier" -> nextFrontier, "saved_delta" -> savedDelta), m,
           metricsJson = Some(TableIO.waveMetricsJson(
             metrics.result().last,
-            Map("frontier" -> newN, "saved_delta" -> savedWaveN),
+            Map("frontier" -> (newN + deferredN), "saved_delta" -> savedWaveN),
             Map("frontier" -> TableIO.partitionCounts(newFrontier),
               "saved_delta" -> TableIO.partitionCounts(savedDelta)))))
       }
 
       // NOTE: the old frontier stays persisted — it is a seen part (its
       // cached data backs future anti-joins) until compaction releases it.
-      processed.unpersist()
-      frontier = newFrontier
-      popped = newN
+      if (!fuseListWave) processed.unpersist(): Unit
+      frontier = nextFrontier
+      popped = newN + deferredN
       seenParts :+= newFrontier
       seenSinceCompact += 1
 

@@ -388,6 +388,20 @@ object CrawlQueries {
       .select(col("url").as("url_raw"), col("line_no"))
   }
 
+  /** Politeness-capped BFS of host0 (CrawlConfig.hostWaveCap): each wave
+    * pops at most `cap` frontier urls per host in FIFO (seq) order and
+    * defers the rest, so the fetch SCHEDULE stretches over more waves while
+    * the seen set and min-discovery depths stay exactly BFS's. Output: the
+    * fetched pages with the wave each was popped in — the pop/defer rounds
+    * are replayed by the oracle's unrolled MATERIALIZED CTE chain.
+    */
+  def politenessCap(spark: SparkSession, sfDir: String, cap: Int): DataFrame =
+    cached(spark, sfDir, s"wavecap$cap") { dir =>
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(startUrl = Seed, hostWaveCap = cap, extractContent = false))
+    }.saved.select(col("url"), col("depth").cast("long").as("depth"),
+      col("wave").cast("long").as("wave"))
+
   def hostBudget(spark: SparkSession, sfDir: String, budget: Int): DataFrame =
     cached(spark, sfDir, s"budget$budget") { dir =>
       WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),

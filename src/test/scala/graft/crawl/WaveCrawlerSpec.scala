@@ -419,4 +419,60 @@ class WaveCrawlerSpec extends AnyFunSuite {
       .select("url", "seq").collect().map(r => (r.getString(0), r.getLong(1))).toVector
     assert(rows(a) == rows(b))
   }
+
+  test("politeness wave cap: ≤ cap pops per wave, seen/depths/saved set cap-independent") {
+    val cap = 7
+    val ref = refCrawl(CrawlParams(startUrl = seed0))
+    val out = WaveCrawler.crawl(spark, pages,
+      CrawlConfig(startUrl = seed0, hostWaveCap = cap))
+    // schedule: single host ⇒ per-host cap = per-wave cap; every wave but
+    // possibly the last is FULL while a backlog exists (FIFO drains)
+    out.metrics.foreach(m => assert(m.popped <= cap, s"wave ${m.wave} popped ${m.popped}"))
+    assert(out.metrics.map(_.popped).sum == ref.visited.size.toLong)
+    // the cap actually engages: at least ⌈|seen| / cap⌉ waves are needed
+    assert(out.metrics.size >= (ref.visited.size + cap - 1) / cap,
+      s"waves=${out.metrics.size} seen=${ref.visited.size}")
+    // the seen SET, min-discovery depths, and saved set are cap-independent
+    val seen = out.seen.select("url").collect().map(_.getString(0)).toSet
+    assert(seen == ref.visited)
+    val bfs = WaveCrawler.crawl(spark, pages, CrawlConfig(startUrl = seed0))
+    val depthsCapped = out.seen.select("url", "depth").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val depthsBfs = bfs.seen.select("url", "depth").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(depthsCapped == depthsBfs)
+    val savedCapped = out.saved.select("url").collect().map(_.getString(0)).toSet
+    val savedBfs = bfs.saved.select("url").collect().map(_.getString(0)).toSet
+    assert(savedCapped == savedBfs)
+    // FIFO within the schedule: pops across waves are seq-monotone — every
+    // url popped in wave w has a smaller seq than any popped later
+    val byWave = out.saved.select("wave", "seq").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val waves = byWave.keys.toSeq.sorted
+    waves.sliding(2).foreach {
+      case Seq(a, b) => assert(byWave(a).max < byWave(b).min, s"waves $a vs $b not FIFO")
+      case _ =>
+    }
+  }
+
+  test("politeness wave cap is per host: a multi-host wave pops ≤ cap from EACH host") {
+    val cap = 5
+    val out = WaveCrawler.crawl(spark, pages,
+      CrawlConfig(startUrl = seed0, sameHostOnly = false, hostWaveCap = cap,
+        extractContent = false))
+    // saved rows carry (host, wave): no (host, wave) cell exceeds the cap
+    val cells = out.saved.select("host", "wave").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    cells.foreach { case ((h, w), n) =>
+      assert(n <= cap, s"host $h wave $w fetched $n > cap $cap")
+    }
+    assert(cells.keys.map(_._1).toSet.size > 1, "expected multiple hosts in play")
+    // the multi-host seen set is cap-independent
+    val bfs = WaveCrawler.crawl(spark, pages,
+      CrawlConfig(startUrl = seed0, sameHostOnly = false, extractContent = false))
+    assert(out.seen.select("url").collect().map(_.getString(0)).toSet ==
+      bfs.seen.select("url").collect().map(_.getString(0)).toSet)
+  }
 }
