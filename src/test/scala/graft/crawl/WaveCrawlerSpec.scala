@@ -456,6 +456,39 @@ class WaveCrawlerSpec extends AnyFunSuite {
     }
   }
 
+  test("fused list wave: identical rows to the unfused path, strictly fewer jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val urls = web.keys.toSeq.sorted
+    def run(cfg: CrawlConfig): (Vector[(String, Long, String, String)], Int) = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val l = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val out = WaveCrawler.crawl(spark, pages, cfg)
+        val rows = out.saved.orderBy("seq")
+          .selectExpr("url", "seq", "md5(cast(markdown AS BINARY)) AS m", "title")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toVector
+        Thread.sleep(500) // listener events post asynchronously
+        (rows, jobs.get)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    // untimed warmup: session-level one-off jobs (broadcast relation builds,
+    // codegen warmup) must not skew the counted pair
+    WaveCrawler.crawl(spark, pages,
+      CrawlConfig(urlList = urls, isUrlListMode = true)).saved.count()
+    // "**" matches every path, so the match-pattern run saves the SAME rows
+    // but takes the unfused (cache + metrics-agg) path
+    val (fusedRows, fusedJobs) = run(CrawlConfig(urlList = urls, isUrlListMode = true))
+    val (plainRows, plainJobs) = run(CrawlConfig(urlList = urls, isUrlListMode = true,
+      matchPatterns = Seq("**")))
+    assert(fusedRows == plainRows)
+    assert(fusedRows.nonEmpty)
+    assert(fusedJobs < plainJobs, s"fused $fusedJobs vs unfused $plainJobs jobs")
+  }
+
   test("politeness wave cap is per host: a multi-host wave pops ≤ cap from EACH host") {
     val cap = 5
     val out = WaveCrawler.crawl(spark, pages,
