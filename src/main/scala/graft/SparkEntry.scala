@@ -354,9 +354,12 @@ object SparkEntry {
       |     for i in generate_series(1, len(embedding))] AS v
       |  FROM embeddings WHERE vec_id % 4 = 0)""".stripMargin
 
-  /** Per-host pop cap and unroll depth for crawl_politeness_cap (the
-    * engine drains host0's sf0.01 frontier in well under [[CapRounds]]
-    * capped waves; extra oracle rounds are empty on both sides).
+  /** Per-host pop cap and unroll depth for crawl_politeness_cap. The
+    * engine drains host0's sf0.01 frontier (1805 fetched pages) in 14
+    * capped waves — well under [[CapRounds]]; extra oracle rounds are
+    * empty on both sides. The unroll is sized for the driver gate's
+    * sf0.01: a larger label needs CapRounds ≈ pages/cap + depth (sf0.1's
+    * 13k-page host0 would take ~45+12 rounds at cap 300).
     */
   val PolitenessCap = 300
   val CapRounds = 24
@@ -489,6 +492,7 @@ object SparkEntry {
     "dd_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "dd_lm_score" -> ((s, d) => graft.pipeline.Lm.lmScore(s, d)),
     "dd_line_dedup" -> ((s, d) => Dedup.lineDedup(s, d)),
+    "dd_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dd_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "search_postings" -> ((s, d) => Search.postings(s, d)),
     "search_topk" -> ((s, d) => Search.searchTopK(s, d)),
@@ -1147,6 +1151,24 @@ object SparkEntry {
          |  THEN 0 ELSE 1 END AS BIGINT) AS kept
          |FROM af a""".stripMargin
     },
+    // mirror detection: source pairs sharing exact texts over the
+    // mirror-injected view — (md5 → source) index join, no pairwise sources
+    "dd_source_overlap" ->
+      """WITH allsrc AS (
+        |  SELECT md5(text) AS h, source FROM documents
+        |  UNION ALL
+        |  SELECT md5(text) AS h, 'mirror' || source AS source
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |per AS (SELECT source, CAST(COUNT(DISTINCT h) AS BIGINT) AS n FROM allsrc GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(COUNT(DISTINCT a.h) AS BIGINT) AS n_shared
+        |  FROM allsrc a JOIN allsrc b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.n_shared, pa.n AS n_a, pb.n AS n_b
+        |FROM pairs p
+        |JOIN per pa ON pa.source = p.source_a
+        |JOIN per pb ON pb.source = p.source_b""".stripMargin,
     // CCNet line-level dedup over the line-structured view: first-wins is
     // the integer MIN over doc_id*8+line_no, replayed term-for-term
     "dd_line_dedup" ->

@@ -580,6 +580,42 @@ object Dedup {
         coalesce(sum(col("rep")), lit(0L)).as("n_repeated"))
   }
 
+  // --------------------------------------- mirror / source-overlap dedup
+
+  /** Mirror detection across sources — the site-level dedup a web corpus
+    * pipeline runs before any per-document pass (mirrored hosts and
+    * re-crawled aggregators account for whole-site duplication that
+    * document-level dedup then pays for N times). The corpus's sources are
+    * disjoint, so the operator runs over a deterministic mirror-injected
+    * view: every doc_id % 3 == 0 doc is cloned (id + 3_000_000) under
+    * source 'mirror' + source (3 is coprime with the 20-source round-robin
+    * assignment, so EVERY source gets a partial mirror).
+    *
+    * Shape: (content-md5 → source) index join — mirrors surface WITHOUT
+    * any pairwise source comparison; only hashes shared by ≥ 2 sources
+    * ever join. Returns (source_a, source_b, n_shared, n_a, n_b) for
+    * source pairs sharing at least one exact text.
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir).select(col("doc_id"), col("text"), col("source"))
+    val mirrored = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+        concat(lit("mirror"), col("source")).as("source"))
+    val all = base.unionByName(mirrored)
+      .select(md5(col("text").cast("binary")).as("h"), col("source"))
+    val perSource = all.groupBy(col("source")).agg(countDistinct(col("h")).as("n"))
+    val a = all.select(col("h"), col("source").as("source_a"))
+    val b = all.select(col("h"), col("source").as("source_b"))
+    a.join(b, Seq("h")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+      .join(perSource.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "n_a"), Seq("source_a"))
+      .join(perSource.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "n_b"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("n_a"), col("n_b"))
+  }
+
   // ------------------------------------------- line-level dedup (CCNet)
 
   /** Boilerplate lines for the line-dedup view: line 0 rides EVERY doc,

@@ -636,6 +636,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_._2).distinct.length > 1)
   }
 
+  test("bm25: broadcast prune in the plan; one (query, doc) score recounted exactly") {
+    val bm = Search.bm25TopK(spark, sf)
+    val plan = bm.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast prune:\n$plan")
+    // local replay of the full integer formula for query 1 ("spark")
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\W+").filter(_.nonEmpty))
+    val n = texts.length.toLong
+    val t = texts.map(_._2.length.toLong).sum
+    val term = "spark"
+    val df = texts.count(_._2.contains(term)).toLong
+    assert(df > 0, "corpus must contain the probe term")
+    val idf = Lm.log2fix(2 * n + 2) - Lm.log2fix(2 * df + 1)
+    import Search.{Q16, Q16K1, Q16B}
+    val expected = texts.filter(_._2.contains(term)).map { case (id, ws) =>
+      val tf = ws.count(_ == term).toLong
+      val dl = ws.length.toLong
+      val tfn = (tf * (Q16K1 + Q16) * Q16) /
+        (tf * Q16 + Q16K1 * ((Q16 - Q16B) + (Q16B * dl * n) / t))
+      id -> (idf * tfn) / Q16
+    }.toMap
+    val got = bm.collect().filter(_.getAs[Long]("query_id") == 1L)
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_q16")).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, s) => assert(s == expected(id), s"doc $id: $s != ${expected(id)}") }
+  }
+
+  test("source overlap: every mirrored source pairs with its base, nothing else") {
+    val rows = Dedup.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"),
+        r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, shared, na, nb) =>
+      // only (mirrorsrcK, srcK) pairs exist ('m' < 's') — base texts unique
+      assert(a == s"mirror$b", s"unexpected overlap pair ($a, $b)")
+      assert(shared == na, s"mirror $a should share ALL its texts with $b")
+      assert(nb > na, s"base $b should hold more texts than its partial mirror")
+    }
+    // 3 is coprime with the 20-source round-robin: EVERY source pairs once
+    assert(rows.map(_._2).distinct.length == rows.length)
+    assert(rows.length == 20)
+  }
+
   test("bm25: ranks contiguous, scores non-increasing, zero-hit query empty") {
     val rows = Search.bm25TopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
