@@ -680,17 +680,28 @@ object WaveCrawler {
 
       // ---- the wave's ONE metrics aggregation (skipped when fused: the
       // saved-delta count below IS fetchedOk/matchedN, and links ≡ 0) ----
-      val (fetchedOkAgg, matchedNAgg, linksN) =
-        if (fuseListWave) (0L, 0L, 0L)
-        else {
-          val Row(a: Long, b: Long, c: Long) = timed(s"w$wave agg+extract")(processed
-            .agg(
-              coalesce(sum(when($"ok", 1L).otherwise(0L)), lit(0L)),
-              coalesce(sum(when($"ok" && $"matched", 1L).otherwise(0L)), lit(0L)),
-              coalesce(sum(size($"links")).cast("long"), lit(0L)))
-            .head())
-          (a, b, c)
-        }
+      def aggNow(): (Long, Long, Long) = {
+        val Row(a: Long, b: Long, c: Long) = timed(s"w$wave agg+extract")(processed
+          .agg(
+            coalesce(sum(when($"ok", 1L).otherwise(0L)), lit(0L)),
+            coalesce(sum(when($"ok" && $"matched", 1L).otherwise(0L)), lit(0L)),
+            coalesce(sum(size($"links")).cast("long"), lit(0L)))
+          .head())
+        (a, b, c)
+      }
+      // With no budget and no limit, nothing between here and the link
+      // expansion reads the agg's outputs — so it runs CONCURRENTLY with
+      // the saved-delta materialization below (the per-partition cache
+      // lock makes whichever job arrives first compute a partition and the
+      // other read it): one sequential job latency per wave saved.
+      val overlapAgg = !fuseListWave &&
+        config.hostPageBudget <= 0 && config.pageLimit <= 0
+      val aggFut: java.util.concurrent.CompletableFuture[(Long, Long, Long)] =
+        if (overlapAgg)
+          java.util.concurrent.CompletableFuture.supplyAsync(() => aggNow())
+        else null
+      val (fetchedOkAgg, matchedNAgg, linksNSeq) =
+        if (fuseListWave || overlapAgg) (0L, 0L, 0L) else aggNow()
 
       // ---- saved rows: per-host budget, then the global limit cut ----
       var savedCand = processed.filter($"ok" && $"matched")
@@ -746,6 +757,14 @@ object WaveCrawler {
         }
         savedWave = indexed.filter($"rank_idx" < remaining).drop("rank_idx")
       }
+
+      // the saved delta launches FIRST: its materialization job overlaps
+      // the futured metrics agg above and the frontier job below
+      val savedDelta = savedWave.localCheckpoint(false)
+      val savedFut = java.util.concurrent.CompletableFuture.supplyAsync(() => savedDelta.count())
+      // join the overlapped agg — the link expansion branches on linksN
+      val (fetchedOkW, matchedNW, linksN) =
+        if (aggFut != null) aggFut.get() else (fetchedOkAgg, matchedNAgg, linksNSeq)
 
       // ---- link expansion (only from rows at or before the cut) ----
       val linkSource =
@@ -807,11 +826,10 @@ object WaveCrawler {
         frontier.limit(0)
       }).localCheckpoint(false) // lazy: the count below materializes it (1 job)
 
-      // the saved-delta and frontier snapshots are independent DAGs over the
-      // cached `processed` — materialize them as CONCURRENT jobs (the wave is
-      // latency-bound; tasks of both interleave across idle cores)
-      val savedDelta = savedWave.localCheckpoint(false)
-      val savedFut = java.util.concurrent.CompletableFuture.supplyAsync(() => savedDelta.count())
+      // the saved-delta (launched above), metrics agg (futured above) and
+      // frontier snapshot are independent DAGs over the cached `processed`
+      // — all materialize as CONCURRENT jobs (the wave is latency-bound;
+      // tasks interleave across idle cores)
       val newN = timed(s"w$wave frontierCount")(newFrontier.count())
       val dupDropped = linksN - newN // intra-wave dups + already-seen
 
@@ -828,8 +846,8 @@ object WaveCrawler {
       val budgetKeptN = if (budgetKeptFromAgg >= 0) budgetKeptFromAgg else savedWaveN
       // fused wave: the saved count IS the ok count (no match patterns) and
       // the matched count — identical values to the skipped agg's
-      val fetchedOk = if (fuseListWave) savedWaveN else fetchedOkAgg
-      val matchedN = if (fuseListWave) savedWaveN else matchedNAgg
+      val fetchedOk = if (fuseListWave) savedWaveN else fetchedOkW
+      val matchedN = if (fuseListWave) savedWaveN else matchedNW
       val fetchErrors = popN - fetchedOk
       val skippedMatch = fetchedOk - matchedN
       val skippedBudget = matchedN - budgetKeptN
