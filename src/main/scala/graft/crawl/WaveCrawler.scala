@@ -762,9 +762,17 @@ object WaveCrawler {
       // the futured metrics agg above and the frontier job below
       val savedDelta = savedWave.localCheckpoint(false)
       val savedFut = java.util.concurrent.CompletableFuture.supplyAsync(() => savedDelta.count())
-      // join the overlapped agg — the link expansion branches on linksN
-      val (fetchedOkW, matchedNW, linksN) =
-        if (aggFut != null) aggFut.get() else (fetchedOkAgg, matchedNAgg, linksNSeq)
+      // In overlap mode linksN is not yet known while the link DAG is
+      // built, so the links path is taken UNCONDITIONALLY (the linksN == 0
+      // short-circuit only saves two tiny jobs on the final wave) — the
+      // frontier job then launches concurrently with the agg and
+      // saved-delta jobs instead of serializing behind the agg. Fused list
+      // mode knows links ≡ 0 a priori; sequential (budget/limit) mode has
+      // the exact count.
+      val takeLinksPath = !fuseListWave && (overlapAgg || linksNSeq > 0)
+      // partition-count hint only (a global index is value-identical at any
+      // partitioning); overlap mode sizes by the wave's pop count
+      val linksHint = if (aggFut != null) math.max(popN, 1L) * 16 else linksNSeq
 
       // ---- link expansion (only from rows at or before the cut) ----
       val linkSource =
@@ -793,7 +801,7 @@ object WaveCrawler {
       // shuffle against the exact seen parts.
       var flaggedTmp: DataFrame = null
       val fresh =
-        if (bloomSegs != null && linksN > 0) {
+        if (bloomSegs != null && takeLinksPath) {
           // persisted: both branches (definitely-new, maybe) consume it
           val flagged = probeSegs(spark, winners, bloomSegs, buckets, config.seenFilter)
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -801,12 +809,12 @@ object WaveCrawler {
           val maybe = flagged.filter($"maybe_seen")
             .join(unionParts(spark, seenParts, frontier).select($"url"), Seq("url"), "left_anti")
           flagged.filter(!$"maybe_seen").unionByName(maybe).drop("maybe_seen")
-        } else if (linksN > 0) {
+        } else if (takeLinksPath) {
           winners.join(unionParts(spark, seenParts, frontier).select($"url"), Seq("url"), "left_anti")
         } else winners
 
-      val newFrontier = (if (linksN > 0) {
-        val ordered = withGlobalIndexN(fresh, "idx", nParts(spark, linksN),
+      val newFrontier = (if (takeLinksPath) {
+        val ordered = withGlobalIndexN(fresh, "idx", nParts(spark, linksHint),
           $"parent_seq".asc, $"pos".asc)
         if (config.hostWaveCap > 0)
           // capped waves pop mixed depths, so a new url's depth is its
@@ -828,9 +836,13 @@ object WaveCrawler {
 
       // the saved-delta (launched above), metrics agg (futured above) and
       // frontier snapshot are independent DAGs over the cached `processed`
-      // — all materialize as CONCURRENT jobs (the wave is latency-bound;
-      // tasks interleave across idle cores)
-      val newN = timed(s"w$wave frontierCount")(newFrontier.count())
+      // — all three materialize as CONCURRENT jobs (the wave is
+      // latency-bound; tasks interleave across idle cores)
+      val frontFut = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        newFrontier.count())
+      val (fetchedOkW, matchedNW, linksN) =
+        if (aggFut != null) aggFut.get() else (fetchedOkAgg, matchedNAgg, linksNSeq)
+      val newN = timed(s"w$wave frontierCount")(frontFut.get())
       val dupDropped = linksN - newN // intra-wave dups + already-seen
 
       maxSeq += newN
