@@ -456,6 +456,41 @@ class WaveCrawlerSpec extends AnyFunSuite {
     }
   }
 
+  test("politeness cap + resume: the deferred backlog survives the checkpoint") {
+    val cap = 6
+    val ckpt = java.nio.file.Files.createTempDirectory("graftckptcap").toString
+    val cfg = CrawlConfig(startUrl = seed0, hostWaveCap = cap,
+      checkpointDir = Some(ckpt), extractContent = false)
+    // kill after 3 capped waves — deferred rows exist only in the
+    // checkpointed frontier table at that point
+    WaveCrawler.crawl(spark, pages, cfg.copy(maxWaves = 3))
+    val resumed = WaveCrawler.resume(spark, pages, cfg)
+    val straight = WaveCrawler.crawl(spark, pages,
+      CrawlConfig(startUrl = seed0, hostWaveCap = cap, extractContent = false))
+    def savedSet(o: CrawlOutput) =
+      o.saved.select("url").collect().map(_.getString(0)).toSet
+    assert(savedSet(resumed) == savedSet(straight))
+    // the resumed schedule still respects the cap on every post-kill wave
+    resumed.metrics.foreach(m => assert(m.popped <= cap, s"wave ${m.wave} popped ${m.popped}"))
+    // and matches plain BFS reachability
+    val ref = refCrawl(CrawlParams(startUrl = seed0))
+    assert(resumed.seen.select("url").collect().map(_.getString(0)).toSet
+      .subsetOf(ref.visited))
+    assert(savedSet(resumed) == ref.savedUrls.toSet)
+  }
+
+  test("politeness cap with forced bloom segments: identical capped schedule") {
+    val cap = 7
+    val plain = WaveCrawler.crawl(spark, pages,
+      CrawlConfig(startUrl = seed0, hostWaveCap = cap, extractContent = false))
+    val bloomed = WaveCrawler.crawl(spark, pages,
+      CrawlConfig(startUrl = seed0, hostWaveCap = cap, extractContent = false,
+        bloomMinSeen = 0L))
+    def sched(o: CrawlOutput) = o.saved.select("url", "wave").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(sched(plain) == sched(bloomed))
+  }
+
   test("fused list wave: identical rows to the unfused path, strictly fewer jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val urls = web.keys.toSeq.sorted
