@@ -52,8 +52,8 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ").take(3).mkString(",")
       catch { case _: Throwable => "" }
-    val loadStart = loadavg()
-    val load1Start = loadStart.split(",").headOption.flatMap(_.toDoubleOption).getOrElse(99.0)
+    def load1(): Double =
+      loadavg().split(",").headOption.flatMap(_.toDoubleOption).getOrElse(99.0)
 
     // CPU calibration: a FIXED integer spin on `cpus` threads whose nominal
     // wall time is independent of any engine change — ambient host
@@ -81,7 +81,27 @@ object Bench {
       }.min
       best
     }
-    val calibStart = calibrate()
+    // ---- settle gate: the driver launches the bench straight after its
+    // own compile+verify workload, so the measurement window's START always
+    // eats that tail (the r02-r04 contaminated-record pathology). Bounded
+    // spin-wait until the host is quiet — 1-min loadavg below the clean
+    // threshold AND a calibration spin within 1.2× the quiet-VM nominal —
+    // then stamp how long we waited so the record shows the gate ran.
+    val calibNominal =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_NOMINAL", "0.45").toDouble
+    val settleCapSec =
+      sys.env.getOrElse("SPARK_GRAFT_SETTLE_CAP_SEC", "90").toDouble
+    val settleT0 = System.nanoTime()
+    var calibStart = calibrate()
+    var load1Start = load1()
+    while ((load1Start > loadCleanMax || calibStart > 1.2 * calibNominal) &&
+        (System.nanoTime() - settleT0) / 1e9 < settleCapSec) {
+      Thread.sleep(5000)
+      load1Start = load1()
+      calibStart = calibrate()
+    }
+    val settleWaitSec = (System.nanoTime() - settleT0) / 1e9
+    val loadStart = loadavg()
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val allRepeats = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
@@ -178,7 +198,7 @@ object Bench {
     val conv = convergedBy.map { case (k, v) => "\"" + k + s"""\":$v""" }.mkString("{", ",", "}")
     val calibEnd = calibrate()
     val json =
-      f"""{"metric":"urls_fetched_extracted_per_sec","value":$urlsPerSec%.1f,"unit":"urls/sec","clean":$clean,"converged":$conv,"calib_sec_start":$calibStart%.3f,"calib_sec_end":$calibEnd%.3f,"total_sec":${times.values.sum}%.3f,"corpus_pages":$nPages,"extracted":$extracted,"bfs_urls_per_sec":$bfsPerSec%.1f,"cores":$cpus,"heap_mb":$heapMb,"queries":$qs,"repeats":$reps,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}"""
+      f"""{"metric":"urls_fetched_extracted_per_sec","value":$urlsPerSec%.1f,"unit":"urls/sec","clean":$clean,"converged":$conv,"settle_wait_sec":$settleWaitSec%.1f,"calib_sec_start":$calibStart%.3f,"calib_sec_end":$calibEnd%.3f,"total_sec":${times.values.sum}%.3f,"corpus_pages":$nPages,"extracted":$extracted,"bfs_urls_per_sec":$bfsPerSec%.1f,"cores":$cpus,"heap_mb":$heapMb,"queries":$qs,"repeats":$reps,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}"""
     // machine-readable copy at a known path — sbt/log4j noise on stdout must
     // never cost the round its bench parse (driver reads either)
     val benchFile = java.nio.file.Paths.get(

@@ -354,17 +354,31 @@ object SparkEntry {
       |     for i in generate_series(1, len(embedding))] AS v
       |  FROM embeddings WHERE vec_id % 4 = 0)""".stripMargin
 
-  /** Per-host pop cap and unroll depth for crawl_politeness_cap. The
-    * engine drains host0's sf0.01 frontier (1805 fetched pages) in 14
-    * capped waves — well under [[CapRounds]]; extra oracle rounds are
-    * empty on both sides. The unroll is sized for the driver gate's
-    * sf0.01: a larger label needs CapRounds ≈ pages/cap + depth (sf0.1's
-    * 13k-page host0 would take ~45+12 rounds at cap 300).
-    */
+  /** Per-host pop cap for crawl_politeness_cap. */
   val PolitenessCap = 300
-  val CapRounds = 24
 
-  /** The politeness-capped crawl schedule replayed in SQL: [[CapRounds]]
+  /** The sf dir the oracle SQL will be replayed against — set by
+    * [[graft.Verify]] before it dumps oracle_sql.json, so unroll depths
+    * that depend on corpus size (the politeness-cap rounds) are derived
+    * from the sf actually being verified instead of a hard constant.
+    */
+  @volatile var oracleSfDir: String = "/root/testdata/sf0.01"
+
+  /** Unroll depth for the politeness-cap oracle, derived from the sf
+    * label at query-build time: a capped single-host crawl needs at most
+    * ceil(host0_pages / cap) pop rounds plus the BFS tree depth (host0 is
+    * a binary i→2i+1,2i+2 tree, so depth ≤ log2(pages)+1; cross edges only
+    * shorten paths), +4 slack. host0's page count upper-bounds its
+    * reachable set. sf0.01 → 22 rounds (engine drains in 14); sf0.1 → ~58.
+    * Extra rounds are empty on BOTH sides, so overshoot is free.
+    */
+  def capRounds: Int = {
+    val host0 = graft.corpus.CorpusGen.specFor(oracleSfDir).hostSizes(0)
+    math.ceil(host0.toDouble / PolitenessCap).toInt +
+      (64 - java.lang.Long.numberOfLeadingZeros(host0.toLong max 1L)).toInt + 4
+  }
+
+  /** The politeness-capped crawl schedule replayed in SQL: [[capRounds]]
     * unrolled rounds of (FIFO rank ≤ cap → pop; links of popped pages,
     * first-wins by (parent_seq, pos), anti-joined against everything ever
     * enqueued → fresh rows seq'd after the running max). Single-host crawl
@@ -372,14 +386,15 @@ object SparkEntry {
     * load-bearing: DuckDB inlines CTEs, so an un-materialized iterative
     * chain is exponential in rounds.
     */
-  private lazy val politenessCapCtes: String = {
+  private def politenessCapCtes: String = {
     val cap = PolitenessCap
+    val rounds = capRounds
     val head =
       s"""p0 AS MATERIALIZED (
          |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url, 0 AS depth,
          |    CAST(0 AS BIGINT) AS seq),
          |s0 AS MATERIALIZED (SELECT url, seq FROM p0)""".stripMargin
-    val steps = (1 to CapRounds).map { k =>
+    val steps = (1 to rounds).map { k =>
       s"""r$k AS MATERIALIZED (
          |  SELECT url, depth, seq, ROW_NUMBER() OVER (ORDER BY seq) AS rk FROM p${k - 1}),
          |k$k AS MATERIALIZED (SELECT url, depth, seq FROM r$k WHERE rk <= $cap),
@@ -553,7 +568,7 @@ object SparkEntry {
     // pop/defer rounds; non-empty pages only (empty html ≙ fetch error)
     "crawl_politeness_cap" ->
       s"""WITH $politenessCapCtes,
-         |oall AS (${(1 to CapRounds).map(k => s"SELECT url, depth, wave FROM o$k")
+         |oall AS (${(1 to capRounds).map(k => s"SELECT url, depth, wave FROM o$k")
         .mkString(" UNION ALL ")})
          |SELECT o.url, CAST(o.depth AS BIGINT) AS depth, CAST(o.wave AS BIGINT) AS wave
          |FROM oall o JOIN ${gt("meta")} m ON m.url = o.url

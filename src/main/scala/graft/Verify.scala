@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // sf-dependent oracle unrolls (politeness-cap rounds) derive from the
+    // dir actually verified, not a hard-coded sf0.01 constant
+    SparkEntry.oracleSfDir = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -176,18 +176,30 @@ object CuckooFilter {
   private val Magic = 0xc0c0f117
   private val Empty: Short = 0
 
+  /** Hard per-segment bucket cap: all size arithmetic must stay within
+    * Int/JVM-array bounds — table slots = numBuckets·4 and the serialized
+    * form is 13 + slots·2 bytes, so numBuckets ≤ 2^27 keeps the byte count
+    * at 2^30+13 < Int.MaxValue. One segment then holds ~4.5e8 urls at
+    * [[TargetLoad]]; the 10^10-url design point is reached by SHARDING
+    * (WaveCrawler's per-bucket segments), never by one giant table.
+    */
+  val MaxBuckets: Int = 1 << 27
+
   /** Filter sized for `capacity` expected urls at [[TargetLoad]]. */
   def create(capacity: Long): CuckooFilter = {
     val wantBuckets = math.ceil(capacity / TargetLoad / SlotsPerBucket).toLong max 1L
     val numBuckets = java.lang.Long.highestOneBit(
-      math.min(wantBuckets * 2 - 1, 1L << 30)).toInt
-    new CuckooFilter(numBuckets, new Array[Short](numBuckets * SlotsPerBucket), 0, false)
+      math.min(wantBuckets * 2L - 1L, MaxBuckets.toLong)).toInt
+    new CuckooFilter(numBuckets,
+      new Array[Short](numBuckets * SlotsPerBucket), 0, false)
   }
 
   def deserialize(bytes: Array[Byte]): CuckooFilter = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     require(bb.getInt() == Magic, "not a serialized CuckooFilter")
     val numBuckets = bb.getInt()
+    require(numBuckets > 0 && numBuckets <= MaxBuckets,
+      s"corrupt segment: numBuckets=$numBuckets outside (0, $MaxBuckets]")
     val n = bb.getInt()
     val sat = bb.get() == 1.toByte
     val table = new Array[Short](numBuckets * SlotsPerBucket)

@@ -596,7 +596,17 @@ object Dedup {
     * ever join. Returns (source_a, source_b, n_shared, n_a, n_b) for
     * source pairs sharing at least one exact text.
     */
-  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-hash distinct-source cap for [[sourceOverlap]]: a boilerplate
+    * text (empty page, error page) shared by every source would otherwise
+    * fan one hash into n² join rows. Rank-capped like the three LSH bucket
+    * sites; the drop is surfaced by [[sourceOverlapCapStats]], never
+    * silent. Corpus has ≤ 40 sources, so the cap never engages in the
+    * driver gate.
+    */
+  val SourceOverlapMaxSources = 64
+
+  def sourceOverlap(spark: SparkSession, sfDir: String,
+      maxSources: Int = SourceOverlapMaxSources): DataFrame = {
     val base = docs(spark, sfDir).select(col("doc_id"), col("text"), col("source"))
     val mirrored = base.filter(col("doc_id") % 3 === 0)
       .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
@@ -604,8 +614,16 @@ object Dedup {
     val all = base.unionByName(mirrored)
       .select(md5(col("text").cast("binary")).as("h"), col("source"))
     val perSource = all.groupBy(col("source")).agg(countDistinct(col("h")).as("n"))
-    val a = all.select(col("h"), col("source").as("source_a"))
-    val b = all.select(col("h"), col("source").as("source_b"))
+    // dedup to (h, source) BEFORE the self-join (bounds a hash's join rows
+    // by distinct sources, not by document count), then rank-cap the
+    // distinct sources per hash so one boilerplate hash cannot fan out n²
+    val wcap = Window.partitionBy(col("h")).orderBy(col("source"))
+    val capped = all.dropDuplicates("h", "source")
+      .withColumn("rn", row_number().over(wcap))
+      .filter(col("rn") <= maxSources)
+      .select(col("h"), col("source"))
+    val a = capped.select(col("h"), col("source").as("source_a"))
+    val b = capped.select(col("h"), col("source").as("source_b"))
     a.join(b, Seq("h")).filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(countDistinct(col("h")).as("n_shared"))
@@ -614,6 +632,23 @@ object Dedup {
       .join(perSource.withColumnRenamed("source", "source_b")
         .withColumnRenamed("n", "n_b"), Seq("source_b"))
       .select(col("source_a"), col("source_b"), col("n_shared"), col("n_a"), col("n_b"))
+  }
+
+  /** Overflow audit for [[sourceOverlap]]'s per-hash source cap — same
+    * contract as [[capDropStats]]: (site, buckets_overflowed, rows_dropped)
+    * where a dropped row is a (hash, source) membership the pair join never
+    * saw. Tests shrink the cap to force overflow.
+    */
+  def sourceOverlapCapStats(spark: SparkSession, sfDir: String,
+      maxSources: Int = SourceOverlapMaxSources): DataFrame = {
+    val base = docs(spark, sfDir).select(col("doc_id"), col("text"), col("source"))
+    val mirrored = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+        concat(lit("mirror"), col("source")).as("source"))
+    val pairs = base.unionByName(mirrored)
+      .select(md5(col("text").cast("binary")).as("h"), col("source"))
+      .dropDuplicates("h", "source")
+    capStats(pairs, "source_overlap", maxSources, Seq("h"), "source")
   }
 
   // ------------------------------------------- line-level dedup (CCNet)

@@ -630,7 +630,7 @@ object Similarity {
     * wide op is one cid-keyed aggregation whose groups the cap bounds.
     */
   def semDedup(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95, maxCluster: Int = SemMaxCluster): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
     val all = embWithDups(spark, sfDir).select(col("vec_id"), col("embedding"))
@@ -643,9 +643,14 @@ object Similarity {
     }.toDF("vec_id", "cid", "q")
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid")).orderBy(col("vec_id"))
-    assigned
-      .withColumn("rn", row_number().over(wb))
-      .filter(col("rn") <= SemMaxCluster)
+    val ranked = assigned.withColumn("rn", row_number().over(wb))
+    // rows past the cap are UNCOMPARED, not dropped: a skewed cluster must
+    // degrade recall (kept=1 for its overflow), never lose vectors from the
+    // output — the cap exists to bound the one collect_list below
+    val overflow = ranked.filter(col("rn") > maxCluster)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"), lit(1L).as("kept"))
+    ranked
+      .filter(col("rn") <= maxCluster)
       .groupBy(col("cid"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("q")))).as("members"))
       .select(col("cid"), col("members")).as[(Int, Seq[(Long, Array[Long])])]
@@ -662,5 +667,6 @@ object Similarity {
         }
       }
       .toDF("vec_id", "cid", "kept")
+      .unionByName(overflow)
   }
 }

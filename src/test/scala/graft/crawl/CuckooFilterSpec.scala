@@ -89,4 +89,25 @@ class CuckooFilterSpec extends AnyFunSuite {
     val mb = seg.numBuckets.toLong * CuckooFilter.SlotsPerBucket * 2 / 1e6
     assert(mb > 4 && mb < 40, s"per-segment $mb MB off the design envelope")
   }
+
+  test("sizing: a huge capacity clamps to MaxBuckets with Int-safe arithmetic") {
+    // capacity far beyond one segment's range: the old Int arithmetic threw
+    // NegativeArraySizeException here (numBuckets·4 overflowed Int); the
+    // clamp keeps the table and its serialized form within JVM array bounds
+    val cf = CuckooFilter.create(Long.MaxValue)
+    assert(cf.numBuckets == CuckooFilter.MaxBuckets)
+    val slots = cf.numBuckets.toLong * CuckooFilter.SlotsPerBucket
+    assert(13L + slots * 2L <= Int.MaxValue.toLong,
+      "serialized form would overflow a byte array")
+    // the clamped filter still works
+    cf.put("http://clamp.test/a")
+    assert(cf.mightContain("http://clamp.test/a"))
+  }
+
+  test("deserialize rejects a corrupt bucket count instead of allocating garbage") {
+    val bb = java.nio.ByteBuffer.allocate(13)
+    bb.putInt(0xc0c0f117).putInt(-7).putInt(0).put(0.toByte)
+    val e = intercept[IllegalArgumentException](CuckooFilter.deserialize(bb.array()))
+    assert(e.getMessage.contains("numBuckets"))
+  }
 }

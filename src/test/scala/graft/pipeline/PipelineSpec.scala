@@ -680,6 +680,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.length == 20)
   }
 
+  test("source overlap: the per-hash source cap engages and is audited, never silent") {
+    import spark.implicits._
+    // live cap sees no drops on this corpus (≤ 2 sources share any hash)
+    val live = Dedup.sourceOverlapCapStats(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(live.length == 1 && live.head._1 == "source_overlap")
+    assert(live.head._2 == 0L && live.head._3 == 0L, s"unexpected live drops: $live")
+    // cap 1 keeps one source per hash → the pair join yields NOTHING (the
+    // n² fan-out is bounded at the source, before the join), and the audit
+    // reports exactly the mirrored hashes' second members as dropped
+    assert(Dedup.sourceOverlap(spark, sf, maxSources = 1).count() == 0L)
+    val forced = Dedup.sourceOverlapCapStats(spark, sf, maxSources = 1)
+      .as[(String, Long, Long)].collect().head
+    assert(forced._2 > 0L && forced._3 > 0L, "forced overflow invisible")
+    assert(forced._3 >= forced._2)
+  }
+
+  test("semdedup: cluster-cap overflow rows stay in the output as kept=1") {
+    // maxCluster=1 makes EVERY non-first member of every cluster overflow:
+    // nothing is compared, so nothing may be dropped — and critically no
+    // vector may vanish from the output (the old filter dropped them)
+    val rows = Similarity.semDedup(spark, sf, maxCluster = 1).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("kept")))
+    assert(rows.length == 625, s"capped semdedup lost vectors: ${rows.length}")
+    assert(rows.map(_._1).distinct.length == 625)
+    assert(rows.forall(_._2 == 1L), "an uncompared overflow row was dropped")
+  }
+
   test("bm25: ranks contiguous, scores non-increasing, zero-hit query empty") {
     val rows = Search.bm25TopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
