@@ -52,6 +52,14 @@ final case class MetaRow(url: String, host: String, host_idx: Int, page_idx: Int
     sel_markdown: String)
 final case class RobotsRow(host: String, disallow_prefix: String)
 
+/** A host's served `/robots.txt` page: the raw BODY a production crawler
+  * fetches and parses (graft.crawl.RobotsParser) into its per-host rule
+  * set — kept OUT of `pages` so the page-count ground truth of every
+  * crawl oracle is untouched (a real crawler's robots fetch is a separate
+  * pre-pass over per-host robots URLs, not a frontier pop).
+  */
+final case class RobotsTxtRow(host: String, url: String, body: String)
+
 /** Opaque multimodal payload — the ONLY columns the engine sees. */
 final case class BlobRow(blob_id: Long, payload: Array[Byte])
 
@@ -109,6 +117,69 @@ object CorpusGen {
   def robotsRules(spec: CorpusSpec): Seq[RobotsRow] =
     (0 until spec.nHosts).collect {
       case h if h % 3 == 0 => RobotsRow(hostName(h), "/misc")
+    }
+
+  /** The `/robots.txt` BODY served by host h — deterministic ground truth
+    * for the RFC 9309 body parser. Three host classes pin the group-
+    * selection semantics for the engine UA `graftbot`:
+    *   - h%3==0 (incl. host0): no graftbot-specific group → the `*` group
+    *     applies; its rules are exactly the grammar-coverage set of
+    *     [[graft.crawl.Robots9309.Rules]], so the parsed-rules BFS equals
+    *     the legacy constant-rules BFS on host0 by construction.
+    *   - h%3==1: a `GraftBot` group (case-varied key and token, inline
+    *     comment, unknown directive, empty disallow) → the `*` group must
+    *     be IGNORED, not merged.
+    *   - h%3==2: both a `graft` (prefix, len 5) and a `graftbot 2.0`
+    *     (token = `graftbot`, len 8) group → longest token wins.
+    * Every host also carries distractor groups (`MegaCrawler`,
+    * `GraftBot-Images` — LONGER than the ua, must not match), comments,
+    * blank lines, a multi-UA group, and a trailing `Sitemap:` line.
+    * Newlines are `\n` and whitespace is spaces only, so the DuckDB SQL
+    * replay (default-trim semantics) is exact.
+    */
+  def robotsTxtBody(spec: CorpusSpec, h: Int): String = {
+    val host = hostName(h)
+    val sb = new StringBuilder
+    sb.append(s"# robots.txt for $host — corpus ground truth (seed ${spec.seed})\n")
+    sb.append("# comments, case variation and unknown directives are deliberate\n\n")
+    sb.append("User-agent: MegaCrawler\n")
+    sb.append("Disallow: /\n")
+    sb.append("Crawl-delay: 10\n\n")
+    sb.append("User-agent: GraftBot-Images\n")
+    sb.append("Disallow: /articles\n\n")
+    if (h % 3 == 1) {
+      sb.append("user-AGENT: GraftBot   # case-insensitive key and token\n")
+      sb.append("Allow: /docs/page-1*\n")
+      sb.append("disallow: /docs\n")
+      sb.append("Unknown-directive: ignored\n")
+      sb.append("Disallow:\n")
+      sb.append("Disallow: /products/page-3$\n\n")
+    }
+    if (h % 3 == 2) {
+      sb.append("User-agent: graft\n")
+      sb.append("Disallow: /\n\n")
+      sb.append("User-agent: graftbot 2.0\n")
+      sb.append("Disallow: /*/page-22*\n")
+      sb.append("Allow: /docs/page-22*\n\n")
+    }
+    sb.append("User-agent: *\n")
+    sb.append("User-agent: LegacyBot\n")
+    sb.append("Disallow: /misc\n")
+    sb.append("Allow: /misc/page-1*\n")
+    sb.append("Disallow: /*/page-22*\n")
+    sb.append("Allow: /docs/page-22*\n")
+    sb.append("Disallow: /products/page-3$\n")
+    sb.append("Allow: /products\n")
+    sb.append("Disallow: /products/page-31*\n")
+    sb.append("Allow: /products/page-31$\n\n")
+    sb.append(s"Sitemap: http://$host/sitemap.xml\n")
+    sb.toString
+  }
+
+  def robotsTxtRows(spec: CorpusSpec): Seq[RobotsTxtRow] =
+    (0 until spec.nHosts).map { h =>
+      RobotsTxtRow(hostName(h), s"http://${hostName(h)}/robots.txt",
+        robotsTxtBody(spec, h))
     }
 
   /** Ordered, deduped link targets of page (h, i): the ground truth the
@@ -570,7 +641,7 @@ object CorpusGen {
   /** Bumped whenever the emitted schema/content changes so stale on-disk
     * corpora regenerate instead of silently serving the old shape.
     */
-  val FormatVersion = 9
+  val FormatVersion = 10
 
   def ensure(spark: SparkSession, dir: String, spec: CorpusSpec): Unit = {
     val marker = new java.io.File(s"$dir/_CORPUS_READY")
@@ -606,6 +677,7 @@ object CorpusGen {
     }.write.mode("overwrite").parquet(s"$dir/meta.parquet")
 
     robotsRules(spec).toDS().write.mode("overwrite").parquet(s"$dir/robots.parquet")
+    robotsTxtRows(spec).toDS().write.mode("overwrite").parquet(s"$dir/robots_txt.parquet")
 
     // encode each blob ONCE: cache the (payload, meta) pairs, then project
     // the two tables from the cached set (the second write re-encodes

@@ -49,35 +49,86 @@ object Robots9309 {
     "^" + p.replace(".", "\\.").replace("*", ".*")
   }
 
-  // compiled once per JVM — the in-kernel gate runs per discovered link
-  private lazy val compiledRules: Array[(Int, Boolean, Int, java.util.regex.Pattern)] =
-    Rules.zipWithIndex.map { case ((v, p), i) =>
-      (i, v == "allow", p.length, java.util.regex.Pattern.compile(ruleRegex(p)))
+  /** One compiled rule — java.util.regex.Pattern is Serializable, so a
+    * per-host compiled map broadcasts as-is (compile once on the driver,
+    * never per link).
+    */
+  final case class CompiledRule(id: Int, isAllow: Boolean, plen: Int,
+      re: java.util.regex.Pattern)
+
+  /** Compile an ordered (verdict, pattern) rule list (e.g. one host's
+    * [[RobotsParser.parse]] output) for the matcher.
+    */
+  def compile(rules: Seq[(String, String)]): Array[CompiledRule] =
+    rules.zipWithIndex.map { case ((v, p), i) =>
+      CompiledRule(i, v == "allow", p.length,
+        java.util.regex.Pattern.compile(ruleRegex(p)))
     }.toArray
 
-  /** The RFC 9309 verdict for a raw (percent-encoded) url path: longest
-    * matching pattern wins, allow wins length ties, lowest rule id breaks
-    * exact ties, no match ⇒ allowed. The same total order the SQL replay
-    * sorts by.
+  // compiled once per JVM — the in-kernel gate runs per discovered link
+  private lazy val compiledRules: Array[CompiledRule] = compile(Rules)
+
+  /** The RFC 9309 verdict of `rules` for a raw (percent-encoded) url
+    * path: longest matching pattern wins, allow wins length ties, lowest
+    * rule id breaks exact ties, no match ⇒ allowed. The same total order
+    * the SQL replay sorts by.
     */
-  def allowedPath(path: String): Boolean = {
+  def allowed(rules: Array[CompiledRule], path: String): Boolean = {
     var bestAllow = true
     var bestLen = -1
     var bestId = Int.MaxValue
     var i = 0
-    while (i < compiledRules.length) {
-      val (id, isAllow, plen, re) = compiledRules(i)
-      if (re.matcher(path).find()) {
+    while (i < rules.length) {
+      val r = rules(i)
+      if (r.re.matcher(path).find()) {
         // order: plen desc, allow-before-disallow, id asc
-        val better = plen > bestLen ||
-          (plen == bestLen && bestLen >= 0 && isAllow && !bestAllow) ||
-          (plen == bestLen && bestLen >= 0 && isAllow == bestAllow && id < bestId)
-        if (bestLen < 0 || better) { bestAllow = isAllow; bestLen = plen; bestId = id }
+        val better = r.plen > bestLen ||
+          (r.plen == bestLen && bestLen >= 0 && r.isAllow && !bestAllow) ||
+          (r.plen == bestLen && bestLen >= 0 && r.isAllow == bestAllow && r.id < bestId)
+        if (bestLen < 0 || better) { bestAllow = r.isAllow; bestLen = r.plen; bestId = r.id }
       }
       i += 1
     }
     bestAllow
   }
+
+  /** Verdict under the documented grammar-coverage constant [[Rules]]. */
+  def allowedPath(path: String): Boolean = allowed(compiledRules, path)
+
+  /** Per-host parsed rules TABLE for the engine UA — the production
+    * acquisition step: robots.txt BODIES ([[CorpusGen.robotsTxtRows]])
+    * parsed distributedly by [[RobotsParser]] into (host, rule_id,
+    * verdict, pattern). This is what [[hostRules]] and the BFS gate
+    * consume; the driver's oracle replays the same parse in SQL.
+    */
+  def parsedRules(spark: SparkSession, sfDir: String,
+      ua: String = RobotsParser.Ua): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    spark.read.parquet(s"$dir/robots_txt.parquet")
+      .select(col("host"), col("body")).as[(String, String)]
+      .flatMap { case (host, body) =>
+        RobotsParser.parse(body, ua).zipWithIndex.map { case ((v, p), i) =>
+          (host, i.toLong, v, p)
+        }
+      }.toDF("host", "rule_id", "verdict", "pattern")
+  }
+
+  /** host → ordered rules, collected for the in-kernel gate's broadcast.
+    * Rule sets are ~10 rows/host, so the collect is bounded by host count;
+    * at web scale (10^7+ hosts) the gate becomes a rules-TABLE join on
+    * host exactly like [[WaveCrawler.robotsAntiJoin]] — the parse itself
+    * is already distributed.
+    */
+  def hostRules(spark: SparkSession, sfDir: String,
+      ua: String = RobotsParser.Ua): Map[String, Vector[(String, String)]] =
+    parsedRules(spark, sfDir, ua)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (h, rows) =>
+        h -> rows.sortBy(_.getLong(1)).map(r => (r.getString(2), r.getString(3))).toVector
+      }
 
   /** Raw path of a url string (everything from the first `/` after the
     * authority) — RFC 9309 matches the percent-ENCODED path, so the gate

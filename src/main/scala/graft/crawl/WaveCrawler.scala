@@ -74,6 +74,15 @@ final case class CrawlConfig(
       * of (independent of) the corpus prefix rules behind [[useRobots]].
       */
     robots9309: Boolean = false,
+    /** Per-host PARSED rules for the RFC 9309 gate (host → ordered
+      * (verdict, pattern), the [[RobotsParser]] output). Empty ⇒ the gate
+      * falls back to the global grammar-coverage constant. Compiled once
+      * on the driver and broadcast; a host absent from the map is fully
+      * allowed. At web scale the same rules live as a TABLE and the gate
+      * becomes a host-keyed join (robotsAntiJoin's shape) — the broadcast
+      * is the small-rule-set fast path.
+      */
+    robots9309Rules: Map[String, Vector[(String, String)]] = Map.empty,
     /** Reference parity: follow only the seed's hostname
       * (crawler.go:516-518). false = multi-host (Common-Crawl-shaped)
       * frontier: every http(s) link is followed across hosts; robots
@@ -422,11 +431,22 @@ object WaveCrawler {
       case None => crawl(spark, pages, config)
       case Some(w) =>
         val m = TableIO.readManifest(dir, w)
-        val seenParts = (0 to w).toVector
+        val frontTables = (0 to w).toVector
           .map(k => TableIO.readTable(spark, dir, k, "frontier"))
+        // A checkpointed frontier carries the FULL pending set — fresh rows
+        // PLUS any politeness-cap backlog deferred from earlier waves. The
+        // deferred rows already sit in the wave they were enqueued at, so
+        // seen part k is frontier(k) minus frontier(k-1): without this,
+        // resume's seen (a user-facing OUTPUT, compared as a set) holds the
+        // backlog once per wave it rode through.
+        val seenParts = frontTables.head +: frontTables.sliding(2).collect {
+          case Vector(prev, cur) =>
+            cur.join(prev.select(col("url")), Seq("url"), "left_anti")
+        }.toVector
         val savedParts = (0 to w).toVector
           .map(k => TableIO.readTable(spark, dir, k, "saved_delta"))
-        val frontier = seenParts.last
+        // the live frontier stays the FULL pending set so deferred rows repop
+        val frontier = frontTables.last
         if (m.stopped)
           CrawlOutput(unionParts(spark, savedParts, emptySaved(spark)),
             unionParts(spark, seenParts, frontier), Nil, m.stopReason)
@@ -478,6 +498,9 @@ object WaveCrawler {
     // only broadcast-hints a genuinely small one (RobotsBroadcastMaxRows)
     val robotsRows: Long = if (robotsDf != null) robotsDf.count() else 0L
     val bcRobots = spark.sparkContext.broadcast(robotsMap)
+    // per-host RFC 9309 rules compiled ONCE here (Pattern is Serializable)
+    val bc9309 = spark.sparkContext.broadcast(
+      config.robots9309Rules.map { case (h, rs) => h -> Robots9309.compile(rs) })
     val bcStartHost = spark.sparkContext.broadcast(startHost)
     val sameHostOnly = config.sameHostOnly
 
@@ -629,6 +652,7 @@ object WaveCrawler {
           val matchGlobs = bcMatch.value.map(Glob.compileOrThrow)
           val followGlobs = bcFollow.value.map(Glob.compileOrThrow)
           val robots = bcRobots.value
+          val rules9309 = bc9309.value
           val selector = bcSelector.value
           val doExtract = bcExtract.value
           val keepAH = bcKeepAH.value
@@ -658,7 +682,14 @@ object WaveCrawler {
                     val allowed = (robots.get(dstHost) match {
                       case Some(prefixes) => !prefixes.exists(p => dstPath.startsWith(p))
                       case None           => true
-                    }) && (!use9309 || Robots9309.allowedPath(Robots9309.rawPathOf(dst)))
+                    }) && (!use9309 || {
+                      // parsed per-host rules when provided (absent host ⇒
+                      // allowed); global grammar-coverage constant otherwise
+                      val raw = Robots9309.rawPathOf(dst)
+                      if (rules9309.isEmpty) Robots9309.allowedPath(raw)
+                      else rules9309.get(dstHost)
+                        .forall(rs => Robots9309.allowed(rs, raw))
+                    })
                     if (allowed) Some(ProcLink(dst, dstHost, pos)) else None
                   }
                 } else Nil

@@ -477,6 +477,12 @@ class WaveCrawlerSpec extends AnyFunSuite {
     assert(resumed.seen.select("url").collect().map(_.getString(0)).toSet
       .subsetOf(ref.visited))
     assert(savedSet(resumed) == ref.savedUrls.toSet)
+    // seen is a user-facing SET: the deferred backlog rides every
+    // checkpointed frontier table, so a resume that naively unions them
+    // would hold a deferred url once per wave it rode through
+    val seenUrls = resumed.seen.select("url").collect().map(_.getString(0))
+    assert(seenUrls.length == seenUrls.toSet.size,
+      s"resumed seen holds ${seenUrls.length - seenUrls.toSet.size} duplicate urls")
   }
 
   test("politeness cap with forced bloom segments: identical capped schedule") {
