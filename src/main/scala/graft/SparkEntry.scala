@@ -419,6 +419,71 @@ object SparkEntry {
     (head +: steps).mkString(",\n")
   }
 
+  /** The RFC 9309 robots.txt BODY parse (graft.crawl.RobotsParser)
+    * replayed line by line in SQL over the corpus's served bodies, for the
+    * engine UA: comment strip → trim → drop empty / colon-less lines →
+    * (lowercased key, value) split on the FIRST colon → user-agent runs
+    * numbered into groups (lag + running sum) → token scoring ('*' = 0,
+    * prefix-of-ua = token length) → longest token wins, all groups
+    * carrying it merge → allow/disallow lines with non-empty values in
+    * body order. Ends with `rb_rules(host, rule_id, verdict, pattern)`.
+    * MATERIALIZED throughout (DuckDB inlines CTEs).
+    */
+  private def robotsParseCtes(ua: String = "graftbot"): String =
+    s"""rb_raw AS MATERIALIZED (
+       |  SELECT host, unnest(list_zip(str_split(body, chr(10)),
+       |    range(1, len(str_split(body, chr(10))) + 1))) AS p
+       |  FROM ${gt("robots_txt")}),
+       |rb_lines AS MATERIALIZED (
+       |  SELECT host, CAST(p[2] AS BIGINT) AS line_no,
+       |    trim(CASE WHEN strpos(p[1], '#') > 0
+       |         THEN substr(p[1], 1, strpos(p[1], '#') - 1) ELSE p[1] END) AS l
+       |  FROM rb_raw),
+       |rb_kv AS MATERIALIZED (
+       |  SELECT host, line_no,
+       |    lower(trim(substr(l, 1, strpos(l, ':') - 1))) AS k,
+       |    trim(substr(l, strpos(l, ':') + 1)) AS v
+       |  FROM rb_lines WHERE l <> '' AND strpos(l, ':') > 1),
+       |rb_mark AS MATERIALIZED (
+       |  SELECT host, line_no, k, v,
+       |    CASE WHEN k = 'user-agent' AND
+       |      COALESCE(lag(k) OVER (PARTITION BY host ORDER BY line_no), '')
+       |        <> 'user-agent' THEN 1 ELSE 0 END AS st
+       |  FROM rb_kv),
+       |rb_grp AS MATERIALIZED (
+       |  SELECT host, line_no, k, v,
+       |    SUM(st) OVER (PARTITION BY host ORDER BY line_no) AS grp
+       |  FROM rb_mark),
+       |rb_agents AS MATERIALIZED (
+       |  SELECT host, grp,
+       |    lower(CASE WHEN strpos(v, ' ') > 0
+       |          THEN substr(v, 1, strpos(v, ' ') - 1) ELSE v END) AS tok
+       |  FROM rb_grp WHERE k = 'user-agent'),
+       |rb_cand AS MATERIALIZED (
+       |  SELECT host, grp, tok,
+       |    CASE WHEN tok = '*' THEN 0 ELSE strlen(tok) END AS score
+       |  FROM rb_agents
+       |  WHERE tok = '*' OR (tok <> '' AND starts_with('$ua', tok))),
+       |rb_win AS MATERIALIZED (
+       |  SELECT host, MAX(score) AS s FROM rb_cand GROUP BY host),
+       |rb_wgrp AS MATERIALIZED (
+       |  SELECT DISTINCT a.host, a.grp
+       |  FROM rb_cand c
+       |  JOIN rb_win w ON w.host = c.host AND c.score = w.s
+       |  JOIN rb_agents a ON a.host = c.host AND a.tok = c.tok),
+       |rb_rules AS MATERIALIZED (
+       |  SELECT g.host,
+       |    ROW_NUMBER() OVER (PARTITION BY g.host ORDER BY g.line_no) - 1 AS rule_id,
+       |    g.k AS verdict, g.v AS pattern
+       |  FROM rb_grp g JOIN rb_wgrp w ON w.host = g.host AND w.grp = g.grp
+       |  WHERE g.k IN ('allow', 'disallow') AND g.v <> '')""".stripMargin
+
+  /** Pattern → regex inside SQL, mirroring Robots9309.ruleRegex (escape
+    * '.' first, then '*' → '.*', anchored at start).
+    */
+  private val rbRegexSql: String =
+    "'^' || replace(replace(pattern, '.', '\\.'), '*', '.*')"
+
   /** Min-depth BFS reachability over the ground-truth link graph — the
     * relational statement of the reference's FIFO crawl (SURVEY §7.4a).
     */
@@ -448,6 +513,8 @@ object SparkEntry {
     "crawl_limit_cut" -> ((s, d) => C.limitCut(s, d, 100)),
     "crawl_robots_seen" -> ((s, d) => C.robotsSeen(s, d)),
     "crawl_bfs_rfc9309" -> ((s, d) => C.robots9309Seen(s, d)),
+    "crawl_robots_parse" -> ((s, d) => graft.crawl.Robots9309.parsedRules(s, d)),
+    "crawl_multihost_rfc9309" -> ((s, d) => C.multihost9309Seen(s, d)),
     "crawl_multihost_seen" -> ((s, d) => C.multihostSeen(s, d)),
     "crawl_xlink_extract" -> ((s, d) => C.xlinkExtract(s, d)),
     "crawl_follow_seen" -> ((s, d) => C.followSeen(s, d)),
@@ -523,6 +590,8 @@ object SparkEntry {
     "graph_host_stats" -> ((s, d) => graft.pipeline.HostGraph.hostStats(s, d)),
     "graph_host_edges" -> ((s, d) => graft.pipeline.HostGraph.hostEdges(s, d)),
     "crawl_sink_warc" -> ((s, d) => graft.sinks.Warc.warcRecords(s, d)),
+    "crawl_warc_roundtrip" -> ((s, d) => C.warcRoundtrip(s, d)),
+    "crawl_warc_bfs" -> ((s, d) => C.warcBfsSeen(s, d)),
     "crawl_robots_rfc9309" -> ((s, d) => graft.crawl.Robots9309.verdicts(s, d)),
     "crawl_cdx_index" -> ((s, d) => graft.sinks.Warc.cdxIndex(s, d)),
     "crawl_sink_wet" -> ((s, d) => graft.sinks.Warc.wetRecords(s, d)),
@@ -618,27 +687,73 @@ object SparkEntry {
          |    WHERE l.dst_url LIKE 'http://' || rb.host || rb.disallow_prefix || '%')
          |)
          |SELECT url, CAST(MIN(depth) AS BIGINT) AS depth FROM reach GROUP BY url""".stripMargin,
-    // BFS reachability gated by the RFC 9309 rule set: a link is enqueued
-    // only if its longest-matching rule (allow wins ties) is an allow —
-    // the winner evaluated as a correlated top-1 subquery per edge
-    "crawl_bfs_rfc9309" -> {
-      import graft.crawl.Robots9309
-      val vals = Robots9309.Rules.zipWithIndex.map { case ((v, p), i) =>
-        s"($i, '$v', '$p', '${Robots9309.ruleRegex(p)}', ${p.length})"
-      }.mkString(", ")
-      s"""WITH RECURSIVE r9(rule_id, verdict, pattern, regex, plen) AS (VALUES $vals),
+    // BFS reachability gated by RFC 9309 rules PARSED from host0's served
+    // robots.txt body: a link is enqueued only if its longest-matching rule
+    // (allow wins ties) is an allow. The verdicts are precomputed per
+    // DISTINCT link target in a MATERIALIZED gate CTE (window-ranked
+    // winner, no correlated subquery) so the recursion is pure equi-joins:
+    // DuckDB 1.0 evaluates a correlated subquery over window-function CTEs
+    // NONDETERMINISTICALLY inside recursion (observed 1779 vs 1803 rows on
+    // back-to-back runs of the same query).
+    "crawl_bfs_rfc9309" ->
+      s"""WITH RECURSIVE ${robotsParseCtes()},
+         |r9 AS MATERIALIZED (
+         |  SELECT rule_id, verdict, pattern, $rbRegexSql AS regex,
+         |    strlen(pattern) AS plen
+         |  FROM rb_rules WHERE host = 'host0.test'),
+         |gate AS MATERIALIZED (
+         |  SELECT dst_url FROM (
+         |    SELECT d.dst_url, rb.verdict,
+         |      ROW_NUMBER() OVER (PARTITION BY d.dst_url
+         |        ORDER BY rb.plen DESC, rb.verdict ASC, rb.rule_id ASC) AS rn
+         |    FROM (SELECT DISTINCT dst_url FROM ${gt("links")}) d
+         |    LEFT JOIN r9 rb ON regexp_matches(
+         |      regexp_replace(d.dst_url, '^https?://[^/]*', ''), rb.regex)
+         |  ) WHERE rn = 1 AND COALESCE(verdict, 'allow') = 'allow'),
          |reach(url, depth) AS (
          |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url, 0 AS depth
          |  UNION
          |  SELECT l.dst_url, r.depth + 1
          |  FROM reach r JOIN ${gt("links")} l ON l.src_url = r.url
-         |  WHERE r.depth < 64 AND COALESCE((
-         |    SELECT rb.verdict FROM r9 rb
-         |    WHERE regexp_matches(regexp_replace(l.dst_url, '^https?://[^/]*', ''), rb.regex)
-         |    ORDER BY rb.plen DESC, rb.verdict ASC, rb.rule_id ASC LIMIT 1), 'allow') = 'allow'
+         |  JOIN gate g ON g.dst_url = l.dst_url
+         |  WHERE r.depth < 64
          |)
-         |SELECT url, CAST(MIN(depth) AS BIGINT) AS depth FROM reach GROUP BY url""".stripMargin
-    },
+         |SELECT url, CAST(MIN(depth) AS BIGINT) AS depth FROM reach GROUP BY url""".stripMargin,
+    // the per-host parsed rules TABLE itself: engine = RobotsParser over
+    // the served bodies, oracle = the same grammar replayed in SQL
+    "crawl_robots_parse" ->
+      s"""WITH ${robotsParseCtes()}
+         |SELECT host, CAST(rule_id AS BIGINT) AS rule_id, verdict, pattern
+         |FROM rb_rules""".stripMargin,
+    // multi-host BFS over xlinks where EACH host's gate comes from its own
+    // parsed robots.txt (the three body classes differ, so crossing a host
+    // boundary switches rule sets mid-crawl)
+    "crawl_multihost_rfc9309" ->
+      s"""WITH RECURSIVE ${robotsParseCtes()},
+         |r9 AS MATERIALIZED (
+         |  SELECT host, rule_id, verdict, pattern, $rbRegexSql AS regex,
+         |    strlen(pattern) AS plen
+         |  FROM rb_rules),
+         |gate AS MATERIALIZED (
+         |  SELECT dst_url FROM (
+         |    SELECT d.dst_url, rb.verdict,
+         |      ROW_NUMBER() OVER (PARTITION BY d.dst_url
+         |        ORDER BY rb.plen DESC, rb.verdict ASC, rb.rule_id ASC) AS rn
+         |    FROM (SELECT DISTINCT dst_url FROM ${gt("xlinks")}) d
+         |    LEFT JOIN r9 rb
+         |      ON rb.host = regexp_extract(d.dst_url, '^https?://([^/]+)', 1)
+         |     AND regexp_matches(
+         |      regexp_replace(d.dst_url, '^https?://[^/]*', ''), rb.regex)
+         |  ) WHERE rn = 1 AND COALESCE(verdict, 'allow') = 'allow'),
+         |reach(url, depth) AS (
+         |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url, 0 AS depth
+         |  UNION
+         |  SELECT l.dst_url, r.depth + 1
+         |  FROM reach r JOIN ${gt("xlinks")} l ON l.src_url = r.url
+         |  JOIN gate g ON g.dst_url = l.dst_url
+         |  WHERE r.depth < 64
+         |)
+         |SELECT url, CAST(MIN(depth) AS BIGINT) AS depth FROM reach GROUP BY url""".stripMargin,
     // multi-host BFS reachability with robots: the frontier crosses hosts
     // along the ground-truth xlinks graph; a robots-disallowed url is never
     // enqueued (same rule semantics as crawl_robots_seen)
@@ -1648,6 +1763,20 @@ object SparkEntry {
          |  decode(html) ||
          |  chr(13) || chr(10) || chr(13) || chr(10) AS warc_record
          |FROM ${gt("pages")}""".stripMargin,
+    // read(write(pages)) ≡ pages: the engine wrote its own warc files and
+    // parsed them back; url, the WARC-Date header, and the payload digest +
+    // octet count must equal the ground-truth pages the sink consumed
+    "crawl_warc_roundtrip" ->
+      s"""SELECT url,
+         |  strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+         |  sha256(decode(html)) AS html_sha,
+         |  CAST(octet_length(html) AS BIGINT) AS n_bytes
+         |FROM ${gt("pages")}""".stripMargin,
+    // a crawl whose input was warc files instead of the parquet corpus
+    // reaches exactly the link-graph BFS seen set
+    "crawl_warc_bfs" ->
+      s"""$reachCte
+         |SELECT url, CAST(depth AS BIGINT) AS depth FROM seen""".stripMargin,
     // RFC 9309 longest-match robots verdicts: same rule constants, same
     // pattern→regex translation, same (plen desc, allow-wins, rule_id)
     // total order in both engines

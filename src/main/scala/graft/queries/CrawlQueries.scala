@@ -63,15 +63,38 @@ object CrawlQueries {
         CrawlConfig(startUrl = Seed, useRobots = true))
     }
 
-  /** Crawl gated by the RFC 9309 full-grammar rule set (X25 integrated
-    * into the wave scheduler): a link is enqueued only if its longest-
-    * matching rule is an allow (or nothing matches).
+  /** Crawl gated by the RFC 9309 full-grammar rule semantics (X25
+    * integrated into the wave scheduler): a link is enqueued only if its
+    * longest-matching rule is an allow (or nothing matches). The rules are
+    * NOT a constant — they are parsed from the corpus's served
+    * `/robots.txt` bodies by [[graft.crawl.RobotsParser]] (the production
+    * fetch→parse→gate pipeline), per host.
     */
   def robots9309Crawl(spark: SparkSession, sfDir: String): CrawlOutput =
     cached(spark, sfDir, "robots9309") { dir =>
       WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
-        CrawlConfig(startUrl = Seed, robots9309 = true))
+        CrawlConfig(startUrl = Seed, robots9309 = true,
+          robots9309Rules = graft.crawl.Robots9309.hostRules(spark, sfDir)))
     }
+
+  /** Multi-host crawl gated by per-host PARSED RFC 9309 rules: hosts carry
+    * deliberately different robots.txt bodies (specific-group, longest-
+    * token, and *-fallback classes), so crossing a host boundary switches
+    * rule sets mid-crawl — the full production robots dataflow in one
+    * query. Scheduling-only, like the prefix-rules multihost crawl.
+    */
+  def multihost9309Crawl(spark: SparkSession, sfDir: String): CrawlOutput =
+    cached(spark, sfDir, "multihost9309") { dir =>
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(startUrl = Seed, sameHostOnly = false, robots9309 = true,
+          robots9309Rules = graft.crawl.Robots9309.hostRules(spark, sfDir),
+          extractContent = false))
+    }
+
+  /** Seen set of the multi-host parsed-rules crawl. */
+  def multihost9309Seen(spark: SparkSession, sfDir: String): DataFrame =
+    multihost9309Crawl(spark, sfDir).seen
+      .select(col("url"), col("depth").cast("long").as("depth"))
 
   /** Seen set of the RFC-9309-gated crawl. */
   def robots9309Seen(spark: SparkSession, sfDir: String): DataFrame =
@@ -148,6 +171,47 @@ object CrawlQueries {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }
+
+  private val warcDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Pages table reconstructed THROUGH the warc format: the engine's own
+    * WARC sink output written to scratch files (executor-side, byte-exact)
+    * and parsed back by [[graft.sources.WarcReader]]. Cached per sfDir so
+    * the roundtrip and the crawl-from-warc queries share one write.
+    */
+  def warcPages(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = warcDirCache.computeIfAbsent(sfDir, { _ =>
+      val label = sfDir.replaceAll("/+$", "").split('/').last
+      val out = scratchDir(spark, "warc", label)
+      deleteRecursively(new java.io.File(out))
+      graft.sources.WarcReader.writeWarc(
+        graft.sinks.Warc.warcRecords(spark, sfDir).select("warc_record"), out)
+      out
+    })
+    graft.sources.WarcReader.readPages(spark, dir)
+  }
+
+  /** Byte-equality witness of read(write(pages)) ≡ pages: url, the parsed
+    * WARC-Date header, and the payload's digest + octet count, compared
+    * against the ground-truth pages table the sink consumed.
+    */
+  def warcRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    warcPages(spark, sfDir).select(
+      col("url"),
+      col("warc_date"),
+      sha2(col("html"), 256).as("html_sha"),
+      octet_length(col("html")).cast("long").as("n_bytes"))
+
+  /** BFS crawl whose INPUT is the warc files, not the parquet corpus: the
+    * reader's (url, html) feeds the wave scheduler directly, and the seen
+    * set must equal the parquet-fed crawl's — the full ingest→crawl path
+    * over the interchange format.
+    */
+  def warcBfsSeen(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "warcbfs") { _ =>
+      WaveCrawler.crawl(spark, warcPages(spark, sfDir).select(col("url"), col("html")),
+        CrawlConfig(startUrl = Seed, extractContent = false))
+    }.seen.select(col("url"), col("depth").cast("long").as("depth"))
 
   // ---------------------------------------------------------------- queries
 
