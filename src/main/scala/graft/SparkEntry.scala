@@ -254,6 +254,80 @@ object SparkEntry {
        |  FROM gbase)""".stripMargin
   }
 
+  /** The stupid-backoff bigram LM score CTE chain (graft.pipeline.Lm
+    * .lmScore in SQL): exact integer counts, log2 in Q16 fixed point via
+    * the SAME 16-step shift-and-square integer iteration Lm.log2fix runs
+    * (Turner 2010) — a transcendental made bit-replayable. Ends at
+    * `agg(doc_id, s, n)` = (summed Q16 score, transition count) for every
+    * doc with ≥ 1 bigram. Shared by dd_lm_score, dd_lm_buckets and the
+    * bucket column of dd_train_manifest.
+    */
+  private lazy val lmScoreCtes: String = {
+    import graft.pipeline.Lm.{LogScaleBits, LogFracBits}
+    val two = 1L << (LogScaleBits + 1) // mantissa ≥ 2.0 in Q24
+    val steps = (1 to LogFracBits).map { i =>
+      s"""lg$i AS (
+         |  SELECT v, CASE WHEN y >= $two THEN y >> 1 ELSE y END AS x,
+         |    r * 2 + CASE WHEN y >= $two THEN 1 ELSE 0 END AS r
+         |  FROM (SELECT v, r, (x * x) >> $LogScaleBits AS y FROM lg${i - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""d AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS wl
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(wl) AS w FROM d),
+       |uni AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS t FROM uni),
+       |pr AS (SELECT doc_id, unnest(list_zip(wl, wl[2:])) AS p FROM d),
+       |big AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM pr
+       |        WHERE p[2] IS NOT NULL),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+       |sp AS (
+       |  SELECT b.doc_id,
+       |    CAST(CASE WHEN c.c2 IS NOT NULL THEN c.c2 ELSE u2.cw * 2 END AS BIGINT) AS num,
+       |    CAST(CASE WHEN c.c2 IS NOT NULL THEN u1.cw ELSE (SELECT t FROM tot) * 5 END AS BIGINT) AS den
+       |  FROM big b
+       |  LEFT JOIN c2 c ON c.w1 = b.w1 AND c.w2 = b.w2
+       |  JOIN uni u1 ON u1.w = b.w1
+       |  JOIN uni u2 ON u2.w = b.w2),
+       |vals AS (SELECT DISTINCT num AS v FROM sp UNION SELECT DISTINCT den FROM sp),
+       |lg0 AS (
+       |  SELECT v,
+       |    (v << $LogScaleBits) >> (length(format('{:b}', v)) - 1) AS x,
+       |    CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS r
+       |  FROM vals),
+       |$steps,
+       |lgt AS (SELECT v, r AS lg FROM lg$LogFracBits),
+       |agg AS (
+       |  SELECT sp.doc_id, SUM(ln.lg - ld.lg) AS s, COUNT(*) AS n
+       |  FROM sp JOIN lgt ln ON ln.v = sp.num JOIN lgt ld ON ld.v = sp.den
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  /** CCNet tercile bucketing over [[lmScoreCtes]]'s `agg` (Lm.lmBuckets in
+    * SQL): per-token score by exact floor division, per-(lang, score)
+    * histogram with an exclusive running sum for the rank offset, tie rank
+    * by doc_id within the (lang, score) group. Ends at
+    * `rk(doc_id, lang, tok, lang_rank, n_lang)`.
+    */
+  private lazy val lmBucketCtes: String =
+    """lmsc AS (
+      |  SELECT a.doc_id, d2.lang, a.s // a.n AS tok
+      |  FROM agg a JOIN documents d2 ON d2.doc_id = a.doc_id),
+      |lmhist AS (SELECT lang, tok, COUNT(*) AS c FROM lmsc GROUP BY 1, 2),
+      |lmcum AS (
+      |  SELECT lang, tok,
+      |    COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY tok DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+      |    SUM(c) OVER (PARTITION BY lang) AS n_lang
+      |  FROM lmhist),
+      |rk AS (
+      |  SELECT s.doc_id, s.lang, s.tok,
+      |    m.cum_before + ROW_NUMBER() OVER (PARTITION BY s.lang, s.tok
+      |      ORDER BY s.doc_id) AS lang_rank,
+      |    m.n_lang
+      |  FROM lmsc s JOIN lmcum m ON m.lang = s.lang AND m.tok = s.tok)""".stripMargin
+
   private val gopherPassCond: String =
     """n_words BETWEEN 50 AND 100000
       |    AND word_bytes >= n_words * 3 AND word_bytes <= n_words * 10
@@ -573,6 +647,7 @@ object SparkEntry {
     "dd_lang_id_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
     "dd_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "dd_lm_score" -> ((s, d) => graft.pipeline.Lm.lmScore(s, d)),
+    "dd_lm_buckets" -> ((s, d) => graft.pipeline.Lm.lmBuckets(s, d)),
     "dd_line_dedup" -> ((s, d) => Dedup.lineDedup(s, d)),
     "dd_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dd_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
@@ -1449,12 +1524,20 @@ object SparkEntry {
     // their token counts (Dedup.trainManifest) — composes the proven CTEs
     "dd_train_manifest" ->
       (dupClusterCtes + ",\n" +
-        s"""$gopherCtes
+        s"""$gopherCtes,
+           |$lmScoreCtes,
+           |$lmBucketCtes
            |SELECT c.doc_id,
            |  CASE WHEN trim(d.text) = '' THEN CAST(0 AS BIGINT)
            |       ELSE CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
-           |  END AS n_tokens
+           |  END AS n_tokens,
+           |  COALESCE(
+           |    CASE WHEN r.lang_rank * 3 <= r.n_lang THEN 'head'
+           |         WHEN r.lang_rank * 3 <= r.n_lang * 2 THEN 'middle'
+           |         WHEN r.lang_rank IS NOT NULL THEN 'tail' END,
+           |    'tail') AS bucket
            |FROM gcnt c JOIN documents d ON d.doc_id = c.doc_id
+           |LEFT JOIN rk r ON r.doc_id = c.doc_id
            |WHERE ($gopherPassCond)
            |  AND c.doc_id NOT IN (
            |    SELECT doc_id FROM l${Dedup.ClusterIters} WHERE doc_id <> lbl)""".stripMargin),
@@ -1573,51 +1656,26 @@ object SparkEntry {
     // log2 in Q16 fixed point replayed by the SAME 16-step shift-and-square
     // integer iteration Lm.log2fix runs (Turner 2010) — a transcendental
     // made bit-replayable, the kmeans/pagerank unrolled-oracle pattern
-    "dd_lm_score" -> {
-      import graft.pipeline.Lm.{LogScaleBits, LogFracBits}
-      val two = 1L << (LogScaleBits + 1) // mantissa ≥ 2.0 in Q24
-      val steps = (1 to LogFracBits).map { i =>
-        s"""lg$i AS (
-           |  SELECT v, CASE WHEN y >= $two THEN y >> 1 ELSE y END AS x,
-           |    r * 2 + CASE WHEN y >= $two THEN 1 ELSE 0 END AS r
-           |  FROM (SELECT v, r, (x * x) >> $LogScaleBits AS y FROM lg${i - 1}))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS wl
-         |  FROM documents),
-         |tok AS (SELECT doc_id, unnest(wl) AS w FROM d),
-         |uni AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS t FROM uni),
-         |pr AS (SELECT doc_id, unnest(list_zip(wl, wl[2:])) AS p FROM d),
-         |big AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM pr
-         |        WHERE p[2] IS NOT NULL),
-         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
-         |sp AS (
-         |  SELECT b.doc_id,
-         |    CAST(CASE WHEN c.c2 IS NOT NULL THEN c.c2 ELSE u2.cw * 2 END AS BIGINT) AS num,
-         |    CAST(CASE WHEN c.c2 IS NOT NULL THEN u1.cw ELSE (SELECT t FROM tot) * 5 END AS BIGINT) AS den
-         |  FROM big b
-         |  LEFT JOIN c2 c ON c.w1 = b.w1 AND c.w2 = b.w2
-         |  JOIN uni u1 ON u1.w = b.w1
-         |  JOIN uni u2 ON u2.w = b.w2),
-         |vals AS (SELECT DISTINCT num AS v FROM sp UNION SELECT DISTINCT den FROM sp),
-         |lg0 AS (
-         |  SELECT v,
-         |    (v << $LogScaleBits) >> (length(format('{:b}', v)) - 1) AS x,
-         |    CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS r
-         |  FROM vals),
-         |$steps,
-         |lgt AS (SELECT v, r AS lg FROM lg$LogFracBits),
-         |agg AS (
-         |  SELECT sp.doc_id, SUM(ln.lg - ld.lg) AS s, COUNT(*) AS n
-         |  FROM sp JOIN lgt ln ON ln.v = sp.num JOIN lgt ld ON ld.v = sp.den
-         |  GROUP BY 1)
+    "dd_lm_score" ->
+      s"""WITH $lmScoreCtes
          |SELECT d2.doc_id,
          |  CAST(COALESCE(a.s, 0) AS BIGINT) AS lm_score_q16,
          |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_transitions
-         |FROM documents d2 LEFT JOIN agg a ON a.doc_id = d2.doc_id""".stripMargin
-    },
+         |FROM documents d2 LEFT JOIN agg a ON a.doc_id = d2.doc_id""".stripMargin,
+    // CCNet perplexity bucketing (Wenzek 2020 §3.2): per-language terciles
+    // of the per-token LM score, ranked by the same two-level shape the
+    // engine uses — (lang, score) histogram running sum + within-tie
+    // row_number — all thresholds exact integer rank math
+    "dd_lm_buckets" ->
+      s"""WITH $lmScoreCtes,
+         |$lmBucketCtes
+         |SELECT doc_id, lang, CAST(tok AS BIGINT) AS tok_score_q16,
+         |  CAST(lang_rank AS BIGINT) AS lang_rank,
+         |  CAST(n_lang AS BIGINT) AS n_lang,
+         |  CASE WHEN lang_rank * 3 <= n_lang THEN 'head'
+         |       WHEN lang_rank * 3 <= n_lang * 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM rk""".stripMargin,
     // inverted index: one (term, doc_id) aggregation over the \W+ token
     // stream — the index-build shuffle, materialized
     "search_postings" ->

@@ -462,17 +462,25 @@ object Dedup {
   /** The end-to-end training-data manifest — what the whole pipeline exists
     * to produce: base documents that (a) pass every Gopher quality gate and
     * (b) are not non-keeper members of a dup cluster, with their token
-    * counts. Composition of three already-verified operators; the joins are
-    * id-keyed (text never shuffles) and the loser set is cluster-bounded.
+    * counts and CCNet perplexity bucket (head/middle/tail per language,
+    * [[Lm.lmBuckets]] — the column the data-mix sampler weights by, Wenzek
+    * et al. 2020 §3.2). Composition of four already-verified operators; the
+    * joins are id-keyed (text never shuffles) and the loser set is
+    * cluster-bounded. Docs the LM cannot rank (< 2 tokens) bucket as
+    * 'tail' — in practice Gopher's 50-word floor drops them first.
     */
   def trainManifest(spark: SparkSession, sfDir: String): DataFrame = {
     val quality = TextAnalysis.qualityGopher(spark, sfDir)
       .filter(col("pass") === 1L).select(col("doc_id"))
     val losers = dupClusters(spark, sfDir)
       .filter(col("doc_id") =!= col("keeper_id")).select(col("doc_id"))
+    val buckets = Lm.lmBuckets(spark, sfDir)
+      .select(col("doc_id"), col("bucket"))
     TextAnalysis.tokenCounts(spark, sfDir)
       .join(quality, Seq("doc_id"), "left_semi")
       .join(losers, Seq("doc_id"), "left_anti")
+      .join(buckets, Seq("doc_id"), "left")
+      .withColumn("bucket", coalesce(col("bucket"), lit("tail")))
   }
 
   /** Benchmark decontamination: which documents share a [[GramW]]-token

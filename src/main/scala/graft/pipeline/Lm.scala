@@ -119,4 +119,54 @@ object Lm {
         coalesce(col("lm_score_q16"), lit(0L)).as("lm_score_q16"),
         coalesce(col("n_transitions"), lit(0L)).as("n_transitions"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.2 — public:
+    * documents are split per language into head/middle/tail thirds by LM
+    * perplexity, and the training mix samples the buckets differently).
+    * Here the rank key is the PER-TOKEN stupid-backoff score — exact Q16
+    * floor division, higher = more corpus-typical = lower perplexity — and
+    * the terciles are integer rank math (`3·rank ≤ n`, `3·rank ≤ 2n`), no
+    * floats anywhere.
+    *
+    * Scale shape: ranking within a language NEVER partitions by the bare
+    * language (a 10-language corpus would put a tenth of 100 TB in one
+    * window task). Instead: (1) per-(lang, score) counts — map-side
+    * combined, bounded by distinct Q16 score values; (2) an exclusive
+    * running sum over that TINY histogram gives every score its global
+    * in-language rank offset; (3) a row_number only WITHIN each (lang,
+    * score) tie group (fine-grained keys, no hot partition) breaks ties by
+    * doc_id. rank = offset + tie position. Docs with no transitions (< 2
+    * tokens) carry no rank and bucket as 'tail'.
+    */
+  def lmBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val langs = docs(spark, sfDir).select(col("doc_id"), col("lang"))
+    val scored = lmScore(spark, sfDir)
+      .filter(col("n_transitions") > 0L)
+      .join(langs, Seq("doc_id"))
+      // integral division truncating toward zero — Spark `div` and DuckDB
+      // `//` agree exactly, including on the negative scores
+      .withColumn("tok_score_q16",
+        expr("lm_score_q16 div n_transitions"))
+    val hist = scored.groupBy(col("lang"), col("tok_score_q16"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum_before",
+        coalesce(sum(col("c")).over(Window.partitionBy(col("lang"))
+          .orderBy(col("tok_score_q16").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_lang",
+        sum(col("c")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("tok_score_q16"), col("cum_before"), col("n_lang"))
+    scored
+      .withColumn("tie_rn", row_number().over(
+        Window.partitionBy(col("lang"), col("tok_score_q16"))
+          .orderBy(col("doc_id"))).cast("long"))
+      .join(cum, Seq("lang", "tok_score_q16"))
+      .withColumn("lang_rank", col("cum_before") + col("tie_rn"))
+      .select(col("doc_id"), col("lang"), col("tok_score_q16"),
+        col("lang_rank"), col("n_lang"),
+        when(col("lang_rank") * 3L <= col("n_lang"), "head")
+          .when(col("lang_rank") * 3L <= col("n_lang") * 2L, "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

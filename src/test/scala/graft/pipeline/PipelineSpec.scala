@@ -562,6 +562,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("lm buckets: exact per-language terciles, rank = local sort position") {
+    val rows = Lm.lmBuckets(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the expected ranking locally: per-token score desc, doc_id asc
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      val n = rs.length
+      assert(rs.forall(_.getAs[Long]("n_lang") == n.toLong), s"$lang n_lang")
+      val sorted = rs.sortBy(r =>
+        (-r.getAs[Long]("tok_score_q16"), r.getAs[Long]("doc_id")))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val rank = i + 1L
+        assert(r.getAs[Long]("lang_rank") == rank,
+          s"$lang doc ${r.getAs[Long]("doc_id")} rank")
+        val expect = if (rank * 3 <= n) "head"
+        else if (rank * 3 <= 2L * n) "middle" else "tail"
+        assert(r.getAs[String]("bucket") == expect, s"$lang rank $rank bucket")
+      }
+      // tercile sizes: |head| = floor(n/3), |head|+|middle| = floor(2n/3)
+      assert(rs.count(_.getAs[String]("bucket") == "head") == n / 3, s"$lang head")
+      assert(rs.count(_.getAs[String]("bucket") != "tail") == 2 * n / 3, s"$lang mid")
+    }
+    // manifest carries the bucket column and only ranked-or-tail values
+    val mf = Dedup.trainManifest(spark, sf).collect()
+    val bucketOf = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    mf.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("bucket") == bucketOf.getOrElse(id, "tail"), s"manifest doc $id")
+    }
+  }
+
   test("C4 rules: each injected variant lands on its documented outcome") {
     val rows = TextAnalysis.qualityC4(spark, sf).collect()
     assert(rows.nonEmpty)
