@@ -1764,21 +1764,42 @@ object SparkEntry {
          |  FROM sc)
          |WHERE rank <= ${Search.TopK}""".stripMargin
     },
-    // exact phrase occurrence counts by substring deletion; top 10 docs
-    // per phrase among cnt > 0 — mirrors Search.phraseTopK
+    // positional phrase match: every phrase-term hit at token pos votes
+    // for start = pos - idx; a start holding ALL indices is an occurrence
+    // — mirrors Search.phraseTopK (the rarest-term seeding there is a pure
+    // optimization with identical results, so the oracle replays the
+    // unseeded vote count)
     "search_phrase" -> {
-      val vals = Search.Phrases.map { case (id, p) => s"($id, '$p')" }.mkString(", ")
-      s"""WITH p(phrase_id, phrase) AS (VALUES $vals),
-         |m AS (
-         |  SELECT CAST(p.phrase_id AS BIGINT) AS phrase_id, d.doc_id,
-         |    CAST((strlen(d.text) - strlen(replace(d.text, p.phrase, '')))
-         |      // strlen(p.phrase) AS BIGINT) AS n_occurrences
-         |  FROM documents d CROSS JOIN p)
+      val vals = Search.Phrases.flatMap { case (id, p) =>
+        p.split(" ").zipWithIndex.map { case (w, i) => s"($id, $i, '$w')" }
+      }.mkString(", ")
+      s"""WITH pt(phrase_id, idx, w) AS (VALUES $vals),
+         |plen AS (SELECT phrase_id, COUNT(*) AS L FROM pt GROUP BY 1),
+         |dw AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS wl
+         |  FROM documents),
+         |tz AS (SELECT doc_id,
+         |         unnest(list_zip(wl, generate_series(1, len(wl)))) AS p FROM dw),
+         |tp AS (SELECT doc_id, p[1] AS w, CAST(p[2] AS BIGINT) - 1 AS pos
+         |       FROM tz WHERE p[2] IS NOT NULL),
+         |hits AS (
+         |  SELECT CAST(pt.phrase_id AS BIGINT) AS phrase_id,
+         |    CAST(pt.idx AS BIGINT) AS idx, tp.doc_id, tp.pos - pt.idx AS start
+         |  FROM tp JOIN pt ON pt.w = tp.w WHERE tp.pos - pt.idx >= 0),
+         |st AS (
+         |  SELECT h.phrase_id, h.doc_id, h.start, COUNT(DISTINCT h.idx) AS k,
+         |    ANY_VALUE(l.L) AS L
+         |  FROM hits h JOIN plen l ON l.phrase_id = h.phrase_id
+         |  GROUP BY 1, 2, 3),
+         |occ AS (
+         |  SELECT phrase_id, doc_id, COUNT(*) AS n_occurrences
+         |  FROM st WHERE k = L GROUP BY 1, 2)
          |SELECT phrase_id, rank, doc_id, n_occurrences FROM (
-         |  SELECT phrase_id, doc_id, n_occurrences,
+         |  SELECT phrase_id, doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY phrase_id
          |      ORDER BY n_occurrences DESC, doc_id) AS BIGINT) AS rank
-         |  FROM m WHERE n_occurrences > 0)
+         |  FROM occ)
          |WHERE rank <= ${Search.TopK}""".stripMargin
     },
     "ann_topk" ->

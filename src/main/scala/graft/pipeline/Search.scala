@@ -170,24 +170,70 @@ object Search {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_q16"))
   }
 
-  /** Exact phrase search: occurrence counts by substring deletion
-    * ((len(text) − len(remove(text, p))) div len(p) — exact in both
-    * engines), top 10 docs per phrase among cnt > 0. Broadcast phrase
-    * table × narrow scan; only matching docs reach the per-phrase window.
+  /** Exact phrase search over POSITIONAL postings — the way an inverted
+    * index answers phrase queries (token-sequence match, not byte
+    * substring): every phrase-term hit at token position `pos` votes for
+    * the implied occurrence start `pos − idx`; a start holding ALL of the
+    * phrase's indices is a match. Top 10 docs per phrase by occurrence
+    * count.
+    *
+    * Scale shape — the docs table is never cross-joined and never scanned
+    * per phrase:
+    *   1. the positional token stream is pruned AT THE SCAN by the
+    *      broadcast phrase-term set, so only phrase-relevant positions
+    *      survive (Σ_t df·tf over phrase terms, not the corpus);
+    *   2. candidate (doc, start) pairs are seeded ONLY from each phrase's
+    *      rarest term (lowest hit count), so a stop-word inside a phrase
+    *      ("the line") never floods the start-keyed shuffle — the classic
+    *      rarest-first postings intersection, set-based;
+    *   3. verification joins the hit stream back on (phrase_id, doc_id,
+    *      start) and checks all indices are present — one fine-grained
+    *      keyed shuffle, no window wider than a (phrase, doc, start) group.
+    * Seeding is a pure optimization: results equal the unseeded vote count,
+    * which is what the DuckDB oracle replays.
     */
   def phraseTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    val p = broadcast(Phrases.toDF("phrase_id", "phrase"))
-    val cnt = ((octet_length(col("text")) -
-      octet_length(expr("replace(text, phrase, '')"))) /
-      octet_length(col("phrase"))).cast("long")
-    val matches = docs(spark, sfDir).crossJoin(p)
-      .select(col("phrase_id"), col("doc_id"), cnt.as("n_occurrences"))
-      .filter(col("n_occurrences") > 0L)
+    val pt = Phrases.flatMap { case (id, ph) =>
+      ph.split(" ").zipWithIndex.map { case (w, i) => (id, i.toLong, w) }
+    }.toDF("phrase_id", "idx", "w")
+    val plen = pt.groupBy("phrase_id").agg(count(lit(1)).as("plen"))
+    // positional tokens, pruned at the scan by the broadcast term set
+    val tp = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(
+        filter(split(lower(col("text")), "\\W+"), w => w =!= "")))
+      .toDF("doc_id", "pos", "w")
+      .join(broadcast(pt.select("w").distinct()), "w")
+    val hits = tp.join(broadcast(pt), "w")
+      .select(col("phrase_id"), col("idx"), col("doc_id"),
+        (col("pos").cast("long") - col("idx")).as("start"))
+      .filter(col("start") >= 0L)
+      .localCheckpoint() // consumed three times (df, seeds, verify)
+    // rarest term per phrase (fewest hits; ties to the lowest idx) —
+    // renamed columns keep the hits self-joins unambiguous
+    val rare = hits.groupBy("phrase_id", "idx")
+      .agg(count(lit(1)).as("hc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("phrase_id").orderBy(col("hc"), col("idx"))))
+      .filter(col("rn") === 1)
+      .select(col("phrase_id").as("rpid"), col("idx").as("ridx"))
+    val seeds = hits.join(broadcast(rare),
+        col("phrase_id") === col("rpid") && col("idx") === col("ridx"))
+      .select(col("phrase_id").as("spid"), col("doc_id").as("sdid"),
+        col("start").as("sstart"))
+    val occ = hits.join(seeds,
+        col("phrase_id") === col("spid") && col("doc_id") === col("sdid") &&
+          col("start") === col("sstart"), "left_semi")
+      .groupBy("phrase_id", "doc_id", "start")
+      .agg(countDistinct(col("idx")).as("k"))
+      .join(broadcast(plen), "phrase_id")
+      .filter(col("k") === col("plen"))
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
     val win = Window.partitionBy("phrase_id")
       .orderBy(col("n_occurrences").desc, col("doc_id"))
-    matches.withColumn("rank", row_number().over(win).cast("long"))
+    occ.withColumn("rank", row_number().over(win).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("phrase_id"), col("rank"), col("doc_id"), col("n_occurrences"))
   }

@@ -530,6 +530,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(rowsPhrase.nonEmpty)
   }
 
+  test("phrase search: positional index, docs never cross-joined, token semantics") {
+    // the docs table must not be scanned per phrase: no cartesian /
+    // nested-loop join anywhere in the physical plan
+    val df0 = Search.phraseTopK(spark, sf)
+    val plan = df0.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), s"cartesian in phrase plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in phrase plan:\n$plan")
+    // local token-level recount of every phrase over the raw docs
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\W+").filter(_.nonEmpty))
+    val got = df0.collect()
+      .groupBy(_.getAs[Long]("phrase_id"))
+      .map { case (pid, rs) =>
+        pid -> rs.sortBy(_.getAs[Long]("rank"))
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occurrences")).toSeq
+      }
+    Search.Phrases.foreach { case (pid, ph) =>
+      val terms = ph.split(" ")
+      val expected = docs.flatMap { case (id, ws) =>
+        val n = ws.indices.count(i => i + terms.length <= ws.length &&
+          terms.indices.forall(j => ws(i + j) == terms(j))).toLong
+        if (n > 0) Some(id -> n) else None
+      }.sortBy { case (id, n) => (-n, id) }.take(Search.TopK).toSeq
+      assert(got.getOrElse(pid, Seq.empty) == expected, s"phrase $pid")
+    }
+  }
+
   test("log2fix: exact at powers of two, within one Q16 ulp-cluster elsewhere") {
     (0 to 40).foreach { k =>
       assert(Lm.log2fix(1L << k) == k.toLong << 16, s"2^$k")
