@@ -493,6 +493,89 @@ object SparkEntry {
     (head +: steps).mkString(",\n")
   }
 
+  /** crawl_priority_bfs parameters, derived from the verified sf: the
+    * global pop P scales with corpus size (~12 full-P rounds at any sf)
+    * and the per-host cap is 3P/10 (engages whenever ≥ 4 hosts carry deep
+    * frontiers, and alone bounds drain to ≤ 40 rounds since cap =
+    * ~total/40).
+    */
+  def priorityPopFor(sfDir: String): Int = {
+    val total = graft.corpus.CorpusGen.specFor(sfDir).actualTotal
+    math.max(500L, (total + 11) / 12).toInt
+  }
+  def priorityHostCapFor(sfDir: String): Int = priorityPopFor(sfDir) * 3 / 10
+
+  /** Unroll depth for the crawl_priority_bfs oracle. Worst case the hosts
+    * drain SEQUENTIALLY at cap pops/round: Σ_h ceil(size_h/cap) ≤
+    * ceil(total/cap) + nHosts rounds, plus the discovery-lag margin (the
+    * graph's eccentricity ≤ log2(max host size) within a binary-tree host
+    * + one hop per host boundary) and slack. Every round past the real
+    * drain is empty on BOTH sides, so overshoot is free.
+    */
+  def priorityBfsRounds: Int = {
+    val spec = graft.corpus.CorpusGen.specFor(oracleSfDir)
+    val cap = priorityHostCapFor(oracleSfDir)
+    ((spec.actualTotal + cap - 1) / cap).toInt +
+      (64 - java.lang.Long.numberOfLeadingZeros(spec.hostSizes.max.toLong max 1L)).toInt +
+      spec.hostSizes.length + 4
+  }
+
+  /** The best-first (priority + politeness) schedule replayed in SQL:
+    * [[priorityBfsRounds]] unrolled rounds of (per-host rank by url ≤ cap
+    * → global rank by (pr desc, url) ≤ P → pop; links of popped pages,
+    * first-wins by (parent_seq, pos), anti-joined against everything ever
+    * enqueued, depth = first discoverer's + 1). Consumes the PageRank CTE
+    * chain ([[pagerankCteBody]]'s p{iters}). MATERIALIZED is load-bearing
+    * (DuckDB inlines CTEs).
+    */
+  private def priorityBfsCtes: String = {
+    val pP = priorityPopFor(oracleSfDir)
+    val cap = priorityHostCapFor(oracleSfDir)
+    val rounds = priorityBfsRounds
+    val prIters = graft.pipeline.HostGraph.PageRankIters
+    val hostRe = "'^https?://([^/]+)'"
+    val head =
+      s"""prh AS MATERIALIZED (SELECT h AS host, pr FROM p$prIters),
+         |pf0 AS MATERIALIZED (
+         |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url,
+         |    CAST('host0.test' AS VARCHAR) AS host, 0 AS depth,
+         |    CAST(0 AS BIGINT) AS seq),
+         |ps0 AS MATERIALIZED (SELECT url, seq FROM pf0)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""pr$k AS MATERIALIZED (
+         |  SELECT f.url, f.host, f.depth, f.seq, COALESCE(p.pr, 0) AS pr,
+         |    ROW_NUMBER() OVER (PARTITION BY f.host ORDER BY f.url) AS hrk
+         |  FROM pf${k - 1} f LEFT JOIN prh p ON p.host = f.host),
+         |pg$k AS MATERIALIZED (
+         |  SELECT url, host, depth, seq, pr,
+         |    ROW_NUMBER() OVER (ORDER BY pr DESC, url) AS grk
+         |  FROM pr$k WHERE hrk <= $cap),
+         |pk$k AS MATERIALIZED (SELECT url, host, depth, seq FROM pg$k WHERE grk <= $pP),
+         |pd$k AS MATERIALIZED (
+         |  SELECT url, host, depth, seq FROM pr$k WHERE hrk > $cap
+         |  UNION ALL SELECT url, host, depth, seq FROM pg$k WHERE grk > $pP),
+         |pl$k AS MATERIALIZED (
+         |  SELECT l.dst_url AS url, p.seq AS pseq, l.pos, p.depth AS pd
+         |  FROM ${gt("xlinks")} l JOIN pk$k p ON l.src_url = p.url),
+         |pw$k AS MATERIALIZED (
+         |  SELECT url, MIN(pseq * 1000000 + pos) AS ok FROM pl$k
+         |  WHERE url NOT IN (SELECT url FROM ps${k - 1}) GROUP BY url),
+         |pn$k AS MATERIALIZED (
+         |  SELECT w.url, regexp_extract(w.url, $hostRe, 1) AS host,
+         |    l.pd + 1 AS depth,
+         |    (SELECT MAX(seq) FROM ps${k - 1})
+         |      + ROW_NUMBER() OVER (ORDER BY w.ok) AS seq
+         |  FROM pw$k w JOIN pl$k l ON l.url = w.url AND l.pseq * 1000000 + l.pos = w.ok),
+         |pf$k AS MATERIALIZED (
+         |  SELECT url, host, depth, seq FROM pd$k
+         |  UNION ALL SELECT url, host, depth, seq FROM pn$k),
+         |ps$k AS MATERIALIZED (
+         |  SELECT url, seq FROM ps${k - 1} UNION ALL SELECT url, seq FROM pn$k),
+         |po$k AS MATERIALIZED (SELECT url, depth, $k AS wave FROM pk$k)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   /** The RFC 9309 robots.txt BODY parse (graft.crawl.RobotsParser)
     * replayed line by line in SQL over the corpus's served bodies, for the
     * engine UA: comment strip → trim → drop empty / colon-less lines →
@@ -671,6 +754,8 @@ object SparkEntry {
     "crawl_cdx_index" -> ((s, d) => graft.sinks.Warc.cdxIndex(s, d)),
     "crawl_sink_wet" -> ((s, d) => graft.sinks.Warc.wetRecords(s, d)),
     "crawl_priority_frontier" -> ((s, d) => graft.crawl.PriorityCrawl.schedule(s, d)),
+    "crawl_priority_bfs" -> ((s, d) =>
+      C.priorityBfs(s, d, priorityPopFor(d), priorityHostCapFor(d))),
     "graph_host_pagerank" -> ((s, d) => graft.pipeline.HostGraph.hostPageRank(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
     "mm_blob_features" -> ((s, d) => Multimodal.blobFeatures(s, d)),
@@ -716,6 +801,17 @@ object SparkEntry {
         .mkString(" UNION ALL ")})
          |SELECT o.url, CAST(o.depth AS BIGINT) AS depth, CAST(o.wave AS BIGINT) AS wave
          |FROM oall o JOIN ${gt("meta")} m ON m.url = o.url
+         |WHERE m.empty_html = 0""".stripMargin,
+    // best-first priority schedule through the wave engine (politeness cap
+    // active): unrolled pop/defer rounds over the PageRank host priorities;
+    // non-empty pages only (empty html ≙ fetch error)
+    "crawl_priority_bfs" ->
+      s"""WITH $pagerankCteBody,
+         |$priorityBfsCtes,
+         |poall AS (${(1 to priorityBfsRounds)
+        .map(k => s"SELECT url, depth, wave FROM po$k").mkString(" UNION ALL ")})
+         |SELECT o.url, CAST(o.depth AS BIGINT) AS depth, CAST(o.wave AS BIGINT) AS wave
+         |FROM poall o JOIN ${gt("meta")} m ON m.url = o.url
          |WHERE m.empty_html = 0""".stripMargin,
     "crawl_limit_prefix" ->
       s"""$reachCte,

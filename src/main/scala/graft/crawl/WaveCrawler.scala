@@ -160,7 +160,25 @@ final case class CrawlConfig(
       * (fetch times) move. Selection is the budget path's salted two-phase
       * rank, so no task ever ranks a whole mega-host's frontier.
       */
-    hostWaveCap: Int = 0
+    hostWaveCap: Int = 0,
+    /** Best-first frontier scheduling (X27 composed into the wave engine;
+      * OPIC / harvest-rank shape — public): per-url priority is the fixed-
+      * point integer rank of the url's HOST in this (host, pr) table
+      * (host-bounded, broadcast; absent host ⇒ 0). Requires
+      * [[priorityPopPerWave]] > 0. Each wave pops the top-P frontier urls
+      * by (pr desc, url asc) instead of a whole BFS depth slice and defers
+      * the rest; with [[hostWaveCap]] > 0 the per-host politeness cap
+      * selects in the SAME priority order (within one host that is url
+      * asc — priority is per-host constant) BEFORE the global top-P, so
+      * priority + politeness compose in one engine. Both selections are
+      * salted two-phase ranks: no task ever ranks a whole mega-host, and
+      * the exact global rank only ever orders ≤ salts·P survivors. Depth
+      * keeps the first-discoverer semantics of capped waves (mixed-depth
+      * pops), so the SEEN SET is schedule-independent; only fetch times
+      * (wave numbers) move.
+      */
+    priorityHostRank: Option[DataFrame] = None,
+    priorityPopPerWave: Int = 0
 )
 
 final case class ProcLink(dst: String, dstHost: String, pos: Int)
@@ -585,6 +603,12 @@ object WaveCrawler {
     val fuseListWave = listMode && config.pageLimit <= 0 &&
       config.hostPageBudget <= 0 && config.matchPatterns.isEmpty
 
+    // Best-first mode (CrawlConfig.priorityHostRank): the host-rank table is
+    // host-bounded, so it broadcasts once and every wave's frontier joins it
+    val priorityMode = config.priorityHostRank.isDefined && config.priorityPopPerWave > 0
+    val bcPriority = config.priorityHostRank.map(df =>
+      df.select($"host", $"pr").localCheckpoint(true)) // broadcast-hinted at the join
+
     // Wave-size-adaptive AQE (see CrawlConfig.aqeMinWaveRows): restore the
     // caller's setting whatever happens. Session-scoped conf — callers
     // running concurrent queries on the same session should pass 0.
@@ -611,7 +635,41 @@ object WaveCrawler {
       // implies the exact per-host rank > cap, so phase 2 ranks only the
       // ≤ salts·cap survivors per host; no task ranks a whole mega-host.
       val (waveFrontier, deferred, popN) =
-        if (config.hostWaveCap > 0) {
+        if (priorityMode) {
+          // Best-first pop: top-P frontier urls by (host-pr desc, url asc);
+          // the per-host politeness cap (when set) selects in the SAME
+          // priority order first. Both ranks are salted two-phase: a slice
+          // rank > cap/P already implies the exact rank > cap/P, so phase 2
+          // only ever orders the bounded survivor set.
+          val pP = config.priorityPopPerWave
+          val withPr = frontier
+            .join(broadcast(bcPriority.get), Seq("host"), "left")
+            .withColumn("pr", coalesce($"pr", lit(0L)))
+          val hostCapped =
+            if (config.hostWaveCap > 0) {
+              val cap = config.hostWaveCap
+              val salted = withPr.withColumn("salt", pmod(hash($"url"), lit(BudgetSalts)))
+              val w1 = Window.partitionBy($"host", $"salt").orderBy($"url")
+              val w2 = Window.partitionBy($"host").orderBy($"url")
+              salted.withColumn("rk1", row_number().over(w1)).filter($"rk1" <= cap)
+                .withColumn("rk", row_number().over(w2)).filter($"rk" <= cap)
+                .drop("rk1", "rk", "salt")
+            } else withPr
+          val gsalted = hostCapped.withColumn("salt", pmod(hash($"url"), lit(BudgetSalts)))
+          val gw1 = Window.partitionBy($"salt").orderBy($"pr".desc, $"url")
+          val gw2 = Window.orderBy($"pr".desc, $"url") // ≤ salts·P survivors
+          val pop = gsalted.withColumn("grk1", row_number().over(gw1))
+            .filter($"grk1" <= pP)
+            .withColumn("grk", row_number().over(gw2)).filter($"grk" <= pP)
+            .select($"url", $"host", $"depth", $"seq").localCheckpoint(false)
+          // deferred = everything not popped (host-cap drops + priority cuts),
+          // original depth/seq intact
+          val defer = frontier
+            .join(pop.select($"url".as("purl")), $"url" === $"purl", "left_anti")
+            .select($"url", $"host", $"depth", $"seq").localCheckpoint(false)
+          val n = pop.count()
+          (pop, defer, n)
+        } else if (config.hostWaveCap > 0) {
           val cap = config.hostWaveCap
           val salted = frontier.withColumn("salt", pmod(hash($"url"), lit(BudgetSalts)))
           val w1 = Window.partitionBy($"host", $"salt").orderBy($"seq")
@@ -847,11 +905,11 @@ object WaveCrawler {
       val newFrontier = (if (takeLinksPath) {
         val ordered = withGlobalIndexN(fresh, "idx", nParts(spark, linksHint),
           $"parent_seq".asc, $"pos".asc)
-        if (config.hostWaveCap > 0)
-          // capped waves pop mixed depths, so a new url's depth is its
-          // FIRST discoverer's depth + 1 (the discoverer owning the min
+        if (config.hostWaveCap > 0 || priorityMode)
+          // capped/priority waves pop mixed depths, so a new url's depth is
+          // its FIRST discoverer's depth + 1 (the discoverer owning the min
           // (parent_seq, pos) — joined back from the popped wave, which is
-          // host-cap-bounded and therefore broadcastable; a 10^10 frontier
+          // cap/P-bounded and therefore broadcastable; a 10^10 frontier
           // shuffles this join on parent_seq instead)
           ordered.join(
             broadcast(waveFrontier.select($"seq".as("parent_seq"),

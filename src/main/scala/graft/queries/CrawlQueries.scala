@@ -466,6 +466,24 @@ object CrawlQueries {
     }.saved.select(col("url"), col("depth").cast("long").as("depth"),
       col("wave").cast("long").as("wave"))
 
+  /** Best-first priority crawl THROUGH the wave engine, politeness cap
+    * active (X27 composed with X32): priorities are the fixed-point integer
+    * host PageRank over the cross-host link graph; each wave pops the
+    * global top-`pop` frontier urls by (pr desc, url) with at most `cap`
+    * per host, deferring the rest. Multi-host, scheduling-only. Output:
+    * the fetched (non-empty) pages with the wave each was popped in — the
+    * full best-first schedule, replayed by the oracle's unrolled rounds
+    * over the same PageRank CTE chain.
+    */
+  def priorityBfs(spark: SparkSession, sfDir: String, pop: Int, cap: Int): DataFrame =
+    cached(spark, sfDir, s"priobfs${pop}_$cap") { dir =>
+      val pr = graft.pipeline.HostGraph.hostPageRank(spark, sfDir)
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(startUrl = Seed, sameHostOnly = false, extractContent = false,
+          priorityHostRank = Some(pr), priorityPopPerWave = pop, hostWaveCap = cap))
+    }.saved.select(col("url"), col("depth").cast("long").as("depth"),
+      col("wave").cast("long").as("wave"))
+
   def hostBudget(spark: SparkSession, sfDir: String, budget: Int): DataFrame =
     cached(spark, sfDir, s"budget$budget") { dir =>
       WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),

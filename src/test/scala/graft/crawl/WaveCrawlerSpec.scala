@@ -485,6 +485,80 @@ class WaveCrawlerSpec extends AnyFunSuite {
       s"resumed seen holds ${seenUrls.length - seenUrls.toSet.size} duplicate urls")
   }
 
+  test("priority + politeness: schedule equals a local best-first replay, both cuts engage") {
+    import org.apache.spark.sql.functions.col
+    val P = 10
+    val cap = 4
+    val prOf = Map("host2.test" -> 300L, "host1.test" -> 200L, "host0.test" -> 100L)
+    val sqlc = spark
+    import sqlc.implicits._
+    val prio = prOf.toSeq.toDF("host", "pr")
+    val out = WaveCrawler.crawl(spark, pages, CrawlConfig(startUrl = seed0,
+      sameHostOnly = false, extractContent = false,
+      priorityHostRank = Some(prio), priorityPopPerWave = P, hostWaveCap = cap))
+    val got = out.saved.select("url", "depth", "wave").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+
+    // local reference replay over the xlinks ground truth
+    val edges = spark.read.parquet(s"$corpusDir/xlinks.parquet")
+      .select(col("src_url"), col("dst_url"), col("pos").cast("int")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(t => (t._2, t._3)).toVector).toMap
+    def hostOf(u: String) = u.stripPrefix("http://").takeWhile(_ != '/')
+    var frontier = Vector((seed0, "host0.test", 0, 0L))
+    var seen = Set(seed0)
+    var maxSeq = 0L
+    var wave = 0
+    var hostCutWaves = 0
+    var globalCutWaves = 0
+    val sched = Map.newBuilder[String, (Int, Int)]
+    while (frontier.nonEmpty && wave < 500) {
+      wave += 1
+      val capped = frontier.groupBy(_._2).toVector.flatMap { case (_, rs) =>
+        rs.sortBy(_._1).take(cap)
+      }
+      if (capped.length < frontier.length) hostCutWaves += 1
+      val pop = capped.sortBy(r => (-prOf.getOrElse(r._2, 0L), r._1)).take(P)
+      if (pop.length < capped.length) globalCutWaves += 1
+      pop.foreach { case (u, _, d, _) => sched += (u -> (d, wave)) }
+      val popSet = pop.map(_._1).toSet
+      val cand = pop.flatMap { case (u, _, d, sq) =>
+        edges.getOrElse(u, Vector.empty).map { case (dst, pos) => (dst, sq, pos, d) }
+      }
+      val winners = cand.groupBy(_._1).toVector
+        .map { case (dst, cs) =>
+          val w = cs.minBy(c => (c._2, c._3)); (dst, w._4 + 1, (w._2, w._3))
+        }
+        .filter { case (dst, _, _) => !seen(dst) }
+        .sortBy(_._3)
+      val newRows = winners.zipWithIndex.map { case ((dst, dp, _), i) =>
+        (dst, hostOf(dst), dp, maxSeq + 1 + i)
+      }
+      maxSeq += newRows.length
+      seen ++= newRows.map(_._1)
+      frontier = frontier.filterNot(r => popSet(r._1)) ++ newRows
+    }
+    // the engine saves only fetched non-empty pages; the replay pops
+    // dangling/empty urls too (they consume cap slots in both)
+    val expected = sched.result().filter { case (u, _) =>
+      web.get(u).exists(_.trim.nonEmpty)
+    }
+    assert(got == expected, {
+      val d1 = (expected.toSet -- got.toSet).take(5)
+      val d2 = (got.toSet -- expected.toSet).take(5)
+      s"schedule drift; missing=$d1 extra=$d2"
+    })
+    // both selection stages must actually engage for this to test anything
+    assert(hostCutWaves > 0, "per-host cap never engaged")
+    assert(globalCutWaves > 0, "global top-P never engaged")
+    // the seen URL SET is schedule-independent: equals plain multihost BFS
+    val bfsSeen = WaveCrawler.crawl(spark, pages, CrawlConfig(startUrl = seed0,
+      sameHostOnly = false, extractContent = false))
+      .seen.select("url").collect().map(_.getString(0)).toSet
+    val prioSeen = out.seen.select("url").collect().map(_.getString(0)).toSet
+    assert(prioSeen == bfsSeen, "priority scheduling changed reachability")
+  }
+
   test("politeness cap with forced bloom segments: identical capped schedule") {
     val cap = 7
     val plain = WaveCrawler.crawl(spark, pages,
