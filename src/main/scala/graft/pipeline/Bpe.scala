@@ -46,33 +46,83 @@ object Bpe {
 
   private val initSeq = udf((w: String) => w.map(c => s"($c)").mkString)
 
+  /** How many merges may chain their (narrow) sequence rewrites before the
+    * vocabulary table is re-checkpointed — bounds Catalyst plan depth
+    * without paying a materialization job per merge.
+    */
+  val SeqCheckpointEvery = 8
+
+  /** The adjacent-pair multiset of a (freq, s) table, `sign`-weighted:
+    * (a, b, cnt = Σ sign·freq).
+    */
+  private def pairCountsOf(df: DataFrame, sign: Long): DataFrame =
+    df.select((col("freq") * sign).as("freq"),
+        expr("regexp_extract_all(s, '\\\\(([^)]*)\\\\)', 1)").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> " +
+          "struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
   /** Train [[NumMerges]] merges; returns the merge table (step, sym_a,
     * sym_b) — the driver-held model — and leaves per-step work distributed.
+    *
+    * INCREMENTAL pair-count maintenance (the standard trainer shape): the
+    * full pair extraction runs ONCE; each merge then (1) collects the
+    * argmax row of the maintained pair-count table and (2) folds in the
+    * count deltas of only the words whose sequence CONTAINS the merged
+    * pair — merging (a,b) can only destroy pairs overlapping an (a)(b)
+    * occurrence and create pairs touching the new (ab) symbol, both
+    * confined to those words. Result is bit-identical to a full recount
+    * per step (the DuckDB oracle IS the full recount, unrolled).
+    *
+    * Job-count bound: exactly 2 jobs per merge (argmax collect + delta
+    * fold into the checkpointed count table), plus one vocabulary rewrite
+    * checkpoint every [[SeqCheckpointEvery]] merges — ~2.1 jobs/merge
+    * hard. Per-merge DATA is the pair table (vocabulary-pair-bounded,
+    * shrinking) and the affected words only, not the corpus and not the
+    * full vocabulary: a 32k-merge vocab is ~67k small jobs instead of 64k
+    * full-vocabulary pair re-extractions.
     */
   def trainMerges(spark: SparkSession, sfDir: String): Seq[(Int, String, String)] = {
     var seqs = wordFreqs(spark, sfDir)
       .select(col("w"), col("freq"), initSeq(col("w")).as("s"))
       .localCheckpoint(true)
+    var pairCounts = pairCountsOf(seqs, 1L).localCheckpoint(true)
+    var sinceSeqCk = 0
     val merges = Seq.newBuilder[(Int, String, String)]
     for (k <- 1 to NumMerges) {
-      val pairs = seqs
-        .select(col("freq"), expr("regexp_extract_all(s, '\\\\(([^)]*)\\\\)', 1)").as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(t) - 1), i -> " +
-            "struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("cnt"))
-      val best = pairs.orderBy(desc("cnt"), asc("a"), asc("b")).limit(1).collect()
+      val best = pairCounts.filter(col("cnt") > 0)
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1).collect()
       if (best.nonEmpty) {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((k, a, b))
-        // symbols are ASCII \w chars — safe to inline as SQL literals
+        // symbols are ASCII \w chars — safe to inline as SQL literals;
+        // parens cannot occur inside a symbol, so the literal matches only
+        // whole adjacent tokens, and replace's left-to-right non-overlap
+        // IS greedy BPE application
+        val affected = seqs.filter(col("s").contains(s"($a)($b)"))
+        val rewritten = affected.withColumn("s", expr(s"replace(s, '($a)($b)', '($a$b)')"))
+        val prevPc = pairCounts
+        pairCounts = pairCounts
+          .unionByName(pairCountsOf(affected, -1L))
+          .unionByName(pairCountsOf(rewritten, 1L))
+          .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") =!= 0L)
+          .localCheckpoint(true) // job 2 of the merge: the delta fold
+        prevPc.unpersist()
+        // the vocabulary rewrite itself is narrow — chain it lazily and
+        // re-checkpoint only every SeqCheckpointEvery merges (plan-depth
+        // bound, not a correctness point)
         val prev = seqs
-        seqs = seqs
-          .withColumn("s", expr(s"replace(s, '($a)($b)', '($a$b)')"))
-          .localCheckpoint(true) // each step's action must not replay the chain
-        prev.unpersist()
+        seqs = seqs.withColumn("s", expr(s"replace(s, '($a)($b)', '($a$b)')"))
+        sinceSeqCk += 1
+        if (sinceSeqCk >= SeqCheckpointEvery) {
+          seqs = seqs.localCheckpoint(true)
+          prev.unpersist()
+          sinceSeqCk = 0
+        }
       }
     }
     merges.result()

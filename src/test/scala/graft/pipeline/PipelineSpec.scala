@@ -558,6 +558,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe: incremental pair-count trainer equals a local full-recount greedy") {
+    val got = Bpe.trainMerges(spark, sf)
+    // local reference: full recount per step over the collected vocabulary
+    var vocab = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("\\W+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.length.toLong
+      }.toVector
+    val expected = Seq.newBuilder[(Int, String, String)]
+    for (k <- 1 to Bpe.NumMerges) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        expected += ((k, a, b))
+        vocab = vocab.map { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2 // greedy left-to-right, overlaps skip
+            } else { out += syms(i); i += 1 }
+          }
+          out.result() -> f
+        }
+      }
+    }
+    assert(got == expected.result())
+  }
+
   test("log2fix: exact at powers of two, within one Q16 ulp-cluster elsewhere") {
     (0 to 40).foreach { k =>
       assert(Lm.log2fix(1L << k) == k.toLong << 16, s"2^$k")
