@@ -576,6 +576,80 @@ object SparkEntry {
     (head +: steps).mkString(",\n")
   }
 
+  /** crawl_politeness_delay parameters: the cap budget (pops·seconds per
+    * wave) scales with corpus size; a parsed crawl-delay d gives its host
+    * cap = budget div d, delay-less hosts get budget div 3. The corpus's
+    * largest delay is 4 s, so the smallest cap is ~total/40 and the
+    * sequential-drain round bound stays ~40 + margins at any sf.
+    */
+  def delayBudgetFor(sfDir: String): Int =
+    math.max(600L, graft.corpus.CorpusGen.specFor(sfDir).actualTotal / 10).toInt
+  def delayDefaultCapFor(sfDir: String): Int = delayBudgetFor(sfDir) / 3
+
+  /** Unroll depth for the crawl_politeness_delay oracle — the
+    * [[priorityBfsRounds]] argument with min cap = budget div 4. */
+  def delayRounds: Int = {
+    val spec = graft.corpus.CorpusGen.specFor(oracleSfDir)
+    val minCap = math.max(1, delayBudgetFor(oracleSfDir) / 4)
+    ((spec.actualTotal + minCap - 1) / minCap).toInt +
+      (64 - java.lang.Long.numberOfLeadingZeros(spec.hostSizes.max.toLong max 1L)).toInt +
+      spec.hostSizes.length + 4
+  }
+
+  /** The crawl-delay-capped multi-host FIFO schedule replayed in SQL:
+    * per-host caps from the robots parse's winning-group crawl-delay
+    * ([[robotsParseCtes]]' rb_grp/rb_wgrp), then [[delayRounds]] unrolled
+    * pop/defer rounds ordered by seq within each host.
+    */
+  private def politenessDelayCtes: String = {
+    val budget = delayBudgetFor(oracleSfDir)
+    val defCap = delayDefaultCapFor(oracleSfDir)
+    val rounds = delayRounds
+    val hostRe = "'^https?://([^/]+)'"
+    val head =
+      s"""rb_delay AS MATERIALIZED (
+         |  SELECT host, CAST(v AS BIGINT) AS delay FROM (
+         |    SELECT g.host, g.v,
+         |      ROW_NUMBER() OVER (PARTITION BY g.host ORDER BY g.line_no) AS rn
+         |    FROM rb_grp g JOIN rb_wgrp w ON w.host = g.host AND w.grp = g.grp
+         |    WHERE g.k = 'crawl-delay' AND regexp_matches(g.v, '^[0-9]+$$'))
+         |  WHERE rn = 1),
+         |dcaps AS MATERIALIZED (
+         |  SELECT host, GREATEST(1, $budget // delay) AS cap FROM rb_delay),
+         |df0 AS MATERIALIZED (
+         |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url,
+         |    CAST('host0.test' AS VARCHAR) AS host, 0 AS depth,
+         |    CAST(0 AS BIGINT) AS seq),
+         |ds0 AS MATERIALIZED (SELECT url, seq FROM df0)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""dr$k AS MATERIALIZED (
+         |  SELECT f.url, f.host, f.depth, f.seq, COALESCE(c.cap, $defCap) AS cap,
+         |    ROW_NUMBER() OVER (PARTITION BY f.host ORDER BY f.seq) AS hrk
+         |  FROM df${k - 1} f LEFT JOIN dcaps c ON c.host = f.host),
+         |dk$k AS MATERIALIZED (SELECT url, host, depth, seq FROM dr$k WHERE hrk <= cap),
+         |dd$k AS MATERIALIZED (SELECT url, host, depth, seq FROM dr$k WHERE hrk > cap),
+         |dl$k AS MATERIALIZED (
+         |  SELECT l.dst_url AS url, p.seq AS pseq, l.pos, p.depth AS pd
+         |  FROM ${gt("xlinks")} l JOIN dk$k p ON l.src_url = p.url),
+         |dw$k AS MATERIALIZED (
+         |  SELECT url, MIN(pseq * 1000000 + pos) AS ok FROM dl$k
+         |  WHERE url NOT IN (SELECT url FROM ds${k - 1}) GROUP BY url),
+         |dn$k AS MATERIALIZED (
+         |  SELECT w.url, regexp_extract(w.url, $hostRe, 1) AS host,
+         |    l.pd + 1 AS depth,
+         |    (SELECT MAX(seq) FROM ds${k - 1})
+         |      + ROW_NUMBER() OVER (ORDER BY w.ok) AS seq
+         |  FROM dw$k w JOIN dl$k l ON l.url = w.url AND l.pseq * 1000000 + l.pos = w.ok),
+         |df$k AS MATERIALIZED (
+         |  SELECT url, host, depth, seq FROM dd$k
+         |  UNION ALL SELECT url, host, depth, seq FROM dn$k),
+         |ds$k AS MATERIALIZED (
+         |  SELECT url, seq FROM ds${k - 1} UNION ALL SELECT url, seq FROM dn$k),
+         |do$k AS MATERIALIZED (SELECT url, depth, $k AS wave FROM dk$k)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   /** The RFC 9309 robots.txt BODY parse (graft.crawl.RobotsParser)
     * replayed line by line in SQL over the corpus's served bodies, for the
     * engine UA: comment strip → trim → drop empty / colon-less lines →
@@ -713,6 +787,7 @@ object SparkEntry {
     "dd_cluster_residual" -> ((s, d) => Dedup.clusterConvergence(s, d)),
     "dd_dup_keep" -> ((s, d) => Dedup.dedupedDocs(s, d)),
     "dd_train_manifest" -> ((s, d) => Dedup.trainManifest(s, d)),
+    "dd_data_mix" -> ((s, d) => Dedup.dataMix(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dd_repeated_ngrams" -> ((s, d) => Dedup.repeatedNgrams(s, d)),
     "dd_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
@@ -756,6 +831,8 @@ object SparkEntry {
     "crawl_priority_frontier" -> ((s, d) => graft.crawl.PriorityCrawl.schedule(s, d)),
     "crawl_priority_bfs" -> ((s, d) =>
       C.priorityBfs(s, d, priorityPopFor(d), priorityHostCapFor(d))),
+    "crawl_politeness_delay" -> ((s, d) =>
+      C.politenessDelay(s, d, delayBudgetFor(d), delayDefaultCapFor(d))),
     "graph_host_pagerank" -> ((s, d) => graft.pipeline.HostGraph.hostPageRank(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
     "mm_blob_features" -> ((s, d) => Multimodal.blobFeatures(s, d)),
@@ -890,6 +967,17 @@ object SparkEntry {
          |  WHERE r.depth < 64
          |)
          |SELECT url, CAST(MIN(depth) AS BIGINT) AS depth FROM reach GROUP BY url""".stripMargin,
+    // crawl-delay politeness end to end: per-host caps derived from the
+    // winning group's crawl-delay in the PARSED robots bodies, then the
+    // multi-host FIFO pop/defer schedule under those caps
+    "crawl_politeness_delay" ->
+      s"""WITH ${robotsParseCtes()},
+         |$politenessDelayCtes,
+         |doall AS (${(1 to delayRounds)
+        .map(k => s"SELECT url, depth, wave FROM do$k").mkString(" UNION ALL ")})
+         |SELECT o.url, CAST(o.depth AS BIGINT) AS depth, CAST(o.wave AS BIGINT) AS wave
+         |FROM doall o JOIN ${gt("meta")} m ON m.url = o.url
+         |WHERE m.empty_html = 0""".stripMargin,
     // the per-host parsed rules TABLE itself: engine = RobotsParser over
     // the served bodies, oracle = the same grammar replayed in SQL
     "crawl_robots_parse" ->
@@ -1637,6 +1725,31 @@ object SparkEntry {
            |WHERE ($gopherPassCond)
            |  AND c.doc_id NOT IN (
            |    SELECT doc_id FROM l${Dedup.ClusterIters} WHERE doc_id <> lbl)""".stripMargin),
+    // the data-mix report: (lang, bucket) doc/token totals over the
+    // manifest — the CCNet sampler's input table
+    "dd_data_mix" ->
+      (dupClusterCtes + ",\n" +
+        s"""$gopherCtes,
+           |$lmScoreCtes,
+           |$lmBucketCtes,
+           |mani AS (
+           |  SELECT c.doc_id, d.lang,
+           |    CASE WHEN trim(d.text) = '' THEN CAST(0 AS BIGINT)
+           |         ELSE CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+           |    END AS n_tokens,
+           |    COALESCE(
+           |      CASE WHEN r.lang_rank * 3 <= r.n_lang THEN 'head'
+           |           WHEN r.lang_rank * 3 <= r.n_lang * 2 THEN 'middle'
+           |           WHEN r.lang_rank IS NOT NULL THEN 'tail' END,
+           |      'tail') AS bucket
+           |  FROM gcnt c JOIN documents d ON d.doc_id = c.doc_id
+           |  LEFT JOIN rk r ON r.doc_id = c.doc_id
+           |  WHERE ($gopherPassCond)
+           |    AND c.doc_id NOT IN (
+           |      SELECT doc_id FROM l${Dedup.ClusterIters} WHERE doc_id <> lbl))
+           |SELECT lang, bucket, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+           |FROM mani GROUP BY 1, 2""".stripMargin),
     // C4 cleaning heuristics (Raffel et al. 2020 §2.2) over the
     // deterministic five-variant injected view (TextAnalysis.c4Docs) —
     // line filter, sentence-count gate, lorem-ipsum / brace page drops

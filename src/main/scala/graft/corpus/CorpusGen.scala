@@ -134,6 +134,9 @@ object CorpusGen {
     * Every host also carries distractor groups (`MegaCrawler`,
     * `GraftBot-Images` — LONGER than the ua, must not match), comments,
     * blank lines, a multi-UA group, and a trailing `Sitemap:` line.
+    * Crawl-delay coverage: the specific GraftBot group asks 2 s, the `*`
+    * group 4 s, the h%3==2 token groups nothing — so delay resolution sees
+    * a specific-group value, a fallback value, and an absent value.
     * Newlines are `\n` and whitespace is spaces only, so the DuckDB SQL
     * replay (default-trim semantics) is exact.
     */
@@ -152,6 +155,7 @@ object CorpusGen {
       sb.append("Allow: /docs/page-1*\n")
       sb.append("disallow: /docs\n")
       sb.append("Unknown-directive: ignored\n")
+      sb.append("Crawl-delay: 2\n")
       sb.append("Disallow:\n")
       sb.append("Disallow: /products/page-3$\n\n")
     }
@@ -171,7 +175,8 @@ object CorpusGen {
     sb.append("Disallow: /products/page-3$\n")
     sb.append("Allow: /products\n")
     sb.append("Disallow: /products/page-31*\n")
-    sb.append("Allow: /products/page-31$\n\n")
+    sb.append("Allow: /products/page-31$\n")
+    sb.append("Crawl-delay: 4\n\n")
     sb.append(s"Sitemap: http://$host/sitemap.xml\n")
     sb.toString
   }
@@ -641,7 +646,7 @@ object CorpusGen {
   /** Bumped whenever the emitted schema/content changes so stale on-disk
     * corpora regenerate instead of silently serving the old shape.
     */
-  val FormatVersion = 10
+  val FormatVersion = 11
 
   def ensure(spark: SparkSession, dir: String, spec: CorpusSpec): Unit = {
     val marker = new java.io.File(s"$dir/_CORPUS_READY")

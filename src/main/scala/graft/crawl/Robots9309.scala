@@ -130,6 +130,23 @@ object Robots9309 {
         h -> rows.sortBy(_.getLong(1)).map(r => (r.getString(2), r.getString(3))).toVector
       }
 
+  /** host → crawl-delay seconds parsed from the served robots.txt bodies
+    * for `ua` ([[RobotsParser.crawlDelay]]); hosts without a delay are
+    * absent. Host-bounded like [[hostRules]] — the parse is distributed,
+    * only (host, seconds) pairs reach the driver.
+    */
+  def hostDelays(spark: SparkSession, sfDir: String,
+      ua: String = RobotsParser.Ua): Map[String, Long] = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    spark.read.parquet(s"$dir/robots_txt.parquet")
+      .select(col("host"), col("body")).as[(String, String)]
+      .flatMap { case (host, body) =>
+        RobotsParser.crawlDelay(body, ua).map(d => (host, d))
+      }.collect().toMap
+  }
+
   /** Raw path of a url string (everything from the first `/` after the
     * authority) — RFC 9309 matches the percent-ENCODED path, so the gate
     * must not decode.

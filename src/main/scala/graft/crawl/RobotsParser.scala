@@ -70,11 +70,10 @@ object RobotsParser {
     (if (sp >= 0) value.substring(0, sp) else value).toLowerCase
   }
 
-  /** Parse a robots.txt body; return the ORDERED (verdict, pattern) rules
-    * applicable to `ua`. No applicable group (and no `*` group) ⇒ empty:
-    * everything is allowed.
+  /** Group-tagged directive lines + the set of group ids the winning token
+    * selects for `ua` (empty when no group applies — not even `*`).
     */
-  def parse(body: String, ua: String = Ua): Vector[(String, String)] = {
+  private def winningGroups(body: String, ua: String): (Vector[(Int, Kv)], Set[Int]) = {
     val kvs = lex(body)
     // group id per line: a user-agent line starts a new group unless the
     // previous significant line was also user-agent (multi-UA groups)
@@ -92,17 +91,41 @@ object RobotsParser {
       case (g, t) if t == "*"                              => (g, t, 0)
       case (g, t) if t.nonEmpty && uaLower.startsWith(t)   => (g, t, t.length)
     }
-    if (scored.isEmpty) Vector.empty
+    if (scored.isEmpty) (tagged, Set.empty)
     else {
       val best = scored.map(_._3).max
       // equal-length prefixes of one ua are the same (lowercased) token
       val winTok = scored.find(_._3 == best).get._2
-      val winGroups = agents.collect { case (g, t) if t == winTok => g }.toSet
-      tagged.collect {
-        case (g, Kv(_, k, v))
-          if winGroups(g) && (k == "allow" || k == "disallow") && v.nonEmpty =>
-          (k, v)
-      }
+      (tagged, agents.collect { case (g, t) if t == winTok => g }.toSet)
+    }
+  }
+
+  /** Parse a robots.txt body; return the ORDERED (verdict, pattern) rules
+    * applicable to `ua`. No applicable group (and no `*` group) ⇒ empty:
+    * everything is allowed.
+    */
+  def parse(body: String, ua: String = Ua): Vector[(String, String)] = {
+    val (tagged, winGroups) = winningGroups(body, ua)
+    tagged.collect {
+      case (g, Kv(_, k, v))
+        if winGroups(g) && (k == "allow" || k == "disallow") && v.nonEmpty =>
+        (k, v)
+    }
+  }
+
+  /** The `crawl-delay` (seconds) the winning group asks of `ua` — not part
+    * of RFC 9309, but the de-facto rate directive several major engines
+    * honor (publicly documented by Bing and Yandex; ignored by Google).
+    * First crawl-delay line among the winning groups in body order; the
+    * value must be all digits (fractional or junk values are ignored, like
+    * any unknown directive).
+    */
+  def crawlDelay(body: String, ua: String = Ua): Option[Long] = {
+    val (tagged, winGroups) = winningGroups(body, ua)
+    tagged.collectFirst {
+      case (g, Kv(_, "crawl-delay", v))
+        if winGroups(g) && v.nonEmpty && v.forall(_.isDigit) =>
+        v.toLong
     }
   }
 }

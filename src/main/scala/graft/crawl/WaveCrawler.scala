@@ -161,6 +161,14 @@ final case class CrawlConfig(
       * rank, so no task ever ranks a whole mega-host's frontier.
       */
     hostWaveCap: Int = 0,
+    /** Per-HOST politeness-cap overrides (host → pops/wave), the
+      * crawl-delay story end to end: caps derived from each host's parsed
+      * robots.txt crawl-delay (cap ≈ wave duration ÷ delay,
+      * [[Robots9309.hostDelays]]) override [[hostWaveCap]] for their host;
+      * every other host uses the global default (no-cap when it is 0).
+      * Host-bounded — rides the wave as a broadcast join.
+      */
+    hostWaveCaps: Map[String, Int] = Map.empty,
     /** Best-first frontier scheduling (X27 composed into the wave engine;
       * OPIC / harvest-rank shape — public): per-url priority is the fixed-
       * point integer rank of the url's HOST in this (host, pr) table
@@ -669,23 +677,35 @@ object WaveCrawler {
             .select($"url", $"host", $"depth", $"seq").localCheckpoint(false)
           val n = pop.count()
           (pop, defer, n)
-        } else if (config.hostWaveCap > 0) {
-          val cap = config.hostWaveCap
-          val salted = frontier.withColumn("salt", pmod(hash($"url"), lit(BudgetSalts)))
+        } else if (config.hostWaveCap > 0 || config.hostWaveCaps.nonEmpty) {
+          // per-host overrides (parsed crawl-delays) ride a broadcast join;
+          // hosts without one use the global default (∞ when that is 0)
+          val defCap = if (config.hostWaveCap > 0) config.hostWaveCap else Int.MaxValue
+          val based =
+            if (config.hostWaveCaps.isEmpty) frontier.withColumn("hcap", lit(defCap))
+            else {
+              val capsDf = {
+                val spark2 = spark; import spark2.implicits._
+                config.hostWaveCaps.toSeq.toDF("host", "hcap")
+              }
+              frontier.join(broadcast(capsDf), Seq("host"), "left")
+                .withColumn("hcap", coalesce($"hcap", lit(defCap)))
+            }
+          val salted = based.withColumn("salt", pmod(hash($"url"), lit(BudgetSalts)))
           val w1 = Window.partitionBy($"host", $"salt").orderBy($"seq")
           val p1 = salted.withColumn("rk1", row_number().over(w1))
             .persist(StorageLevel.MEMORY_AND_DISK)
           val w2 = Window.partitionBy($"host").orderBy($"seq")
-          val r2 = p1.filter($"rk1" <= cap).withColumn("rk", row_number().over(w2))
+          val r2 = p1.filter($"rk1" <= $"hcap").withColumn("rk", row_number().over(w2))
             .persist(StorageLevel.MEMORY_AND_DISK)
           // both sides checkpointed: pop materializes via its count below,
           // defer at the NEXT wave's pop (its parents are materialized, so
           // lineage depth stays constant across waves)
-          val pop = r2.filter($"rk" <= cap)
+          val pop = r2.filter($"rk" <= $"hcap")
             .select($"url", $"host", $"depth", $"seq").localCheckpoint(false)
-          val defer = r2.filter($"rk" > cap)
+          val defer = r2.filter($"rk" > $"hcap")
             .select($"url", $"host", $"depth", $"seq")
-            .unionByName(p1.filter($"rk1" > cap).select($"url", $"host", $"depth", $"seq"))
+            .unionByName(p1.filter($"rk1" > $"hcap").select($"url", $"host", $"depth", $"seq"))
             .localCheckpoint(false)
           val n = pop.count()
           p1.unpersist(); r2.unpersist()
@@ -905,7 +925,7 @@ object WaveCrawler {
       val newFrontier = (if (takeLinksPath) {
         val ordered = withGlobalIndexN(fresh, "idx", nParts(spark, linksHint),
           $"parent_seq".asc, $"pos".asc)
-        if (config.hostWaveCap > 0 || priorityMode)
+        if (config.hostWaveCap > 0 || config.hostWaveCaps.nonEmpty || priorityMode)
           // capped/priority waves pop mixed depths, so a new url's depth is
           // its FIRST discoverer's depth + 1 (the discoverer owning the min
           // (parent_seq, pos) — joined back from the popped wave, which is

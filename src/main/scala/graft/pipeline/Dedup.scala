@@ -483,6 +483,20 @@ object Dedup {
       .withColumn("bucket", coalesce(col("bucket"), lit("tail")))
   }
 
+  /** The data-mix report over the training manifest: document and token
+    * totals per (language, perplexity bucket) — the table a CCNet-style
+    * sampler draws its mixture weights from (Wenzek et al. 2020 §3.2's
+    * head/middle/tail sampling). One broadcast-able aggregate over the
+    * manifest joined with the doc language.
+    */
+  def dataMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = docs(spark, sfDir).select(col("doc_id"), col("lang"))
+    trainManifest(spark, sfDir)
+      .join(langs, Seq("doc_id"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
   /** Benchmark decontamination: which documents share a [[GramW]]-token
     * window with the benchmark set — the check every training corpus runs
     * against its eval suites before release. The benchmark here is the

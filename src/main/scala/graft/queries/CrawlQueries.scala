@@ -484,6 +484,24 @@ object CrawlQueries {
     }.saved.select(col("url"), col("depth").cast("long").as("depth"),
       col("wave").cast("long").as("wave"))
 
+  /** The crawl-delay politeness story end to end: per-host wave caps are
+    * DERIVED from the parsed robots.txt crawl-delays (cap = budget div
+    * delay — pops per scheduling round at a fixed wave duration; hosts
+    * asking no delay get the default cap), then the multi-host FIFO
+    * schedule runs under them. Output: fetched pages with their pop wave.
+    */
+  def politenessDelay(spark: SparkSession, sfDir: String,
+      budget: Int, defCap: Int): DataFrame =
+    cached(spark, sfDir, s"delaycap${budget}_$defCap") { dir =>
+      val caps = graft.crawl.Robots9309.hostDelays(spark, sfDir).map {
+        case (h, d) => h -> math.max(1L, budget / d).toInt
+      }
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(startUrl = Seed, sameHostOnly = false, extractContent = false,
+          hostWaveCap = defCap, hostWaveCaps = caps))
+    }.saved.select(col("url"), col("depth").cast("long").as("depth"),
+      col("wave").cast("long").as("wave"))
+
   def hostBudget(spark: SparkSession, sfDir: String, budget: Int): DataFrame =
     cached(spark, sfDir, s"budget$budget") { dir =>
       WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),

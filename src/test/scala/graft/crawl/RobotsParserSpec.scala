@@ -71,6 +71,23 @@ class RobotsParserSpec extends AnyFunSuite {
     assert(RobotsParser.parse(body, "other") == Vector(("disallow", "/only-other")))
   }
 
+  test("crawl-delay: winning-group value per host class, junk ignored") {
+    // h%3==1 wins the specific GraftBot group (delay 2); h%3==0 falls back
+    // to the * group (delay 4); h%3==2 wins the graftbot token groups,
+    // which carry no delay
+    assert(RobotsParser.crawlDelay(CorpusGen.robotsTxtBody(spec, 0)).contains(4L))
+    assert(RobotsParser.crawlDelay(CorpusGen.robotsTxtBody(spec, 1)).contains(2L))
+    assert(RobotsParser.crawlDelay(CorpusGen.robotsTxtBody(spec, 2)).isEmpty)
+    // MegaCrawler's delay 10 must never leak to graftbot
+    assert(!RobotsParser.crawlDelay(CorpusGen.robotsTxtBody(spec, 2)).contains(10L))
+    // non-integer or junk values are ignored like any unknown directive;
+    // the first VALID winning-group value wins
+    val body =
+      "User-agent: graftbot\nCrawl-delay: 1.5\nCrawl-delay: x\nCrawl-delay: 7\nCrawl-delay: 3\n"
+    assert(RobotsParser.crawlDelay(body, "graftbot").contains(7L))
+    assert(RobotsParser.crawlDelay("User-agent: other\nCrawl-delay: 9\n", "graftbot").isEmpty)
+  }
+
   test("two separate groups with the SAME winning token merge in body order") {
     val body =
       """User-agent: graftbot
