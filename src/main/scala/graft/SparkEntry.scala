@@ -833,6 +833,8 @@ object SparkEntry {
       C.priorityBfs(s, d, priorityPopFor(d), priorityHostCapFor(d))),
     "crawl_politeness_delay" -> ((s, d) =>
       C.politenessDelay(s, d, delayBudgetFor(d), delayDefaultCapFor(d))),
+    "crawl_sitemap_seeds" -> ((s, d) => graft.sources.Sitemap.entries(s, d)),
+    "crawl_sitemap_list" -> ((s, d) => C.sitemapList(s, d)),
     "graph_host_pagerank" -> ((s, d) => graft.pipeline.HostGraph.hostPageRank(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
     "mm_blob_features" -> ((s, d) => Multimodal.blobFeatures(s, d)),
@@ -977,6 +979,33 @@ object SparkEntry {
         .map(k => s"SELECT url, depth, wave FROM do$k").mkString(" UNION ALL ")})
          |SELECT o.url, CAST(o.depth AS BIGINT) AS depth, CAST(o.wave AS BIGINT) AS wave
          |FROM doall o JOIN ${gt("meta")} m ON m.url = o.url
+         |WHERE m.empty_html = 0""".stripMargin,
+    // sitemap seed acquisition: every <url> block of every urlset document
+    // (index documents contribute none; their children are separate rows),
+    // locs trimmed, lastmod '' when absent — mirrors sources.Sitemap
+    "crawl_sitemap_seeds" ->
+      s"""WITH sm AS (
+         |  SELECT host, url AS sitemap_url, body FROM ${gt("sitemaps")}
+         |  WHERE NOT contains(body, '<sitemapindex')),
+         |bl AS (
+         |  SELECT host, sitemap_url,
+         |    unnest(regexp_extract_all(body, '<url>.*?</url>')) AS b
+         |  FROM sm)
+         |SELECT host, sitemap_url,
+         |  trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS loc,
+         |  regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
+         |FROM bl""".stripMargin,
+    // sitemap-seeded list crawl: titles of the advertised pages that are
+    // live and non-empty (ghost entries are fetch misses)
+    "crawl_sitemap_list" ->
+      s"""WITH sm AS (
+         |  SELECT body FROM ${gt("sitemaps")}
+         |  WHERE NOT contains(body, '<sitemapindex')),
+         |locs AS (
+         |  SELECT DISTINCT trim(regexp_extract(u, '<loc>([^<]*)</loc>', 1)) AS url
+         |  FROM (SELECT unnest(regexp_extract_all(body, '<url>.*?</url>')) AS u FROM sm))
+         |SELECT m.url, m.title FROM ${gt("meta")} m
+         |JOIN locs l ON l.url = m.url
          |WHERE m.empty_html = 0""".stripMargin,
     // the per-host parsed rules TABLE itself: engine = RobotsParser over
     // the served bodies, oracle = the same grammar replayed in SQL

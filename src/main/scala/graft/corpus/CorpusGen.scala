@@ -60,6 +60,14 @@ final case class RobotsRow(host: String, disallow_prefix: String)
   */
 final case class RobotsTxtRow(host: String, url: String, body: String)
 
+/** A host's served sitemap XML document (sitemaps.org protocol — public):
+  * the seed-acquisition input a production crawler fetches after reading
+  * the robots.txt `Sitemap:` line. host0 serves a two-level
+  * `<sitemapindex>` (its url entries split across two child sitemaps);
+  * every other host serves a single `<urlset>`.
+  */
+final case class SitemapRow(host: String, url: String, body: String)
+
 /** Opaque multimodal payload — the ONLY columns the engine sees. */
 final case class BlobRow(blob_id: Long, payload: Array[Byte])
 
@@ -185,6 +193,56 @@ object CorpusGen {
     (0 until spec.nHosts).map { h =>
       RobotsTxtRow(hostName(h), s"http://${hostName(h)}/robots.txt",
         robotsTxtBody(spec, h))
+    }
+
+  /** One `<urlset>` body listing pages `idxs` of host h, one `<url>` block
+    * per line. Grammar coverage the parser must handle: whitespace-padded
+    * `<loc>` values (every idx%8==0 entry), optional `<lastmod>` (present
+    * when idx%4==0), and a GHOST entry per body — a listed url that is not
+    * a live page, so sitemap-seeded crawls exercise the fetch-miss skip
+    * (host0's ghost appears in BOTH child sitemaps: a list-dedup case).
+    */
+  def sitemapUrlsetBody(h: Int, idxs: Seq[Int]): String = {
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+    idxs.foreach { i =>
+      val loc0 = pageUrl(h, i)
+      val loc = if (i % 8 == 0) s"  $loc0  " else loc0
+      val lastmod =
+        if (i % 4 == 0) f"<lastmod>2024-${i % 12 + 1}%02d-${i % 28 + 1}%02d</lastmod>"
+        else ""
+      sb.append(s"  <url><loc>$loc</loc>$lastmod</url>\n")
+    }
+    sb.append(s"  <url><loc>http://${hostName(h)}/ghost-$h</loc></url>\n")
+    sb.append("</urlset>\n")
+    sb.toString
+  }
+
+  /** Every host's served sitemap document(s); even page indices are listed
+    * (the odd ones are reachable only by crawling — sitemaps are partial
+    * in practice). host0's root document is a `<sitemapindex>` over two
+    * children (idx%4==0 and idx%4==2).
+    */
+  def sitemapRows(spec: CorpusSpec): Seq[SitemapRow] =
+    (0 until spec.nHosts).flatMap { h =>
+      val host = hostName(h)
+      val even = (0 until spec.hostSizes(h)).filter(_ % 2 == 0)
+      if (h == 0) {
+        val (a, b) = even.partition(_ % 4 == 0)
+        val index =
+          "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+            "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+            s"  <sitemap><loc>http://$host/sitemap-1.xml</loc></sitemap>\n" +
+            s"  <sitemap><loc>http://$host/sitemap-2.xml</loc></sitemap>\n" +
+            "</sitemapindex>\n"
+        Seq(
+          SitemapRow(host, s"http://$host/sitemap.xml", index),
+          SitemapRow(host, s"http://$host/sitemap-1.xml", sitemapUrlsetBody(h, a)),
+          SitemapRow(host, s"http://$host/sitemap-2.xml", sitemapUrlsetBody(h, b)))
+      } else {
+        Seq(SitemapRow(host, s"http://$host/sitemap.xml", sitemapUrlsetBody(h, even)))
+      }
     }
 
   /** Ordered, deduped link targets of page (h, i): the ground truth the
@@ -646,7 +704,7 @@ object CorpusGen {
   /** Bumped whenever the emitted schema/content changes so stale on-disk
     * corpora regenerate instead of silently serving the old shape.
     */
-  val FormatVersion = 11
+  val FormatVersion = 12
 
   def ensure(spark: SparkSession, dir: String, spec: CorpusSpec): Unit = {
     val marker = new java.io.File(s"$dir/_CORPUS_READY")
@@ -683,6 +741,7 @@ object CorpusGen {
 
     robotsRules(spec).toDS().write.mode("overwrite").parquet(s"$dir/robots.parquet")
     robotsTxtRows(spec).toDS().write.mode("overwrite").parquet(s"$dir/robots_txt.parquet")
+    sitemapRows(spec).toDS().write.mode("overwrite").parquet(s"$dir/sitemaps.parquet")
 
     // encode each blob ONCE: cache the (payload, meta) pairs, then project
     // the two tables from the cached set (the second write re-encodes

@@ -502,6 +502,18 @@ object CrawlQueries {
     }.saved.select(col("url"), col("depth").cast("long").as("depth"),
       col("wave").cast("long").as("wave"))
 
+  /** Sitemap-seeded list crawl: the advertised page urls (two-level index
+    * resolved, locs trimmed, cross-sitemap duplicates first-wins) feed the
+    * wave engine as a distributed url list; ghost entries (advertised but
+    * not live) exercise the fetch-miss skip. Output: extracted titles.
+    */
+  def sitemapList(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "sitemaplist") { dir =>
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(urlListDf = Some(graft.sources.Sitemap.seedLines(spark, sfDir)),
+          isUrlListMode = true))
+    }.saved.select(col("url"), col("title"))
+
   def hostBudget(spark: SparkSession, sfDir: String, budget: Int): DataFrame =
     cached(spark, sfDir, s"budget$budget") { dir =>
       WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),

@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.corpus.CorpusGen
+
+/** Sitemap SOURCE (sitemaps.org protocol — public): the seed-acquisition
+  * step a production crawler runs after reading a robots.txt `Sitemap:`
+  * line. Handles both document kinds: `<urlset>` (page entries with
+  * optional `<lastmod>`) and the two-level `<sitemapindex>` (child sitemap
+  * locations). Parsing is a linear tag scan, not XML-library-based — the
+  * grammar subset sitemaps actually use is flat, and the same extraction
+  * is replayable as SQL string functions by the driver's oracle.
+  *
+  * Scale shape: bodies parse independently (narrow flatMap over the
+  * sitemap table); a 10^7-host sitemap sweep is one scan. Index →
+  * child resolution is a url equi-join back onto the same table ("fetch"
+  * ≙ join, exactly the crawl's J1).
+  */
+object Sitemap {
+
+  def isIndex(body: String): Boolean = body.contains("<sitemapindex")
+
+  /** Text of every `tag` element inside `block` (flat, non-nested — the
+    * sitemap grammar), in document order.
+    */
+  private def tagValues(block: String, tag: String): Vector[String] = {
+    val open = s"<$tag>"
+    val close = s"</$tag>"
+    val out = Vector.newBuilder[String]
+    var i = block.indexOf(open)
+    while (i >= 0) {
+      val s = i + open.length
+      val e = block.indexOf(close, s)
+      if (e < 0) return out.result()
+      out += block.substring(s, e)
+      i = block.indexOf(open, e + close.length)
+    }
+    out.result()
+  }
+
+  /** (loc, lastmod-or-"") entries of one `<urlset>` body: every `<url>`
+    * block's trimmed `<loc>` plus its `<lastmod>` when present.
+    */
+  def parseUrlset(body: String): Vector[(String, String)] =
+    tagValues(body, "url").map { block =>
+      val loc = tagValues(block, "loc").headOption.getOrElse("").trim
+      val lastmod = tagValues(block, "lastmod").headOption.getOrElse("")
+      (loc, lastmod)
+    }.filter(_._1.nonEmpty)
+
+  /** Child sitemap locations of one `<sitemapindex>` body. */
+  def parseIndex(body: String): Vector[String] =
+    tagValues(body, "sitemap")
+      .flatMap(b => tagValues(b, "loc").headOption)
+      .map(_.trim).filter(_.nonEmpty)
+
+  /** All page entries advertised by the corpus's sitemap documents:
+    * (host, sitemap_url, loc, lastmod). Index documents contribute no
+    * entries themselves — their children are resolved by url back onto the
+    * sitemap table (the fetch ≙ join shape) and parsed as urlsets.
+    */
+  def entries(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    val sm = spark.read.parquet(s"$dir/sitemaps.parquet")
+      .select(col("host"), col("url"), col("body"))
+      .as[(String, String, String)]
+    sm.filter(t => !isIndex(t._3)).flatMap { case (host, url, body) =>
+      parseUrlset(body).map { case (loc, lm) => (host, url, loc, lm) }
+    }.toDF("host", "sitemap_url", "loc", "lastmod")
+  }
+
+  /** The distinct advertised page urls as a (url_raw, line_no) list source
+    * in (host, loc) order — sitemap-seeded list-crawl input ([[entries]]
+    * first-wins by construction; the wave engine's A3 dedup handles the
+    * duplicates the protocol allows across sibling sitemaps).
+    */
+  def seedLines(spark: SparkSession, sfDir: String): DataFrame =
+    graft.crawl.WaveCrawler.withGlobalIndex(
+      entries(spark, sfDir).select(col("host"), col("loc")),
+      "line_no", col("host").asc, col("loc").asc)
+      .select(col("loc").as("url_raw"), col("line_no"))
+}
