@@ -805,6 +805,7 @@ object SparkEntry {
     "dd_lang_id_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
     "dd_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "dd_lm_score" -> ((s, d) => graft.pipeline.Lm.lmScore(s, d)),
+    "dd_dsir_weights" -> ((s, d) => graft.pipeline.Dsir.dsirWeights(s, d)),
     "dd_lm_buckets" -> ((s, d) => graft.pipeline.Lm.lmBuckets(s, d)),
     "dd_line_dedup" -> ((s, d) => Dedup.lineDedup(s, d)),
     "dd_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
@@ -822,6 +823,8 @@ object SparkEntry {
     "ann_recall_planted" -> ((s, d) => Similarity.annRecallPlanted(s, d)),
     "graph_host_stats" -> ((s, d) => graft.pipeline.HostGraph.hostStats(s, d)),
     "graph_host_edges" -> ((s, d) => graft.pipeline.HostGraph.hostEdges(s, d)),
+    "graph_anchor_text" -> ((s, d) => C.anchorText(s, d)),
+    "graph_anchor_index" -> ((s, d) => C.anchorIndex(s, d)),
     "crawl_sink_warc" -> ((s, d) => graft.sinks.Warc.warcRecords(s, d)),
     "crawl_warc_roundtrip" -> ((s, d) => C.warcRoundtrip(s, d)),
     "crawl_warc_bfs" -> ((s, d) => C.warcBfsSeen(s, d)),
@@ -1630,6 +1633,17 @@ object SparkEntry {
          |  regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host,
          |  COUNT(*) AS n_links
          |FROM ${gt("xlinks")} GROUP BY 1, 2""".stripMargin,
+    // anchor-text extraction parity: the engine re-derives (src, dst, pos,
+    // first-anchor text) from raw HTML; the oracle reads the encode-side
+    // ground truth (document-order first-wins is pinned by the corpus's
+    // nav-"Home"-before-"Link 0" and "Link 0 again" duplicates)
+    "graph_anchor_text" ->
+      s"""SELECT src_url, dst_url, CAST(pos AS BIGINT) AS pos, anchor_text
+         |FROM ${gt("xlinks")}""".stripMargin,
+    // the classic in-link anchor index: what the web calls each dst page
+    "graph_anchor_index" ->
+      s"""SELECT dst_url, anchor_text, COUNT(DISTINCT src_url) AS n_srcs
+         |FROM ${gt("xlinks")} GROUP BY 1, 2""".stripMargin,
     // fixed-point integer PageRank, iterations unrolled — integer sums and
     // floor divisions are exact in both engines (k-means-oracle pattern)
     "graph_host_pagerank" ->
@@ -1900,6 +1914,57 @@ object SparkEntry {
          |  CAST(COALESCE(a.s, 0) AS BIGINT) AS lm_score_q16,
          |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_transitions
          |FROM documents d2 LEFT JOIN agg a ON a.doc_id = d2.doc_id""".stripMargin,
+    // DSIR importance weights (Xie 2023 §3.1): hashed-unigram bucket
+    // log-ratio of the en-target vs raw distribution, add-1 smoothed, Q16
+    // via the same unrolled Turner log2 iteration; bucket = first two hex
+    // chars of sha256, identical bytes on both engines
+    "dd_dsir_weights" -> {
+      import graft.pipeline.Lm.{LogScaleBits, LogFracBits}
+      val two = 1L << (LogScaleBits + 1)
+      val steps = (1 to LogFracBits).map { i =>
+        s"""lg$i AS (
+           |  SELECT v, CASE WHEN y >= $two THEN y >> 1 ELSE y END AS x,
+           |    r * 2 + CASE WHEN y >= $two THEN 1 ELSE 0 END AS r
+           |  FROM (SELECT v, r, (x * x) >> $LogScaleBits AS y FROM lg${i - 1}))""".stripMargin
+      }.mkString(",\n")
+      val nb = graft.pipeline.Dsir.NumBuckets
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS wl
+         |  FROM documents),
+         |tok AS (SELECT doc_id, lang, unnest(wl) AS w FROM d),
+         |hx AS (SELECT i, format('{:02x}', i) AS h FROM range($nb) t(i)),
+         |tb AS (SELECT tok.doc_id, tok.lang, hx.i AS b
+         |       FROM tok JOIN hx ON substr(sha256(tok.w), 1, 2) = hx.h),
+         |rawc AS (SELECT b, COUNT(*) AS rc FROM tb GROUP BY 1),
+         |tgtc AS (SELECT b, COUNT(*) AS tc FROM tb WHERE lang = 'en' GROUP BY 1),
+         |bk AS (
+         |  SELECT hx.i AS b, CAST(COALESCE(rc, 0) + 1 AS BIGINT) AS rc1,
+         |    CAST(COALESCE(tc, 0) + 1 AS BIGINT) AS tc1
+         |  FROM hx LEFT JOIN rawc ON rawc.b = hx.i LEFT JOIN tgtc ON tgtc.b = hx.i),
+         |tots AS (SELECT CAST((SELECT SUM(rc) FROM rawc) + $nb AS BIGINT) AS rt,
+         |                CAST((SELECT SUM(tc) FROM tgtc) + $nb AS BIGINT) AS tt),
+         |vals AS (SELECT DISTINCT rc1 AS v FROM bk UNION SELECT DISTINCT tc1 FROM bk
+         |         UNION SELECT rt FROM tots UNION SELECT tt FROM tots),
+         |lg0 AS (
+         |  SELECT v,
+         |    (v << $LogScaleBits) >> (length(format('{:b}', v)) - 1) AS x,
+         |    CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS r
+         |  FROM vals),
+         |$steps,
+         |lgt AS (SELECT v, r AS lg FROM lg$LogFracBits),
+         |wt AS (
+         |  SELECT bk.b,
+         |    (lt.lg - (SELECT lg FROM lgt WHERE v = (SELECT tt FROM tots)))
+         |    - (lr.lg - (SELECT lg FROM lgt WHERE v = (SELECT rt FROM tots))) AS wq
+         |  FROM bk JOIN lgt lt ON lt.v = bk.tc1 JOIN lgt lr ON lr.v = bk.rc1),
+         |sc AS (SELECT tb.doc_id, SUM(wt.wq) AS s, COUNT(*) AS n
+         |       FROM tb JOIN wt ON wt.b = tb.b GROUP BY 1)
+         |SELECT d2.doc_id, d2.lang,
+         |  CAST(COALESCE(sc.s, 0) AS BIGINT) AS dsir_score_q16,
+         |  CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_feats
+         |FROM documents d2 LEFT JOIN sc ON sc.doc_id = d2.doc_id""".stripMargin
+    },
     // CCNet perplexity bucketing (Wenzek 2020 §3.2): per-language terciles
     // of the per-token LM score, ranked by the same two-level shape the
     // engine uses — (lang, score) histogram running sum + within-tie

@@ -40,7 +40,8 @@ final case class CorpusSpec(nHosts: Int, totalPages: Int, seed: Long,
 
 final case class PageRow(url: String, warc_ts: Timestamp, html: Array[Byte],
     text: String, lang: String)
-final case class LinkRow(src_url: String, dst_url: String, pos: Int)
+final case class LinkRow(src_url: String, dst_url: String, pos: Int,
+  anchor_text: String)
 final case class MetaRow(url: String, host: String, host_idx: Int, page_idx: Int,
     section: String, title: String, n_links: Int, markdown: String,
     article_html: String, empty_html: Int,
@@ -299,7 +300,7 @@ object CorpusGen {
   def xlinkRows(spec: CorpusSpec, h: Int, i: Int): Seq[LinkRow] =
     if (isEmptyPage(spec, h, i)) Nil
     else xlinkTargets(spec, h, i).zipWithIndex.map { case (dst, pos) =>
-      LinkRow(pageUrl(h, i), dst, pos)
+      LinkRow(pageUrl(h, i), dst, pos, anchorTextOf(spec, h, i, dst))
     }
 
   /** Deterministic filler text with commas/sentences so readability scores
@@ -589,7 +590,22 @@ object CorpusGen {
   def linkRows(spec: CorpusSpec, h: Int, i: Int): Seq[LinkRow] =
     if (isEmptyPage(spec, h, i)) Nil
     else linkTargets(spec, h, i).zipWithIndex.map { case (dst, pos) =>
-      LinkRow(pageUrl(h, i), dst, pos)
+      LinkRow(pageUrl(h, i), dst, pos, anchorTextOf(spec, h, i, dst))
+    }
+
+  /** Ground-truth FIRST-anchor text for a dst of page (h, i) — mirrors the
+    * template's document order: the nav "Home" anchor always precedes the
+    * link list, so the host root's winning text is "Home" (the list's
+    * "Link 0" is the first-wins-dropped duplicate); list anchors carry
+    * "Link &lt;idx in the deduped target vector&gt;"; the offsite noise
+    * anchor reads "Elsewhere"; the cross-host anchor "Partner site".
+    */
+  def anchorTextOf(spec: CorpusSpec, h: Int, i: Int, dst: String): String =
+    if (dst == pageUrl(h, 0)) "Home"
+    else if (dst == "http://other.example/offsite") "Elsewhere"
+    else {
+      val idx = linkTargets(spec, h, i).indexOf(dst)
+      if (idx >= 0) s"Link $idx" else "Partner site"
     }
 
   // ---- multimodal blobs (real binary formats, built + decoded from
@@ -704,7 +720,7 @@ object CorpusGen {
   /** Bumped whenever the emitted schema/content changes so stale on-disk
     * corpora regenerate instead of silently serving the old shape.
     */
-  val FormatVersion = 12
+  val FormatVersion = 13
 
   def ensure(spark: SparkSession, dir: String, spec: CorpusSpec): Unit = {
     val marker = new java.io.File(s"$dir/_CORPUS_READY")

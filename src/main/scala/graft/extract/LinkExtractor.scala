@@ -61,32 +61,92 @@ object LinkExtractor {
         doc.root.foreachElement { a =>
           val href = if (a.tag == "a") a.attrOrNull("href") else null
           if (href != null) {
-            pageUrl.parseRef(href) match {
-              case Left(_) => // unparseable href → skipped (crawler.go:503)
-              case Right(abs) =>
-                UrlNorm.normalizeParsed(abs.toUrlString) match {
-                  case Left(_) => // normalize error → skipped (crawler.go:509)
-                  case Right(resolved) =>
-                    // predicates on the parsed normal form directly — no
-                    // serialize→reparse round trip per href (FuzzSpec pins
-                    // parse(toUrlString(u)) ≡ u on the adversarial grid);
-                    // the string is only built for links that pass
-                    val ok =
-                      (resolved.scheme == "http" || resolved.scheme == "https") &&
-                        (allHosts || resolved.hostname == startHost) &&
-                        GlobSet.shouldFollow(followGlobs, resolved.path)
-                    if (ok) {
-                      val norm = resolved.toUrlString
-                      if (!seen.contains(norm)) {
-                        seen += norm
-                        out += norm
-                      }
-                    }
-                }
+            val norm = acceptedOrNull(pageUrl, href, startHost, followGlobs, allHosts)
+            if (norm != null && !seen.contains(norm)) {
+              seen += norm
+              out += norm
             }
           }
         }
         out.result()
     }
+  }
+
+  /** H1 variant that also captures the FIRST-anchor text per kept link —
+    * the anchor-text signal every web-search / host-graph stack indexes
+    * (the dst page is described by what its in-links call it). Same
+    * predicates, same first-wins order; text is the anchor element's
+    * descendant text with whitespace runs collapsed and trimmed. Kept
+    * separate from [[extractFromDoc]] so the BFS hot path pays nothing.
+    */
+  def extractWithText(
+      pageUrlStr: String,
+      startHost: String,
+      html: String,
+      followGlobs: Seq[CompiledGlob],
+      allHosts: Boolean = false): Vector[(String, String)] = {
+    val doc =
+      try HtmlParser.parse(html)
+      catch { case _: Throwable => return Vector.empty }
+    GoUrl.parse(pageUrlStr) match {
+      case Left(_) => Vector.empty
+      case Right(pageUrl) =>
+        val seen = scala.collection.mutable.HashSet[String]()
+        val out = Vector.newBuilder[(String, String)]
+        doc.root.foreachElement { a =>
+          val href = if (a.tag == "a") a.attrOrNull("href") else null
+          if (href != null) {
+            val norm = acceptedOrNull(pageUrl, href, startHost, followGlobs, allHosts)
+            if (norm != null && !seen.contains(norm)) {
+              seen += norm
+              out += ((norm, collapseWs(a.text)))
+            }
+          }
+        }
+        out.result()
+    }
+  }
+
+  /** Resolve + normalize one href and run the P2/P3/P5 predicate chain;
+    * null when the link is dropped. Predicates run on the parsed normal
+    * form directly — no serialize→reparse round trip per href (FuzzSpec
+    * pins parse(toUrlString(u)) ≡ u on the adversarial grid); the string
+    * is only built for links that pass.
+    */
+  private def acceptedOrNull(
+      pageUrl: GoUrl,
+      href: String,
+      startHost: String,
+      followGlobs: Seq[CompiledGlob],
+      allHosts: Boolean): String =
+    pageUrl.parseRef(href) match {
+      case Left(_) => null // unparseable href → skipped (crawler.go:503)
+      case Right(abs) =>
+        UrlNorm.normalizeParsed(abs.toUrlString) match {
+          case Left(_) => null // normalize error → skipped (crawler.go:509)
+          case Right(resolved) =>
+            val ok =
+              (resolved.scheme == "http" || resolved.scheme == "https") &&
+                (allHosts || resolved.hostname == startHost) &&
+                GlobSet.shouldFollow(followGlobs, resolved.path)
+            if (ok) resolved.toUrlString else null
+        }
+    }
+
+  /** Trim + collapse internal whitespace runs to single spaces. */
+  def collapseWs(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) { if (sb.nonEmpty) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
   }
 }

@@ -353,6 +353,39 @@ object CrawlQueries {
       .toDF("src_url", "dst_url", "pos")
   }
 
+  /** H1-with-text in multi-host mode over every page: (src, dst, pos,
+    * anchor_text) where anchor_text is the FIRST anchor's collapsed text —
+    * the classic web-search in-link description signal. Checked against
+    * the `xlinks` ground truth (which carries encode-side anchor text).
+    * Scale shape: one narrow flatMap over the pruned (url, html) scan —
+    * no shuffle; downstream consumers (anchor index) aggregate on dst.
+    */
+  def anchorText(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    CorpusGen.pages(spark, dir)
+      .select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, htmlBytes) =>
+        val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
+        LinkExtractor.extractWithText(url, "", html, Nil, allHosts = true)
+          .zipWithIndex
+          .map { case ((dst, text), pos) => (url, dst, pos.toLong, text) }
+      }
+      .toDF("src_url", "dst_url", "pos", "anchor_text")
+  }
+
+  /** Anchor index over [[anchorText]]: per (dst, anchor_text) the number of
+    * distinct linking pages — the in-link description signal a ranker
+    * consumes (anchor fields in BM25F). One (dst, text)-keyed shuffle with
+    * map-side partial distinct — scales.
+    */
+  def anchorIndex(spark: SparkSession, sfDir: String): DataFrame =
+    anchorText(spark, sfDir)
+      .groupBy(col("dst_url"), col("anchor_text"))
+      .agg(countDistinct(col("src_url")).as("n_srcs"))
+
   /** H4+H5+H6 over every corpus page: extracted titles. */
   def extractTitles(spark: SparkSession, sfDir: String): DataFrame = {
     val spark2 = spark

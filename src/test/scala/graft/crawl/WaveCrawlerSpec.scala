@@ -145,6 +145,22 @@ class WaveCrawlerSpec extends AnyFunSuite {
     assert(crossEdges.nonEmpty)
   }
 
+  test("anchor text: extractor first-wins text matches the encode-side truth") {
+    for (h <- 0 until spec.nHosts; i <- 0 until spec.hostSizes(h)) {
+      val url = CorpusGen.pageUrl(h, i)
+      val extracted = LinkExtractor.extractWithText(url, "",
+        CorpusGen.pageHtml(spec, h, i), Nil, allHosts = true)
+      val truth = CorpusGen.xlinkRows(spec, h, i).map(r => (r.dst_url, r.anchor_text))
+      assert(extracted == truth, s"anchor drift at host=$h page=$i")
+      if (!CorpusGen.isEmptyPage(spec, h, i)) {
+        // the nav "Home" anchor precedes the list's "Link 0" duplicate for
+        // the host root — first-wins must keep "Home", never "Link 0"
+        assert(extracted.toMap.apply(CorpusGen.pageUrl(h, 0)) == "Home")
+        assert(!extracted.exists(_._2 == "Link 0 again"))
+      }
+    }
+  }
+
   test("multi-host crawl: save order, seen set, and depths match the FIFO oracle") {
     val (saved, seen, depths) = sparkCrawl(CrawlConfig(startUrl = seed0, sameHostOnly = false))
     val ref = refCrawl(CrawlParams(startUrl = seed0, sameHostOnly = false))

@@ -158,4 +158,39 @@ class LinkExtractorSpec extends AnyFunSuite {
     assert(run("http://example.com/", html, Seq("/path/to/\\[id\\]")) ==
       Vector("http://example.com/path/to/[id]"))
   }
+
+  // ---- extractWithText: anchor-text capture -------------------------------
+
+  private def runText(pageUrl: String, html: String): Vector[(String, String)] =
+    LinkExtractor.extractWithText(pageUrl, UrlNorm.hostnameOf(pageUrl), html, Nil)
+
+  test("anchor text: first occurrence wins, duplicates keep the first text") {
+    val html = """<html><body>
+                <a href="/p">First Label</a>
+                <a href="/p">Second Label</a>
+            </body></html>"""
+    assert(runText("http://example.com/", html) ==
+      Vector(("http://example.com/p", "First Label")))
+  }
+  test("anchor text: nested markup flattens, whitespace collapses") {
+    val html = "<html><body><a href=\"/p\">  read\n  <strong>the <em>full</em></strong>\tstory </a></body></html>"
+    assert(runText("http://example.com/", html) ==
+      Vector(("http://example.com/p", "read the full story")))
+  }
+  test("anchor text: empty anchors yield empty text; urls match extract()") {
+    val html = """<html><body>
+                <a href="/a"></a>
+                <a href="/b"><img src="x.png"></a>
+                <a href="/c">c text</a>
+                <a href="mailto:x@y.z">mail</a>
+            </body></html>"""
+    val withText = runText("http://example.com/", html)
+    assert(withText == Vector(
+      ("http://example.com/a", ""),
+      ("http://example.com/b", ""),
+      ("http://example.com/c", "c text")))
+    // the with-text variant must walk the exact same predicate chain
+    assert(withText.map(_._1) ==
+      LinkExtractor.extract("http://example.com/", "example.com", html, Nil))
+  }
 }

@@ -654,6 +654,54 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir: scores match a full local recount; en target scores higher") {
+    val rows = Dsir.dsirWeights(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq))
+    assert(rows.length == docs.length)
+    // local replay: sha256-hex bucket, add-1 histograms, Q16 log ratios
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def bucket(w: String): Int = {
+      val d = md.digest(w.getBytes("UTF-8"))
+      (d(0).toInt & 0xff) // first two hex chars == first byte
+    }
+    val rawc = new Array[Long](Dsir.NumBuckets)
+    val tgtc = new Array[Long](Dsir.NumBuckets)
+    docs.foreach { case (_, lang, ws) =>
+      ws.foreach { w =>
+        val b = bucket(w)
+        rawc(b) += 1
+        if (lang == "en") tgtc(b) += 1
+      }
+    }
+    val rt = rawc.sum + Dsir.NumBuckets
+    val tt = tgtc.sum + Dsir.NumBuckets
+    val wq = (0 until Dsir.NumBuckets).map { b =>
+      (Lm.log2fix(tgtc(b) + 1) - Lm.log2fix(tt)) -
+        (Lm.log2fix(rawc(b) + 1) - Lm.log2fix(rt))
+    }
+    val expect = docs.map { case (id, _, ws) =>
+      id -> (ws.map(w => wq(bucket(w))).sum, ws.length.toLong)
+    }.toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (s, n) = expect(id)
+      assert(r.getAs[Long]("dsir_score_q16") == s, s"doc $id score")
+      assert(r.getAs[Long]("n_feats") == n, s"doc $id n_feats")
+    }
+    // directional sanity: the mean per-token importance of target-language
+    // docs exceeds the non-target mean (the weights favor the target dist)
+    def meanPerTok(sel: String => Boolean): Double = {
+      val sub = rows.filter(r => sel(r.getAs[String]("lang")) &&
+        r.getAs[Long]("n_feats") > 0)
+      sub.map(r => r.getAs[Long]("dsir_score_q16").toDouble /
+        r.getAs[Long]("n_feats")).sum / sub.length
+    }
+    assert(meanPerTok(_ == "en") > meanPerTok(_ != "en"))
+  }
+
   test("C4 rules: each injected variant lands on its documented outcome") {
     val rows = TextAnalysis.qualityC4(spark, sf).collect()
     assert(rows.nonEmpty)
