@@ -304,6 +304,57 @@ object SparkEntry {
        |  GROUP BY 1)""".stripMargin
   }
 
+  /** The DSIR score CTE chain (graft.pipeline.Dsir.dsirWeights in SQL):
+    * sha256-prefix hashed-unigram buckets, add-1 smoothed en-target vs raw
+    * histograms, Q16 log-ratio weights via the unrolled Turner log2
+    * iteration. Ends at `sc(doc_id, s, n)` = (summed Q16 importance,
+    * feature count) for every doc with ≥ 1 token. Shared by
+    * dd_dsir_weights and dd_dsir_sample.
+    */
+  private lazy val dsirScoreCtes: String = {
+    import graft.pipeline.Lm.{LogScaleBits, LogFracBits}
+    val two = 1L << (LogScaleBits + 1)
+    val steps = (1 to LogFracBits).map { i =>
+      s"""lg$i AS (
+         |  SELECT v, CASE WHEN y >= $two THEN y >> 1 ELSE y END AS x,
+         |    r * 2 + CASE WHEN y >= $two THEN 1 ELSE 0 END AS r
+         |  FROM (SELECT v, r, (x * x) >> $LogScaleBits AS y FROM lg${i - 1}))""".stripMargin
+    }.mkString(",\n")
+    val nb = graft.pipeline.Dsir.NumBuckets
+    s"""d AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS wl
+       |  FROM documents),
+       |tok AS (SELECT doc_id, lang, unnest(wl) AS w FROM d),
+       |hx AS (SELECT i, format('{:02x}', i) AS h FROM range($nb) t(i)),
+       |tb AS (SELECT tok.doc_id, tok.lang, hx.i AS b
+       |       FROM tok JOIN hx ON substr(sha256(tok.w), 1, 2) = hx.h),
+       |rawc AS (SELECT b, COUNT(*) AS rc FROM tb GROUP BY 1),
+       |tgtc AS (SELECT b, COUNT(*) AS tc FROM tb WHERE lang = 'en' GROUP BY 1),
+       |bk AS (
+       |  SELECT hx.i AS b, CAST(COALESCE(rc, 0) + 1 AS BIGINT) AS rc1,
+       |    CAST(COALESCE(tc, 0) + 1 AS BIGINT) AS tc1
+       |  FROM hx LEFT JOIN rawc ON rawc.b = hx.i LEFT JOIN tgtc ON tgtc.b = hx.i),
+       |tots AS (SELECT CAST((SELECT SUM(rc) FROM rawc) + $nb AS BIGINT) AS rt,
+       |                CAST((SELECT SUM(tc) FROM tgtc) + $nb AS BIGINT) AS tt),
+       |vals AS (SELECT DISTINCT rc1 AS v FROM bk UNION SELECT DISTINCT tc1 FROM bk
+       |         UNION SELECT rt FROM tots UNION SELECT tt FROM tots),
+       |lg0 AS (
+       |  SELECT v,
+       |    (v << $LogScaleBits) >> (length(format('{:b}', v)) - 1) AS x,
+       |    CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS r
+       |  FROM vals),
+       |$steps,
+       |lgt AS (SELECT v, r AS lg FROM lg$LogFracBits),
+       |wt AS (
+       |  SELECT bk.b,
+       |    (lt.lg - (SELECT lg FROM lgt WHERE v = (SELECT tt FROM tots)))
+       |    - (lr.lg - (SELECT lg FROM lgt WHERE v = (SELECT rt FROM tots))) AS wq
+       |  FROM bk JOIN lgt lt ON lt.v = bk.tc1 JOIN lgt lr ON lr.v = bk.rc1),
+       |sc AS (SELECT tb.doc_id, SUM(wt.wq) AS s, COUNT(*) AS n
+       |       FROM tb JOIN wt ON wt.b = tb.b GROUP BY 1)""".stripMargin
+  }
+
   /** CCNet tercile bucketing over [[lmScoreCtes]]'s `agg` (Lm.lmBuckets in
     * SQL): per-token score by exact floor division, per-(lang, score)
     * histogram with an exclusive running sum for the rank offset, tie rank
@@ -759,6 +810,7 @@ object SparkEntry {
     "stream_extract" -> ((s, d) => C.streamExtract(s, d)),
     "stream_sessions" -> ((s, d) => C.fetchSessions(s, d)),
     "stream_host_state" -> ((s, d) => C.streamHostState(s, d)),
+    "stream_host_distinct" -> ((s, d) => C.streamHostDistinct(s, d)),
     "crawl_limit_prefix" -> ((s, d) => C.limitPrefix(s, d, 100)),
     "crawl_limit_set" -> ((s, d) => C.limitSet(s, d, 100)),
     "crawl_robots_blocked" -> ((s, d) => C.robotsBlocked(s, d)),
@@ -806,6 +858,9 @@ object SparkEntry {
     "dd_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "dd_lm_score" -> ((s, d) => graft.pipeline.Lm.lmScore(s, d)),
     "dd_dsir_weights" -> ((s, d) => graft.pipeline.Dsir.dsirWeights(s, d)),
+    "dd_dsir_sample" -> ((s, d) => graft.pipeline.Dsir.dsirSample(s, d)),
+    "crawl_url_templates" -> ((s, d) => C.urlTemplates(s, d)),
+    "crawl_trap_gated" -> ((s, d) => C.trapGatedSeen(s, d)),
     "dd_lm_buckets" -> ((s, d) => graft.pipeline.Lm.lmBuckets(s, d)),
     "dd_line_dedup" -> ((s, d) => Dedup.lineDedup(s, d)),
     "dd_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
@@ -813,6 +868,8 @@ object SparkEntry {
     "search_postings" -> ((s, d) => Search.postings(s, d)),
     "search_topk" -> ((s, d) => Search.searchTopK(s, d)),
     "search_bm25" -> ((s, d) => Search.bm25TopK(s, d)),
+    "search_bm25f" -> ((s, d) =>
+      Search.bm25fTopK(s, C.extractMarkdown(s, d), C.anchorText(s, d))),
     "search_phrase" -> ((s, d) => Search.phraseTopK(s, d)),
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -825,6 +882,9 @@ object SparkEntry {
     "graph_host_edges" -> ((s, d) => graft.pipeline.HostGraph.hostEdges(s, d)),
     "graph_anchor_text" -> ((s, d) => C.anchorText(s, d)),
     "graph_anchor_index" -> ((s, d) => C.anchorIndex(s, d)),
+    "graph_host_distinct_kmv" ->
+      ((s, d) => graft.pipeline.HostGraph.hostDistinctKmv(s, d)),
+    "graph_host_hits" -> ((s, d) => graft.pipeline.HostGraph.hostHits(s, d)),
     "crawl_sink_warc" -> ((s, d) => graft.sinks.Warc.warcRecords(s, d)),
     "crawl_warc_roundtrip" -> ((s, d) => C.warcRoundtrip(s, d)),
     "crawl_warc_bfs" -> ((s, d) => C.warcBfsSeen(s, d)),
@@ -1122,6 +1182,24 @@ object SparkEntry {
          |  CAST(epoch_ms(MIN(warc_ts)) AS BIGINT) AS min_ts,
          |  CAST(epoch_ms(MAX(warc_ts)) AS BIGINT) AS max_ts
          |FROM ${gt("pages")} GROUP BY 1""".stripMargin,
+    // streaming KMV, final snapshot per host == batch sketch over ALL of
+    // the host's page urls (same 56-bit md5-prefix hash recipe)
+    "stream_host_distinct" -> {
+      import graft.pipeline.HostGraph.{KmvK, KmvM}
+      s"""WITH hv AS (
+         |  SELECT DISTINCT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         |    ('0x' || substr(md5(url), 1, 14))::BIGINT AS hv
+         |  FROM ${gt("pages")}),
+         |rk AS (SELECT host, hv,
+         |         ROW_NUMBER() OVER (PARTITION BY host ORDER BY hv) AS rn FROM hv),
+         |nh AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS nh FROM hv GROUP BY 1),
+         |kth AS (SELECT host, hv AS hk FROM rk WHERE rn = $KmvK)
+         |SELECT nh.host,
+         |  CAST(LEAST(nh.nh, $KmvK) AS BIGINT) AS n_mins,
+         |  CAST(CASE WHEN nh.nh < $KmvK THEN nh.nh
+         |       ELSE ${(KmvK - 1) * KmvM} // kth.hk END AS BIGINT) AS kmv_est
+         |FROM nh LEFT JOIN kth ON kth.host = nh.host""".stripMargin
+    },
     "crawl_extract_markdown" ->
       s"SELECT url, markdown FROM ${gt("meta")}",
     // snapshot-delta recrawl: changed pages (page_idx%7==3) serve the same
@@ -1644,6 +1722,106 @@ object SparkEntry {
     "graph_anchor_index" ->
       s"""SELECT dst_url, anchor_text, COUNT(DISTINCT src_url) AS n_srcs
          |FROM ${gt("xlinks")} GROUP BY 1, 2""".stripMargin,
+    // trap-gated BFS: seen = min-depth reachability over the link graph
+    // with edges into each host's most-minted template removed (the mined
+    // blocklist the engine's kernel gate consumed)
+    "crawl_trap_gated" ->
+      s"""WITH RECURSIVE tmt AS (
+         |  SELECT regexp_extract(dst_url, '^https?://([^/]+)', 1) AS h,
+         |    regexp_replace(regexp_extract(dst_url, '^https?://[^/]+(.*)${"$"}', 1),
+         |      '[0-9]+', 'N', 'g') AS t,
+         |    COUNT(DISTINCT dst_url) AS n
+         |  FROM ${gt("xlinks")} GROUP BY 1, 2),
+         |blk AS MATERIALIZED (
+         |  SELECT h, t FROM (
+         |    SELECT h, t, ROW_NUMBER() OVER (PARTITION BY h
+         |      ORDER BY n DESC, t) AS rn FROM tmt)
+         |  WHERE rn = 1),
+         |el AS MATERIALIZED (
+         |  SELECT l.src_url, l.dst_url FROM ${gt("links")} l
+         |  WHERE NOT EXISTS (SELECT 1 FROM blk
+         |    WHERE blk.h = regexp_extract(l.dst_url, '^https?://([^/]+)', 1)
+         |      AND blk.t = regexp_replace(
+         |        regexp_extract(l.dst_url, '^https?://[^/]+(.*)${"$"}', 1),
+         |        '[0-9]+', 'N', 'g'))),
+         |reach(url, depth) AS (
+         |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url, 0 AS depth
+         |  UNION
+         |  SELECT e.dst_url, r.depth + 1
+         |  FROM reach r JOIN el e ON e.src_url = r.url
+         |  WHERE r.depth < 64
+         |), seen AS (SELECT url, MIN(depth) AS depth FROM reach GROUP BY url)
+         |SELECT url, CAST(depth AS BIGINT) AS depth FROM seen""".stripMargin,
+    // crawler-trap template mining: digit runs in the path collapse to N,
+    // distinct-url counts per (host, template), flag at the threshold
+    "crawl_url_templates" ->
+      s"""SELECT regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host,
+         |  regexp_replace(regexp_extract(dst_url, '^https?://[^/]+(.*)${"$"}', 1),
+         |    '[0-9]+', 'N', 'g') AS path_template,
+         |  CAST(COUNT(DISTINCT dst_url) AS BIGINT) AS n_urls,
+         |  COUNT(*) AS n_links,
+         |  CAST(CASE WHEN COUNT(DISTINCT dst_url) >= ${graft.queries.CrawlQueries.TrapThreshold}
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_trap
+         |FROM ${gt("xlinks")} GROUP BY 1, 2""".stripMargin,
+    // HITS hubs/authorities, iterations unrolled with SUM-normalization as
+    // exact integer floors (auth from previous hub, hub from the NEW auth —
+    // Kleinberg's sequential update, mirroring HostGraph.hostHits);
+    // MATERIALIZED stops DuckDB's CTE inlining from exponentiating the tree
+    "graph_host_hits" -> {
+      val scale = graft.pipeline.HostGraph.PrScale
+      val iters = graft.pipeline.HostGraph.HitsIters
+      val head =
+        s"""WITH x AS (SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS s,
+           |  regexp_extract(dst_url, '^https?://([^/]+)', 1) AS d FROM ${gt("xlinks")}),
+           |e AS MATERIALIZED (SELECT s, d, COUNT(*) AS w FROM x GROUP BY 1, 2),
+           |hosts AS MATERIALIZED (
+           |  SELECT DISTINCT h FROM (SELECT s AS h FROM e UNION SELECT d FROM e)),
+           |hb0 AS (SELECT h, CAST($scale AS BIGINT) AS hub FROM hosts)""".stripMargin
+      val steps = (1 to iters).map { k =>
+        s"""ar$k AS MATERIALIZED (
+           |  SELECT e.d, SUM(p.hub * e.w) AS m
+           |  FROM e JOIN hb${k - 1} p ON p.h = e.s GROUP BY e.d),
+           |au$k AS MATERIALIZED (
+           |  SELECT hosts.h,
+           |    CAST((COALESCE(ar.m, 0) * $scale) // (SELECT SUM(m) FROM ar$k) AS BIGINT) AS auth
+           |  FROM hosts LEFT JOIN ar$k ar ON ar.d = hosts.h),
+           |hr$k AS MATERIALIZED (
+           |  SELECT e.s, SUM(a.auth * e.w) AS m
+           |  FROM e JOIN au$k a ON a.h = e.d GROUP BY e.s),
+           |hb$k AS MATERIALIZED (
+           |  SELECT hosts.h,
+           |    CAST((COALESCE(hr.m, 0) * $scale) // (SELECT SUM(m) FROM hr$k) AS BIGINT) AS hub
+           |  FROM hosts LEFT JOIN hr$k hr ON hr.s = hosts.h)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$steps
+         |SELECT hb.h AS host, hb.hub AS hub_q, au.auth AS auth_q
+         |FROM hb$iters hb JOIN au$iters au ON au.h = hb.h""".stripMargin
+    },
+    // KMV distinct-url sketch per dst host: k smallest distinct 56-bit
+    // md5-prefix hashes, estimate (k-1)*2^56 // h_(k) — order statistics of
+    // a fixed hash set, so DuckDB replays the estimator bit-for-bit
+    "graph_host_distinct_kmv" -> {
+      import graft.pipeline.HostGraph.{KmvK, KmvM}
+      s"""WITH u AS (
+         |  SELECT DISTINCT regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host,
+         |    dst_url
+         |  FROM ${gt("xlinks")}),
+         |hv AS (SELECT DISTINCT dst_host,
+         |         ('0x' || substr(md5(dst_url), 1, 14))::BIGINT AS hv FROM u),
+         |rk AS (SELECT dst_host, hv,
+         |         ROW_NUMBER() OVER (PARTITION BY dst_host ORDER BY hv) AS rn FROM hv),
+         |nh AS (SELECT dst_host, CAST(COUNT(*) AS BIGINT) AS nh FROM hv GROUP BY 1),
+         |ex AS (SELECT dst_host, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+         |       FROM u GROUP BY 1),
+         |kth AS (SELECT dst_host, hv AS hk FROM rk WHERE rn = $KmvK)
+         |SELECT ex.dst_host, ex.exact_distinct,
+         |  CAST(LEAST(nh.nh, $KmvK) AS BIGINT) AS n_mins,
+         |  CAST(CASE WHEN nh.nh < $KmvK THEN nh.nh
+         |       ELSE ${(KmvK - 1) * KmvM} // kth.hk END AS BIGINT) AS kmv_est
+         |FROM ex JOIN nh ON nh.dst_host = ex.dst_host
+         |LEFT JOIN kth ON kth.dst_host = ex.dst_host""".stripMargin
+    },
     // fixed-point integer PageRank, iterations unrolled — integer sums and
     // floor divisions are exact in both engines (k-means-oracle pattern)
     "graph_host_pagerank" ->
@@ -1918,52 +2096,38 @@ object SparkEntry {
     // log-ratio of the en-target vs raw distribution, add-1 smoothed, Q16
     // via the same unrolled Turner log2 iteration; bucket = first two hex
     // chars of sha256, identical bytes on both engines
-    "dd_dsir_weights" -> {
-      import graft.pipeline.Lm.{LogScaleBits, LogFracBits}
-      val two = 1L << (LogScaleBits + 1)
-      val steps = (1 to LogFracBits).map { i =>
-        s"""lg$i AS (
-           |  SELECT v, CASE WHEN y >= $two THEN y >> 1 ELSE y END AS x,
-           |    r * 2 + CASE WHEN y >= $two THEN 1 ELSE 0 END AS r
-           |  FROM (SELECT v, r, (x * x) >> $LogScaleBits AS y FROM lg${i - 1}))""".stripMargin
-      }.mkString(",\n")
-      val nb = graft.pipeline.Dsir.NumBuckets
-      s"""WITH d AS (
-         |  SELECT doc_id, lang,
-         |    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS wl
-         |  FROM documents),
-         |tok AS (SELECT doc_id, lang, unnest(wl) AS w FROM d),
-         |hx AS (SELECT i, format('{:02x}', i) AS h FROM range($nb) t(i)),
-         |tb AS (SELECT tok.doc_id, tok.lang, hx.i AS b
-         |       FROM tok JOIN hx ON substr(sha256(tok.w), 1, 2) = hx.h),
-         |rawc AS (SELECT b, COUNT(*) AS rc FROM tb GROUP BY 1),
-         |tgtc AS (SELECT b, COUNT(*) AS tc FROM tb WHERE lang = 'en' GROUP BY 1),
-         |bk AS (
-         |  SELECT hx.i AS b, CAST(COALESCE(rc, 0) + 1 AS BIGINT) AS rc1,
-         |    CAST(COALESCE(tc, 0) + 1 AS BIGINT) AS tc1
-         |  FROM hx LEFT JOIN rawc ON rawc.b = hx.i LEFT JOIN tgtc ON tgtc.b = hx.i),
-         |tots AS (SELECT CAST((SELECT SUM(rc) FROM rawc) + $nb AS BIGINT) AS rt,
-         |                CAST((SELECT SUM(tc) FROM tgtc) + $nb AS BIGINT) AS tt),
-         |vals AS (SELECT DISTINCT rc1 AS v FROM bk UNION SELECT DISTINCT tc1 FROM bk
-         |         UNION SELECT rt FROM tots UNION SELECT tt FROM tots),
-         |lg0 AS (
-         |  SELECT v,
-         |    (v << $LogScaleBits) >> (length(format('{:b}', v)) - 1) AS x,
-         |    CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS r
-         |  FROM vals),
-         |$steps,
-         |lgt AS (SELECT v, r AS lg FROM lg$LogFracBits),
-         |wt AS (
-         |  SELECT bk.b,
-         |    (lt.lg - (SELECT lg FROM lgt WHERE v = (SELECT tt FROM tots)))
-         |    - (lr.lg - (SELECT lg FROM lgt WHERE v = (SELECT rt FROM tots))) AS wq
-         |  FROM bk JOIN lgt lt ON lt.v = bk.tc1 JOIN lgt lr ON lr.v = bk.rc1),
-         |sc AS (SELECT tb.doc_id, SUM(wt.wq) AS s, COUNT(*) AS n
-         |       FROM tb JOIN wt ON wt.b = tb.b GROUP BY 1)
+    "dd_dsir_weights" ->
+      s"""WITH $dsirScoreCtes
          |SELECT d2.doc_id, d2.lang,
          |  CAST(COALESCE(sc.s, 0) AS BIGINT) AS dsir_score_q16,
          |  CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_feats
-         |FROM documents d2 LEFT JOIN sc ON sc.doc_id = d2.doc_id""".stripMargin
+         |FROM documents d2 LEFT JOIN sc ON sc.doc_id = d2.doc_id""".stripMargin,
+    // deterministic importance resampling over the DSIR scores: rank by
+    // floor(score/n_feats) desc (offset trick keeps the division on
+    // positives, where Spark div == DuckDB //), histogram-running-sum +
+    // within-tie row_number rank, keep the top quarter
+    "dd_dsir_sample" -> {
+      import graft.pipeline.Dsir.{SampleKeepDen, SampleOffset}
+      s"""WITH $dsirScoreCtes,
+         |w AS (SELECT doc_id,
+         |        ((s + n * $SampleOffset) // n) - $SampleOffset AS per_tok_q16
+         |      FROM sc WHERE n > 0),
+         |hist AS (SELECT per_tok_q16, COUNT(*) AS c FROM w GROUP BY 1),
+         |cum AS (
+         |  SELECT per_tok_q16,
+         |    COALESCE(SUM(c) OVER (ORDER BY per_tok_q16 DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM hist),
+         |rk AS (
+         |  SELECT w.doc_id, w.per_tok_q16,
+         |    cum.cb + ROW_NUMBER() OVER (PARTITION BY w.per_tok_q16
+         |      ORDER BY w.doc_id) AS rnk
+         |  FROM w JOIN cum ON cum.per_tok_q16 = w.per_tok_q16)
+         |SELECT doc_id, CAST(per_tok_q16 AS BIGINT) AS per_tok_q16,
+         |  CAST(rnk AS BIGINT) AS sel_rank,
+         |  CAST(CASE WHEN rnk <= (SELECT COUNT(*) FROM w) // $SampleKeepDen
+         |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM rk""".stripMargin
     },
     // CCNet perplexity bucketing (Wenzek 2020 §3.2): per-language terciles
     // of the per-token LM score, ranked by the same two-level shape the
@@ -2064,6 +2228,88 @@ object SparkEntry {
          |  SELECT query_id, doc_id, score_q16,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY score_q16 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM sc)
+         |WHERE rank <= ${Search.TopK}""".stripMargin
+    },
+    // BM25F over the crawl corpus: body field = ground-truth markdown (the
+    // engine scores its OWN extraction — byte-parity pinned by
+    // crawl_extract_markdown), anchor field = in-link anchor text from
+    // gt xlinks (parity pinned by graph_anchor_text); per-field length
+    // norm, field-weighted combine, ONE shared saturation — mirrors
+    // Search.bm25fTopK in exact Q16 integers
+    "search_bm25f" -> {
+      import graft.pipeline.Lm.{LogScaleBits, LogFracBits}
+      import Search.{Q16, Q16K1, Q16B, WBody, WAnchor}
+      val two = 1L << (LogScaleBits + 1)
+      val steps = (1 to LogFracBits).map { i =>
+        s"""lg$i AS (
+           |  SELECT v, CASE WHEN y >= $two THEN y >> 1 ELSE y END AS x,
+           |    r * 2 + CASE WHEN y >= $two THEN 1 ELSE 0 END AS r
+           |  FROM (SELECT v, r, (x * x) >> $LogScaleBits AS y FROM lg${i - 1}))""".stripMargin
+      }.mkString(",\n")
+      val qvals = Search.QueriesF.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+      s"""WITH body AS (
+         |  SELECT url,
+         |    list_filter(regexp_split_to_array(lower(markdown), '\\W+'), x -> x <> '') AS wl
+         |  FROM ${gt("meta")}),
+         |bdl AS (SELECT url, CAST(len(wl) AS BIGINT) AS dlb FROM body),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dlb) AS BIGINT) AS t FROM bdl),
+         |atok AS (
+         |  SELECT x.dst_url AS url,
+         |    unnest(list_filter(regexp_split_to_array(lower(x.anchor_text), '\\W+'),
+         |      c -> c <> '')) AS w
+         |  FROM ${gt("xlinks")} x JOIN bdl b ON b.url = x.dst_url),
+         |ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM atok),
+         |adl AS (SELECT url, CAST(COUNT(*) AS BIGINT) AS dla FROM atok GROUP BY 1),
+         |q(query_id, query) AS (VALUES $qvals),
+         |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+         |         unnest(string_split(query, ' ')) AS w FROM q),
+         |btok AS (SELECT url, unnest(wl) AS w FROM body),
+         |btf AS (SELECT url, w, CAST(COUNT(*) AS BIGINT) AS tfb FROM btok
+         |        WHERE w IN (SELECT DISTINCT w FROM qt) GROUP BY 1, 2),
+         |atf AS (SELECT url, w, CAST(COUNT(*) AS BIGINT) AS tfa FROM atok
+         |        WHERE w IN (SELECT DISTINCT w FROM qt) GROUP BY 1, 2),
+         |hit AS (
+         |  SELECT COALESCE(btf.url, atf.url) AS url, COALESCE(btf.w, atf.w) AS w,
+         |    CAST(COALESCE(tfb, 0) AS BIGINT) AS tfb,
+         |    CAST(COALESCE(tfa, 0) AS BIGINT) AS tfa
+         |  FROM btf FULL OUTER JOIN atf ON btf.url = atf.url AND btf.w = atf.w),
+         |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM hit GROUP BY 1),
+         |vals AS (SELECT DISTINCT 2 * df + 1 AS v FROM dfq
+         |         UNION SELECT DISTINCT 2 * n + 2 FROM st),
+         |lg0 AS (
+         |  SELECT v,
+         |    (v << $LogScaleBits) >> (length(format('{:b}', v)) - 1) AS x,
+         |    CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS r
+         |  FROM vals),
+         |$steps,
+         |lgt AS (SELECT v, r AS lg FROM lg$LogFracBits),
+         |idf AS (SELECT dfq.w,
+         |    (SELECT lg FROM lgt WHERE v = (SELECT 2 * n + 2 FROM st)) - lgt.lg AS idf_q16
+         |  FROM dfq JOIN lgt ON lgt.v = 2 * dfq.df + 1),
+         |sat AS (
+         |  SELECT h.url, h.w,
+         |    ((($WBody * ((h.tfb * $Q16 * $Q16) //
+         |        (($Q16 - $Q16B) + ($Q16B * bdl.dlb * st.n) // st.t))
+         |      + $WAnchor * ((h.tfa * $Q16 * $Q16) //
+         |        (($Q16 - $Q16B) + ($Q16B * COALESCE(adl.dla, 0) * st.n) // ta.t)))
+         |      * $Q16) //
+         |     ($Q16K1 + ($WBody * ((h.tfb * $Q16 * $Q16) //
+         |        (($Q16 - $Q16B) + ($Q16B * bdl.dlb * st.n) // st.t))
+         |      + $WAnchor * ((h.tfa * $Q16 * $Q16) //
+         |        (($Q16 - $Q16B) + ($Q16B * COALESCE(adl.dla, 0) * st.n) // ta.t)))))
+         |      AS sat_q16
+         |  FROM hit h JOIN bdl ON bdl.url = h.url LEFT JOIN adl ON adl.url = h.url
+         |  CROSS JOIN st CROSS JOIN ta),
+         |sc AS (
+         |  SELECT qt.query_id, s.url,
+         |    CAST(SUM((idf.idf_q16 * s.sat_q16) // $Q16) AS BIGINT) AS score_q16
+         |  FROM sat s JOIN qt ON qt.w = s.w JOIN idf ON idf.w = s.w
+         |  GROUP BY 1, 2)
+         |SELECT query_id, rank, url, score_q16 FROM (
+         |  SELECT query_id, url, score_q16,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score_q16 DESC, url) AS BIGINT) AS rank
          |  FROM sc)
          |WHERE rank <= ${Search.TopK}""".stripMargin
     },

@@ -169,6 +169,16 @@ final case class CrawlConfig(
       * Host-bounded — rides the wave as a broadcast join.
       */
     hostWaveCaps: Map[String, Int] = Map.empty,
+    /** Crawler-trap template blocklist (host → digit-collapsed path
+      * templates, [[graft.url.UrlNorm.templateOf]]): a discovered link
+      * whose (host, template) is listed is DROPPED at extraction — it never
+      * enters seen or the frontier, exactly like a robots-disallowed url.
+      * Mined offline (the `crawl_url_templates` audit: calendars, session
+      * ids, pagination mills) and consumed here as a broadcast map; at
+      * 10^10 urls the same gate runs as a host-keyed anti-join against the
+      * flagged-template table (robotsAntiJoin's shape).
+      */
+    trapTemplates: Map[String, Set[String]] = Map.empty,
     /** Best-first frontier scheduling (X27 composed into the wave engine;
       * OPIC / harvest-rank shape — public): per-url priority is the fixed-
       * point integer rank of the url's HOST in this (host, pr) table
@@ -528,6 +538,7 @@ object WaveCrawler {
     val bc9309 = spark.sparkContext.broadcast(
       config.robots9309Rules.map { case (h, rs) => h -> Robots9309.compile(rs) })
     val bcStartHost = spark.sparkContext.broadcast(startHost)
+    val bcTrap = spark.sparkContext.broadcast(config.trapTemplates)
     val sameHostOnly = config.sameHostOnly
 
     var frontier = state0.frontier
@@ -735,6 +746,7 @@ object WaveCrawler {
           val doExtract = bcExtract.value
           val keepAH = bcKeepAH.value
           val sHost = bcStartHost.value
+          val trap = bcTrap.value
           val lm = listMode
           val sho = sameHostOnly
           it.map { case (url, host, d, seq, htmlBytes) =>
@@ -767,7 +779,8 @@ object WaveCrawler {
                       if (rules9309.isEmpty) Robots9309.allowedPath(raw)
                       else rules9309.get(dstHost)
                         .forall(rs => Robots9309.allowed(rs, raw))
-                    })
+                    }) && (trap.isEmpty ||
+                      !trap.get(dstHost).exists(_.contains(UrlNorm.templateOf(dst))))
                     if (allowed) Some(ProcLink(dst, dstHost, pos)) else None
                   }
                 } else Nil

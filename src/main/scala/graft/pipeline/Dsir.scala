@@ -93,4 +93,47 @@ object Dsir {
         lit(0L), (acc, x) => acc + x), lit(0L)).as("dsir_score_q16"),
       size(col("wl")).cast("long").as("n_feats"))
   }
+
+  /** Keep fraction of the resampling step: top 1/[[SampleKeepDen]] of docs
+    * by per-token importance.
+    */
+  val SampleKeepDen = 4L
+
+  /** Score offset making every per-token division numerator positive:
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors, and
+    * they only agree on non-negative operands — so the floor is computed as
+    * `((s + n·Off) div n) − Off` with `s ≥ −n·Off` guaranteed (per-token
+    * weights are Q16 log-ratios, |w| ≪ 2^24).
+    */
+  val SampleOffset = 1L << 24
+
+  /** The "R" of DSIR — deterministic importance resampling (the paper
+    * §3.2 uses Gumbel top-k; this engine's exact-replay contract demands a
+    * noise-free variant): rank every scoring doc by per-token importance
+    * `floor(score/n_feats)` descending with doc_id tie-break, keep the top
+    * quarter. Zero-feature docs never score and are excluded.
+    *
+    * Scale shape (the [[Lm.lmBuckets]] pattern): NO global window over doc
+    * rows — ranks come from a (value → count) histogram whose running sum
+    * assigns each tie-group its offset, plus a row_number wholly inside the
+    * tie-group. The only ordered window runs over the bounded histogram.
+    */
+  def dsirSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = dsirWeights(spark, sfDir).filter(col("n_feats") > 0)
+      .select(col("doc_id"), expr(
+        s"((dsir_score_q16 + n_feats * $SampleOffset) div n_feats) - $SampleOffset")
+        .as("per_tok_q16"))
+      .localCheckpoint() // dsirWeights runs two bounded collects; run once
+    val n = w.count()
+    val hist = w.groupBy(col("per_tok_q16")).agg(count(lit(1)).as("c"))
+    val cum = hist.select(col("per_tok_q16"),
+      coalesce(sum(col("c")).over(Window.orderBy(col("per_tok_q16").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("cum_before"))
+    w.join(cum, "per_tok_q16")
+      .withColumn("sel_rank", (col("cum_before") + row_number().over(
+        Window.partitionBy(col("per_tok_q16")).orderBy(col("doc_id")))).cast("long"))
+      .select(col("doc_id"), col("per_tok_q16"), col("sel_rank"),
+        (col("sel_rank") <= n / SampleKeepDen).cast("long").as("kept"))
+  }
 }

@@ -124,4 +124,94 @@ object HostGraph {
     }
     pr.select(col("h").as("host"), col("pr"))
   }
+
+  // ----------------------------------------------- HITS hubs/authorities
+
+  val HitsIters = 5
+
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in a
+    * hyperlinked environment" — public) over the weighted host graph, in
+    * exact fixed-point integers: each half-step is a join+aggregate
+    * (auth ← Σ_in hub·w, hub ← Σ_out auth·w) followed by SUM-normalization
+    * `(v · Scale) div Σv` — an integer floor both engines replay, replacing
+    * the usual L2 norm so no float ever appears. Same scale dataflow as
+    * PageRank: every iteration is host-bounded joins, nothing driver-side
+    * but the loop counter.
+    *
+    * Overflow audit: raw mass ≤ Scale · Σw = 10^6 · total_links; Long-safe
+    * through Σw ≈ 10^10 (sandbox sf0.01: 3×10^4). Beyond that, downshift
+    * the raw sums by Scale before normalizing (same floor shape).
+    */
+  def hostHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = hostEdges(spark, sfDir)
+      .withColumnRenamed("src_host", "s").withColumnRenamed("dst_host", "d")
+      .withColumnRenamed("n_links", "w")
+      .localCheckpoint(true) // referenced 2× per iteration (see hostPageRank)
+    val hosts = edges.select(col("s").as("h"))
+      .unionByName(edges.select(col("d").as("h"))).distinct().localCheckpoint(true)
+
+    var hub = hosts.select(col("h"), lit(PrScale).as("hub"))
+    var auth = hosts.select(col("h"), lit(PrScale).as("auth"))
+    for (_ <- 1 to HitsIters) {
+      val araw = edges.join(hub, edges("s") === hub("h"))
+        .select(col("d"), expr("hub * w").as("c"))
+        .groupBy(col("d")).agg(sum(col("c")).as("m"))
+      val asum = araw.agg(sum(col("m")).as("t"))
+      // EAGER checkpoint per half-step: the raw table feeds both the sum
+      // and the normalize join, so an unbroken lazy chain would double per
+      // half-step (4^iters re-derivations); the cut tables are
+      // host-cardinality-bounded
+      auth = hosts.join(araw, hosts("h") === araw("d"), "left")
+        .crossJoin(broadcast(asum))
+        .select(col("h"), expr(s"(coalesce(m, 0L) * $PrScale) div t").as("auth"))
+        .localCheckpoint(true)
+      val hraw = edges.join(auth, edges("d") === auth("h"))
+        .select(col("s"), expr("auth * w").as("c"))
+        .groupBy(col("s")).agg(sum(col("c")).as("m"))
+      val hsum = hraw.agg(sum(col("m")).as("t"))
+      hub = hosts.join(hraw, hosts("h") === hraw("s"), "left")
+        .crossJoin(broadcast(hsum))
+        .select(col("h"), expr(s"(coalesce(m, 0L) * $PrScale) div t").as("hub"))
+        .localCheckpoint(true)
+    }
+    hub.join(auth, Seq("h"))
+      .select(col("h").as("host"), col("hub").as("hub_q"), col("auth").as("auth_q"))
+  }
+
+  // ---------------------------------------- KMV distinct-url cardinality
+
+  /** KMV sketch size (stderr ≈ 1/√(k−2) ≈ 13%) and hash-universe size:
+    * hashes are the first 14 hex chars of md5 (56 bits), so the estimator
+    * numerator (k−1)·M = 63·2^56 ≈ 4.5e18 stays inside a signed Long in
+    * BOTH engines (Spark Long and DuckDB BIGINT overflow-check alike).
+    */
+  val KmvK = 64
+  val KmvM: Long = 1L << 56
+
+  /** Per-host distinct-url cardinality: exact count side-by-side with the
+    * KMV k-minimum-values estimate ([[graft.functions.KMinValues]]) over
+    * the multi-host extractor's dst urls.
+    *
+    * Scale story: the exact countDistinct carries every distinct url
+    * through the shuffle; the KMV column moves ≤ k longs per (partition,
+    * host) and holds O(k) state per host no matter how large the host is —
+    * at 10^10 urls the sketch column is what survives, the exact column is
+    * the sandbox-scale audit that pins the estimator's error. Deterministic
+    * (order statistics of a fixed hash set), so oracle-checkable.
+    */
+  def hostDistinctKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val kmin = udaf(new graft.functions.KMinValues(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    CrawlQueries.xlinkExtract(spark, sfDir)
+      .select(hostOf(col("dst_url")).as("dst_host"), col("dst_url"),
+        expr("CAST(conv(substring(md5(dst_url), 1, 14), 16, 10) AS BIGINT)").as("hv"))
+      .groupBy(col("dst_host"))
+      .agg(countDistinct(col("dst_url")).as("exact_distinct"),
+        kmin(col("hv")).as("mins"))
+      .select(col("dst_host"), col("exact_distinct"),
+        size(col("mins")).cast("long").as("n_mins"),
+        when(size(col("mins")) < KmvK, size(col("mins")).cast("long"))
+          .otherwise(expr(s"${(KmvK - 1) * KmvM} div element_at(mins, $KmvK)"))
+          .as("kmv_est"))
+  }
 }

@@ -170,6 +170,118 @@ object Search {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_q16"))
   }
 
+  // ------------------------------------------------ integer BM25F (fields)
+
+  /** BM25F query workload over the CRAWL corpus (body = extracted markdown,
+    * anchor = in-link anchor text): anchor-dominant, body-only, mixed, and
+    * one guaranteed zero-hit query.
+    */
+  val QueriesF: Seq[(Long, String)] = Seq(
+    1L -> "home",
+    2L -> "partner site",
+    3L -> "signal beacon",
+    4L -> "anchor crawler",
+    5L -> "quantum chromodynamics",
+    6L -> "link 0")
+
+  /** Integer field weights: anchor text counts [[WAnchor]]× a body hit —
+    * the classic "what the web calls this page" boost.
+    */
+  val WBody = 1L
+  val WAnchor = 3L
+
+  /** BM25F top-k (Robertson & Zaragoza 2009 §10; Zaragoza et al. 2004,
+    * "Microsoft Cambridge at TREC-13" — public) in exact Q16 integers over
+    * TWO fields derived from the same raw HTML the crawler fetched:
+    *
+    *   - body   = the engine's own readability→markdown extraction
+    *     (byte-parity with the corpus ground truth is pinned by
+    *     `crawl_extract_markdown`);
+    *   - anchor = the first-anchor text of every in-link, from
+    *     [[graft.extract.LinkExtractor.extractWithText]] (parity pinned by
+    *     `graph_anchor_text`), restricted to dst urls that are corpus pages.
+    *
+    * BM25F combines PER-FIELD length-normalized tf with field weights
+    * BEFORE one shared saturation (unlike summing two independent BM25
+    * scores, which double-saturates):
+    *
+    *   Bq_f(d)    = (S − b·S) + (b·S · dl_f(d) · N) div T_f     (Q16)
+    *   tfn_f(t,d) = (tf_f · S · S) div Bq_f                      (Q16)
+    *   tft(t,d)   = W_body·tfn_body + W_anchor·tfn_anchor        (Q16)
+    *   sat(t,d)   = (tft · S) div (k1·S + tft) → (tft·S) div (Q16K1 + tft)
+    *   idf_q16(t) = log2fix(2N+2) − log2fix(2·df(t)+1), df = docs where t
+    *                appears in EITHER field
+    *   score(q,d) = Σ_t (idf_q16 · sat) div S
+    *
+    * Overflow audit (Long): tfn_f = tf·S² div Bq ≤ tf·S²/(S−b·S) = 4·tf·S
+    * ≈ tf·2.6e5; tft ≤ 4·(10^4·2.6e5) ≈ 10^10; sat numerator tft·S ≤ 6.8e14;
+    * idf·sat ≤ 1.5e6·6.5e4 ≈ 10^11 — all safe. At 10^10 docs reorder the
+    * length norm to b·S·((dl·S) div avgdl) before N·dl can reach 2^63.
+    *
+    * Scale shape: both token streams are pruned by the broadcast query-term
+    * set BEFORE any tf aggregation; dl_body rides the body rows narrowly,
+    * dl_anchor/T_anchor are one bounded agg over the (already small) anchor
+    * stream. Only Σ_t df(t) rows reach the field-combine join and scoring.
+    * The tokenized body is localCheckpoint'd so the markdown extraction
+    * runs once, not once per consumer.
+    */
+  def bm25fTopK(spark: SparkSession, body: DataFrame,
+      anchors: DataFrame): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val b = body.select(col("url"),
+        filter(split(lower(col("markdown")), "\\W+"), w => w =!= "").as("wl"))
+      .localCheckpoint() // extraction runs once; consumed by stats/tokens/join
+    val stats = b.agg(count(lit(1)),
+      coalesce(sum(size(col("wl")).cast("long")), lit(0L))).head()
+    val nDocs = stats.getLong(0)
+    val tBody = stats.getLong(1)
+
+    // anchor token stream, restricted to dst urls that are corpus pages
+    val atok = anchors.select(col("dst_url").as("url"),
+        explode(filter(split(lower(col("anchor_text")), "\\W+"),
+          w => w =!= "")).as("w"))
+      .join(b.select("url"), Seq("url"), "left_semi")
+      .localCheckpoint() // consumed by T/dl aggs and the pruned tf agg
+    val tAnchor = atok.count()
+
+    val qt = QueriesF.toDF("query_id", "query")
+      .select(col("query_id"), explode(split(col("query"), " ")).as("w"))
+    val qset = broadcast(qt.select("w").distinct())
+
+    val btf = b.select(col("url"), explode(col("wl")).as("w"))
+      .join(qset, "w")
+      .groupBy("url", "w").agg(count(lit(1)).as("tfb"))
+    val atf = atok.join(qset, "w")
+      .groupBy("url", "w").agg(count(lit(1)).as("tfa"))
+    val adl = atok.groupBy("url").agg(count(lit(1)).as("dla"))
+    val bdl = b.select(col("url"), size(col("wl")).cast("long").as("dlb"))
+
+    val hits = btf.join(atf, Seq("url", "w"), "full_outer")
+      .na.fill(0L, Seq("tfb", "tfa"))
+      .join(bdl, Seq("url")) // body length for every hit (incl. anchor-only)
+      .join(adl, Seq("url"), "left").na.fill(0L, Seq("dla"))
+      .withColumn("tfnb", expr(
+        s"(tfb * $Q16 * $Q16) div " +
+          s"(($Q16 - $Q16B) + ($Q16B * dlb * $nDocs) div $tBody)"))
+      .withColumn("tfna", expr(
+        s"(tfa * $Q16 * $Q16) div " +
+          s"(($Q16 - $Q16B) + ($Q16B * dla * $nDocs) div $tAnchor)"))
+      .withColumn("tft", expr(s"$WBody * tfnb + $WAnchor * tfna"))
+      .withColumn("sat", expr(s"(tft * $Q16) div ($Q16K1 + tft)"))
+    val dfq = hits.groupBy("w").agg(count(lit(1)).as("df")) // (url,w) unique
+    val idfOf = udf((df: Long) => Lm.log2fix(2L * nDocs + 2L) - Lm.log2fix(2L * df + 1L))
+    val qw = qt.join(broadcast(dfq), "w")
+      .select(col("query_id"), col("w"), idfOf(col("df")).as("idf_q16"))
+    val scored = hits.join(broadcast(qw), "w")
+      .groupBy("query_id", "url")
+      .agg(sum(expr(s"(idf_q16 * sat) div $Q16")).as("score_q16"))
+    val win = Window.partitionBy("query_id").orderBy(col("score_q16").desc, col("url"))
+    scored.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("url"), col("score_q16"))
+  }
+
   /** Exact phrase search over POSITIONAL postings — the way an inverted
     * index answers phrase queries (token-sequence match, not byte
     * substring): every phrase-term hit at token position `pos` votes for

@@ -386,6 +386,60 @@ object CrawlQueries {
       .groupBy(col("dst_url"), col("anchor_text"))
       .agg(countDistinct(col("src_url")).as("n_srcs"))
 
+  /** Distinct-url count above which a (host, path-template) is flagged as
+    * a crawler-trap suspect.
+    */
+  val TrapThreshold = 100L
+
+  /** Crawler-trap template mining over the advertised url space: collapse
+    * every digit run in the path to `N` (so `/cal/2026/08/18` and
+    * `/cal/2026/08/19` share a template) and count distinct urls + link
+    * occurrences per (host, template). Templates minting unboundedly many
+    * urls — calendars, session ids, pagination mills — are exactly the
+    * shapes that trap a BFS crawler; `is_trap` flags any template whose
+    * distinct-url count reaches [[TrapThreshold]].
+    *
+    * Scale shape: one (host, template)-keyed map-side-combined aggregation
+    * over the extractor output — the same shuffle class as the host-edge
+    * rollup; nothing driver-side. At 10^10 urls a frontier gate would
+    * consume this table as a broadcast blocklist of flagged templates.
+    */
+  def urlTemplates(spark: SparkSession, sfDir: String,
+      threshold: Long = TrapThreshold): DataFrame =
+    xlinkExtract(spark, sfDir)
+      .select(
+        regexp_extract(col("dst_url"), "^https?://([^/]+)", 1).as("dst_host"),
+        regexp_replace(
+          regexp_extract(col("dst_url"), "^https?://[^/]+(.*)$", 1),
+          "[0-9]+", "N").as("path_template"),
+        col("dst_url"))
+      .groupBy(col("dst_host"), col("path_template"))
+      .agg(countDistinct(col("dst_url")).as("n_urls"),
+        count(lit(1)).as("n_links"))
+      .withColumn("is_trap", (col("n_urls") >= threshold).cast("long"))
+
+  /** Trap-gated BFS: mine the blocklist (each host's most-minted template,
+    * the [[urlTemplates]] audit's worst offender), feed it to the wave
+    * engine's kernel gate, crawl from the host0 seed. Blocked urls never
+    * enter seen/frontier (robots-disallow semantics), so seen = min-depth
+    * reachability over the template-filtered link graph — which is what the
+    * oracle replays. The blocklist collect is host-bounded (1 row/host).
+    */
+  def trapGatedSeen(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "trapbfs") { dir =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst_host")).orderBy(col("n_urls").desc, col("path_template"))
+      val blocked = urlTemplates(spark, sfDir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("dst_host"), col("path_template")).collect()
+        .groupBy(_.getString(0)).map { case (h, rs) =>
+          h -> rs.map(_.getString(1)).toSet
+        }
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(startUrl = Seed, extractContent = false,
+          trapTemplates = blocked))
+    }.seen.select(col("url"), col("depth").cast("long").as("depth"))
+
   /** H4+H5+H6 over every corpus page: extracted titles. */
   def extractTitles(spark: SparkSession, sfDir: String): DataFrame = {
     val spark2 = spark
@@ -609,6 +663,27 @@ object CrawlQueries {
       .partitionBy(col("host")).orderBy(col("cnt").desc)
     log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("host"), col("cnt").as("n_pages"), col("min_ts"), col("max_ts"))
+  }
+
+  /** Streaming KMV distinct-url estimate per host, reduced to each host's
+    * FINAL snapshot: the estimate is monotone non-decreasing across
+    * micro-batches (smaller hashes only ever displace larger), so max
+    * (kmv_est, n_mins) per host is the full-data sketch regardless of how
+    * the file source batched the feed — and must equal the batch sketch the
+    * oracle replays.
+    */
+  def streamHostDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    val label = sfDir.replaceAll("/+$", "").split('/').last
+    val out = scratchDir(spark, "hostkmv", label)
+    deleteRecursively(new java.io.File(out))
+    graft.streaming.StreamIngest.runHostDistinct(spark, s"$dir/pages.parquet",
+      s"$out/log", s"$out/ck").awaitTermination()
+    val log = spark.read.parquet(s"$out/log")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("kmv_est").desc, col("n_mins").desc)
+    log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("host"), col("n_mins"), col("kmv_est"))
   }
 
   /** Event-time sessionization of the fetch feed (StreamIngest.hostSessions

@@ -158,6 +158,73 @@ object StreamIngest {
       }
   }
 
+  /** Streaming KMV state: the k smallest distinct url hashes seen so far
+    * for one host ([[graft.functions.KMinValues]] buffers).
+    */
+  final case class KmvState(mins: Array[Long])
+
+  /** md5-prefix 56-bit url hash — the EXACT recipe the batch sketch uses
+    * (`conv(substring(md5(url), 1, 14), 16, 10)`), computed JVM-side so the
+    * streaming state updates match the batch/oracle hash bit-for-bit.
+    */
+  def urlHash56(url: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(url.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 14 hex chars == first 7 bytes, big-endian
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** Distinct-url cardinality per host as STREAMING state: a KMV sketch
+    * lives in the state store per host, each micro-batch folds its urls in
+    * and emits the refreshed (n_mins, estimate) snapshot — the
+    * bounded-state streaming twin of `graph_host_distinct_kmv` (O(k) state
+    * per host forever, vs dropDuplicates' unbounded url set).
+    *
+    * Emission order depends on micro-batch boundaries, but the sketch is a
+    * pure set-of-k-smallest — order- and batching-independent — and the
+    * estimate `(k−1)·M div h_(k)` is MONOTONE non-decreasing as smaller
+    * hashes displace larger ones, so each host's final snapshot (max
+    * estimate) equals the batch sketch over all its urls: that reduction is
+    * what the driver row checks.
+    */
+  def hostDistinctKmv(pages: DataFrame,
+      k: Int = graft.pipeline.HostGraph.KmvK): org.apache.spark.sql.Dataset[(String, Long, Long)] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val m = graft.pipeline.HostGraph.KmvM
+    pages
+      .select($"url").as[String]
+      .map(url => (graft.url.UrlNorm.hostnameOf(url), urlHash56(url)))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KmvState, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { case (host, rows, state) =>
+        var mins = state.getOption.map(_.mins).getOrElse(Array.emptyLongArray)
+        rows.foreach { case (_, h) => mins = graft.functions.KMinValues.insert(mins, h, k) }
+        state.update(KmvState(mins))
+        val est = if (mins.length < k) mins.length.toLong else (k - 1).toLong * m / mins(k - 1)
+        Iterator.single((host, mins.length.toLong, est))
+      }
+  }
+
+  /** Run [[hostDistinctKmv]] over a landing dir, appending the snapshot log
+    * (Trigger.AvailableNow, checkpointed).
+    */
+  def runHostDistinct(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    hostDistinctKmv(pagesStream(spark, inDir))
+      .toDF("host", "n_mins", "kmv_est")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Run [[hostStateStats]] over a landing dir and append the update log to
     * parquet (Trigger.AvailableNow, checkpointed — same resume shape as
     * [[run]]).

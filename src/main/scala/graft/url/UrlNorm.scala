@@ -94,4 +94,34 @@ object UrlNorm {
   /** Decoded path of an (already normalized) URL string. */
   def pathOf(urlStr: String): String =
     GoUrl.parse(urlStr).map(_.path).getOrElse("")
+
+  /** Crawler-trap url template: everything after the authority with every
+    * ASCII digit run collapsed to `N` — byte-identical to the SQL recipe
+    * `regexp_replace(regexp_extract(url, '^https?://[^/]+(.*)$', 1),
+    * '[0-9]+', 'N', 'g')` so the mined blocklist, the kernel gate, and the
+    * DuckDB oracle all speak the same key.
+    */
+  def templateOf(url: String): String = {
+    val i0 = url.indexOf("://")
+    val start =
+      if (i0 < 0) 0
+      else {
+        val s = url.indexOf('/', i0 + 3)
+        if (s < 0) url.length else s
+      }
+    val sb = new java.lang.StringBuilder(url.length - start)
+    var i = start
+    var inDigits = false
+    while (i < url.length) {
+      val c = url.charAt(i)
+      if (c >= '0' && c <= '9') {
+        if (!inDigits) { sb.append('N'); inDigits = true }
+      } else {
+        inDigits = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
 }

@@ -161,6 +161,38 @@ class WaveCrawlerSpec extends AnyFunSuite {
     }
   }
 
+  test("trap gate: blocked-template urls never enter seen; survivors keep BFS depths") {
+    import graft.url.UrlNorm
+    // block host0's most-minted template (the page mill the audit flags)
+    val tmpl = (0 until spec.hostSizes(0))
+      .map(i => UrlNorm.templateOf(CorpusGen.pageUrl(0, i)))
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .maxBy { case (t, n) => (n, t) }._1
+    val (_, seen, depths) = sparkCrawl(CrawlConfig(startUrl = seed0,
+      extractContent = false,
+      trapTemplates = Map(CorpusGen.hostName(0) -> Set(tmpl))))
+    // local min-depth BFS over the template-filtered link graph
+    val expected = scala.collection.mutable.Map(seed0 -> 0)
+    var frontier = Vector(seed0)
+    while (frontier.nonEmpty) {
+      val next = Vector.newBuilder[String]
+      frontier.foreach { u =>
+        val d = expected(u)
+        web.get(u).toSeq.flatMap(h =>
+          LinkExtractor.extract(u, CorpusGen.hostName(0), h, Nil)).foreach { dst =>
+          if (UrlNorm.templateOf(dst) != tmpl && !expected.contains(dst)) {
+            expected(dst) = d + 1
+            next += dst
+          }
+        }
+      }
+      frontier = next.result()
+    }
+    assert(seen == expected.keySet)
+    assert(depths == expected.toMap)
+    assert(seen.forall(u => UrlNorm.templateOf(u) != tmpl || u == seed0))
+  }
+
   test("multi-host crawl: save order, seen set, and depths match the FIFO oracle") {
     val (saved, seen, depths) = sparkCrawl(CrawlConfig(startUrl = seed0, sameHostOnly = false))
     val ref = refCrawl(CrawlParams(startUrl = seed0, sameHostOnly = false))

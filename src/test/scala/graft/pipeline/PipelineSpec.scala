@@ -702,6 +702,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(meanPerTok(_ == "en") > meanPerTok(_ != "en"))
   }
 
+  test("hits: sum-normalized mass conserved within floor slack; scores sane") {
+    val rows = HostGraph.hostHits(spark, sf).collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Long]("hub_q"), r.getAs[Long]("auth_q")))
+    assert(rows.nonEmpty)
+    val n = rows.length
+    // each normalize emits (m·S) div T per host, so Σ ∈ (S − n, S]
+    val hubSum = rows.map(_._2).sum
+    val authSum = rows.map(_._3).sum
+    assert(hubSum <= HostGraph.PrScale && hubSum > HostGraph.PrScale - n, s"hub mass $hubSum")
+    assert(authSum <= HostGraph.PrScale && authSum > HostGraph.PrScale - n, s"auth mass $authSum")
+    assert(rows.forall(r => r._2 >= 0L && r._3 >= 0L))
+    // the graph is connected enough that something scores on both axes
+    assert(rows.exists(_._2 > 0L) && rows.exists(_._3 > 0L))
+  }
+
+  test("dsir sample: ranks are a permutation, kept = top quarter by per-token score") {
+    val rows = Dsir.dsirSample(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("per_tok_q16"),
+        r.getAs[Long]("sel_rank"), r.getAs[Long]("kept")))
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    assert(rows.map(_._3).sorted.toSeq == (1L to n).toSeq, "ranks not a permutation")
+    assert(rows.count(_._4 == 1L).toLong == n / Dsir.SampleKeepDen)
+    // rank order respects (per_tok desc, doc_id): every kept row's per_tok
+    // >= every dropped row's per_tok
+    val keptMin = rows.filter(_._4 == 1L).map(_._2).min
+    val dropMax = rows.filter(_._4 == 0L).map(_._2).max
+    assert(keptMin >= dropMax, s"selection not score-monotone: $keptMin < $dropMax")
+    // the floor division must match exact math (offset trick correctness)
+    val weights = Dsir.dsirWeights(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dsir_score_q16"), r.getAs[Long]("n_feats"))).toMap
+    rows.foreach { case (id, pt, _, _) =>
+      val (s, nf) = weights(id)
+      assert(pt == Math.floorDiv(s, nf), s"doc $id per_tok floor drift")
+    }
+  }
+
+  test("url templates: digit collapse, trap flag fires on page mills only") {
+    // threshold 50 so the sf0.001 corpus's per-section page mills flag
+    val rows = graft.queries.CrawlQueries.urlTemplates(spark, sf, threshold = 50L)
+      .collect()
+      .map(r => (r.getAs[String]("dst_host"), r.getAs[String]("path_template"),
+        r.getAs[Long]("n_urls"), r.getAs[Long]("n_links"), r.getAs[Long]("is_trap")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, t, nu, nl, trap) =>
+      assert(!t.exists(_.isDigit), s"template $t still carries digits")
+      assert(nl >= nu && nu >= 1)
+      assert(trap == (if (nu >= 50L) 1L else 0L))
+    }
+    // a page mill must flag; single-url host roots must not
+    assert(rows.exists(_._5 == 1L), "no trap template found")
+    rows.filter(_._2 == "/").foreach { r =>
+      assert(r._5 == 0L, s"host root flagged as trap: $r")
+    }
+  }
+
   test("C4 rules: each injected variant lands on its documented outcome") {
     val rows = TextAnalysis.qualityC4(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -846,6 +903,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.length == 625, s"capped semdedup lost vectors: ${rows.length}")
     assert(rows.map(_._1).distinct.length == 625)
     assert(rows.forall(_._2 == 1L), "an uncompared overflow row was dropped")
+  }
+
+  test("bm25f: full output matches an exact local replay on a hand-built corpus") {
+    import spark.implicits._
+    // p1: "home" only in anchors (3 in-links); p2: "home" only in body;
+    // p3: no hits; anchors to a non-page url must be ignored
+    val body = Seq(
+      ("http://h.test/", "welcome page welcome start"),
+      ("http://h.test/a", "home sweet home text body words here"),
+      ("http://h.test/b", "unrelated filler tokens")).toDF("url", "markdown")
+    val anchors = Seq(
+      ("http://h.test/a", "http://h.test/", 0L, "Home"),
+      ("http://h.test/b", "http://h.test/", 0L, "home link"),
+      ("http://h.test/", "http://h.test/a", 0L, "deep page"),
+      ("http://h.test/", "http://x.test/ghost", 1L, "home home home"))
+      .toDF("src_url", "dst_url", "pos", "anchor_text")
+    val got = Search.bm25fTopK(spark, body, anchors).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[String]("url"), r.getAs[Long]("score_q16")))
+
+    import Search.{Q16, Q16K1, Q16B, WBody, WAnchor}
+    val bodyTok = Map(
+      "http://h.test/" -> Seq("welcome", "page", "welcome", "start"),
+      "http://h.test/a" -> Seq("home", "sweet", "home", "text", "body", "words", "here"),
+      "http://h.test/b" -> Seq("unrelated", "filler", "tokens"))
+    val anchTok = Map( // ghost dst dropped; per-link first-anchor tokens
+      "http://h.test/" -> Seq("home", "home", "link"),
+      "http://h.test/a" -> Seq("deep", "page"))
+    val n = 3L
+    val tB = bodyTok.values.map(_.length.toLong).sum
+    val tA = anchTok.values.map(_.length.toLong).sum
+    def score(term: String, url: String): Long = {
+      val tfb = bodyTok(url).count(_ == term).toLong
+      val tfa = anchTok.getOrElse(url, Nil).count(_ == term).toLong
+      if (tfb + tfa == 0) return -1L // no hit row at all
+      val dlb = bodyTok(url).length.toLong
+      val dla = anchTok.getOrElse(url, Nil).length.toLong
+      val df = bodyTok.keys.count(u => bodyTok(u).contains(term) ||
+        anchTok.getOrElse(u, Nil).contains(term)).toLong
+      val idf = Lm.log2fix(2 * n + 2) - Lm.log2fix(2 * df + 1)
+      val tfnb = (tfb * Q16 * Q16) / ((Q16 - Q16B) + (Q16B * dlb * n) / tB)
+      val tfna = (tfa * Q16 * Q16) / ((Q16 - Q16B) + (Q16B * dla * n) / tA)
+      val tft = WBody * tfnb + WAnchor * tfna
+      val sat = (tft * Q16) / (Q16K1 + tft)
+      (idf * sat) / Q16
+    }
+    // query 1 = "home": root (anchor-only, 3× weight) must outrank /a
+    // (body-only) despite tf 2 in a longer body field
+    val q1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(q1.map(_._3).toSeq ==
+      Seq("http://h.test/", "http://h.test/a"), s"q1 order: ${q1.toSeq}")
+    assert(q1.map(_._4).toSeq ==
+      Seq(score("home", "http://h.test/"), score("home", "http://h.test/a")))
+    // query 5 (zero-hit) returns nothing; every score replays exactly
+    assert(!got.exists(_._1 == 5L))
+    got.filter(r => Search.QueriesF.toMap.apply(r._1).split(" ").length == 1)
+      .foreach { case (qid, _, url, s) =>
+        val term = Search.QueriesF.toMap.apply(qid)
+        assert(s == score(term, url), s"$qid/$url: $s != ${score(term, url)}")
+      }
   }
 
   test("bm25: ranks contiguous, scores non-increasing, zero-hit query empty") {

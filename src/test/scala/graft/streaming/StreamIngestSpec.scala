@@ -121,6 +121,43 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(finalSnap == expected)
   }
 
+  test("streaming KMV: hash recipe matches the batch sketch, estimate monotone, final == batch") {
+    import spark.implicits._
+    // JVM-side urlHash56 must equal the batch/oracle conv(md5) recipe
+    val urls = (0 until 50).map(i => s"http://kmv$i.test/p/$i")
+    val sparkHashes = urls.toDF("url")
+      .select(expr("CAST(conv(substring(md5(url), 1, 14), 16, 10) AS BIGINT)"))
+      .as[Long].collect()
+    urls.zip(sparkHashes).foreach { case (u, h) =>
+      assert(StreamIngest.urlHash56(u) == h, s"hash drift for $u")
+    }
+    val (in, _) = landing(batches = 12)
+    val out = java.nio.file.Files.createTempDirectory("graftkmvout").toString
+    val ck = java.nio.file.Files.createTempDirectory("graftkmvck").toString
+    StreamIngest.runHostDistinct(spark, s"$in/*.parquet/*.parquet",
+      s"$out/log", s"$ck/log").awaitTermination()
+    val log = spark.read.parquet(s"$out/log")
+      .as[(String, Long, Long)].collect()
+    // multiple snapshots per host (state crossed micro-batches), and the
+    // final estimate per host equals the batch sketch over all its urls
+    assert(log.length > log.map(_._1).distinct.length)
+    val k = graft.pipeline.HostGraph.KmvK
+    val m = graft.pipeline.HostGraph.KmvM
+    val expected = (for {
+      h <- 0 until spec.nHosts
+      i <- 0 until spec.hostSizes(h)
+    } yield (CorpusGen.hostName(h), StreamIngest.urlHash56(CorpusGen.pageUrl(h, i))))
+      .groupBy(_._1).map { case (host, xs) =>
+        val mins = xs.map(_._2).distinct.sorted.take(k)
+        val est = if (mins.length < k) mins.length.toLong else (k - 1).toLong * m / mins(k - 1)
+        host -> (mins.length.toLong, est)
+      }
+    val got = log.groupBy(_._1).map { case (host, snaps) =>
+      host -> (snaps.map(_._2).max, snaps.map(_._3).max)
+    }
+    assert(got == expected)
+  }
+
   test("session_window streaming emission: finalized sessions equal the batch run") {
     import spark.implicits._
     // a TIME-ORDERED landing: session finalization in append mode needs the
