@@ -859,6 +859,7 @@ object SparkEntry {
     "dd_lm_score" -> ((s, d) => graft.pipeline.Lm.lmScore(s, d)),
     "dd_dsir_weights" -> ((s, d) => graft.pipeline.Dsir.dsirWeights(s, d)),
     "dd_dsir_sample" -> ((s, d) => graft.pipeline.Dsir.dsirSample(s, d)),
+    "dd_nb_quality" -> ((s, d) => graft.pipeline.NbQuality.nbQuality(s, d)),
     "crawl_url_templates" -> ((s, d) => C.urlTemplates(s, d)),
     "crawl_trap_gated" -> ((s, d) => C.trapGatedSeen(s, d)),
     "dd_lm_buckets" -> ((s, d) => graft.pipeline.Lm.lmBuckets(s, d)),
@@ -2128,6 +2129,74 @@ object SparkEntry {
          |  CAST(CASE WHEN rnk <= (SELECT COUNT(*) FROM w) // $SampleKeepDen
          |       THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM rk""".stripMargin
+    },
+    // naive-Bayes quality classifier (Brown 2020 appendix A / Wenzek 2020
+    // §3.3 made deterministic): Gopher verdicts as weak labels on the
+    // doc_id%3==0 split, top-64-df vocabulary, add-1 smoothed Q16 log-odds
+    // via the unrolled Turner log2 iteration — every weight bit-replayed
+    "dd_nb_quality" -> {
+      import graft.pipeline.Lm.{LogScaleBits, LogFracBits}
+      import graft.pipeline.NbQuality.{TrainMod, VocabSize}
+      val two = 1L << (LogScaleBits + 1)
+      val steps = (1 to LogFracBits).map { i =>
+        s"""lg$i AS (
+           |  SELECT v, CASE WHEN y >= $two THEN y >> 1 ELSE y END AS x,
+           |    r * 2 + CASE WHEN y >= $two THEN 1 ELSE 0 END AS r
+           |  FROM (SELECT v, r, (x * x) >> $LogScaleBits AS y FROM lg${i - 1}))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $gopherCtes,
+         |lab AS (SELECT doc_id,
+         |          CASE WHEN $gopherPassCond THEN 1 ELSE 0 END AS pass
+         |        FROM gcnt),
+         |tok AS (SELECT doc_id,
+         |          unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+         |                             x -> x <> '')) AS w
+         |        FROM documents),
+         |ttok AS (SELECT tok.doc_id, tok.w, lab.pass
+         |         FROM tok JOIN lab ON lab.doc_id = tok.doc_id
+         |         WHERE tok.doc_id % $TrainMod = 0),
+         |vocab AS (SELECT w FROM (
+         |            SELECT w, COUNT(DISTINCT doc_id) AS df FROM ttok GROUP BY 1)
+         |          ORDER BY df DESC, w LIMIT $VocabSize),
+         |vc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+         |tc AS (SELECT vb.w,
+         |         CAST(SUM(CASE WHEN t.pass = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         |         CAST(SUM(CASE WHEN t.pass = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cf
+         |       FROM vocab vb JOIN ttok t ON t.w = vb.w GROUP BY 1),
+         |tots AS (SELECT CAST(SUM(cp) + (SELECT v FROM vc) AS BIGINT) AS tp,
+         |                CAST(SUM(cf) + (SELECT v FROM vc) AS BIGINT) AS tf
+         |         FROM tc),
+         |pri AS (SELECT
+         |          CAST(SUM(CASE WHEN pass = 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS np,
+         |          CAST(SUM(CASE WHEN pass = 0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS nf
+         |        FROM lab WHERE doc_id % $TrainMod = 0),
+         |vals AS (SELECT DISTINCT cp + 1 AS v FROM tc
+         |         UNION SELECT DISTINCT cf + 1 FROM tc
+         |         UNION SELECT tp FROM tots UNION SELECT tf FROM tots
+         |         UNION SELECT np FROM pri UNION SELECT nf FROM pri),
+         |lg0 AS (
+         |  SELECT v,
+         |    (v << $LogScaleBits) >> (length(format('{:b}', v)) - 1) AS x,
+         |    CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS r
+         |  FROM vals),
+         |$steps,
+         |lgt AS (SELECT v, r AS lg FROM lg$LogFracBits),
+         |wt AS (
+         |  SELECT tc.w,
+         |    (lp.lg - (SELECT lg FROM lgt WHERE v = (SELECT tp FROM tots)))
+         |    - (lf.lg - (SELECT lg FROM lgt WHERE v = (SELECT tf FROM tots))) AS wq
+         |  FROM tc JOIN lgt lp ON lp.v = tc.cp + 1
+         |          JOIN lgt lf ON lf.v = tc.cf + 1),
+         |bs AS (SELECT (SELECT lg FROM lgt WHERE v = (SELECT np FROM pri))
+         |            - (SELECT lg FROM lgt WHERE v = (SELECT nf FROM pri)) AS b),
+         |sc AS (SELECT tok.doc_id, SUM(wt.wq) AS s, COUNT(*) AS n
+         |       FROM tok JOIN wt ON wt.w = tok.w GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_feats,
+         |  CAST(COALESCE(sc.s, 0) + (SELECT b FROM bs) AS BIGINT) AS score_q16,
+         |  CAST(CASE WHEN COALESCE(sc.s, 0) + (SELECT b FROM bs) >= 0
+         |       THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin
     },
     // CCNet perplexity bucketing (Wenzek 2020 §3.2): per-language terciles
     // of the per-token LM score, ranked by the same two-level shape the
