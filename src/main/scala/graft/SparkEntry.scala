@@ -788,6 +788,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- crawl engine (SURVEY §2.1-§2.9 over the synthetic corpus) ----
     "crawl_bfs_seen" -> ((s, d) => C.bfsSeen(s, d)),
+    "crawl_meta_flags" -> ((s, d) => C.metaFlags(s, d)),
+    "crawl_meta_gated" -> ((s, d) => C.metaGatedCrawl(s, d)),
+    "crawl_redirect_targets" -> ((s, d) => C.redirectTargets(s, d)),
+    "crawl_redirect_gated" -> ((s, d) => C.redirectCrawl(s, d)),
     "crawl_cuckoo_seen" -> ((s, d) => C.cuckooSeen(s, d)),
     "crawl_saved_titles" -> ((s, d) => C.savedTitles(s, d)),
     "crawl_article_html" -> ((s, d) => C.savedArticleHtml(s, d)),
@@ -899,6 +903,8 @@ object SparkEntry {
       C.politenessDelay(s, d, delayBudgetFor(d), delayDefaultCapFor(d))),
     "crawl_sitemap_seeds" -> ((s, d) => graft.sources.Sitemap.entries(s, d)),
     "crawl_sitemap_list" -> ((s, d) => C.sitemapList(s, d)),
+    "crawl_sitemap_discovery" -> ((s, d) =>
+      graft.sources.Sitemap.discoveredEntries(s, d)),
     "graph_host_pagerank" -> ((s, d) => graft.pipeline.HostGraph.hostPageRank(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
     "mm_blob_features" -> ((s, d) => Multimodal.blobFeatures(s, d)),
@@ -913,6 +919,57 @@ object SparkEntry {
     "crawl_bfs_seen" ->
       s"""$reachCte
          |SELECT url, CAST(depth AS BIGINT) AS depth FROM seen""".stripMargin,
+    // page-level <meta name="robots"> flags parsed from raw HTML, pinned
+    // page-by-page against the encode-side ground truth (case-insensitive
+    // name/tokens, comma list, the "none" shorthand, agent-specific and
+    // description metas ignored)
+    "crawl_meta_flags" ->
+      s"""SELECT url, CAST(noindex AS BIGINT) AS noindex,
+         |  CAST(nofollow AS BIGINT) AS nofollow
+         |FROM ${gt("meta")} WHERE empty_html = 0""".stripMargin,
+    // meta-robots-gated BFS: reachability stops expanding at nofollow
+    // pages; saved = seen ∧ live ∧ not noindex (dangling discoveries have
+    // no meta row → saved 0)
+    "crawl_meta_gated" ->
+      s"""WITH RECURSIVE mreach(url, depth) AS (
+         |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url, 0 AS depth
+         |  UNION
+         |  SELECT l.dst_url, r.depth + 1
+         |  FROM mreach r
+         |  JOIN ${gt("meta")} m ON m.url = r.url AND m.nofollow = 0
+         |  JOIN ${gt("links")} l ON l.src_url = r.url
+         |  WHERE r.depth < 64
+         |), mseen AS (SELECT url, MIN(depth) AS depth FROM mreach GROUP BY url)
+         |SELECT s.url, CAST(s.depth AS BIGINT) AS depth,
+         |  CAST(CASE WHEN m.empty_html = 0 AND m.noindex = 0
+         |       THEN 1 ELSE 0 END AS BIGINT) AS saved
+         |FROM mseen s LEFT JOIN ${gt("meta")} m ON m.url = s.url""".stripMargin,
+    // meta-refresh targets parsed+resolved from raw HTML: three raw
+    // spellings must land on the encode-side normalized value, '' elsewhere
+    "crawl_redirect_targets" ->
+      s"""SELECT url, redirect_to FROM ${gt("meta")}
+         |WHERE empty_html = 0""".stripMargin,
+    // redirect-following BFS: a redirect page's only outgoing edge is its
+    // target; it is seen, never saved
+    "crawl_redirect_gated" ->
+      s"""WITH RECURSIVE redges AS MATERIALIZED (
+         |  SELECT l.src_url, l.dst_url
+         |  FROM ${gt("links")} l JOIN ${gt("meta")} m
+         |    ON m.url = l.src_url AND m.redirect_to = ''
+         |  UNION ALL
+         |  SELECT url AS src_url, redirect_to AS dst_url
+         |  FROM ${gt("meta")} WHERE redirect_to <> ''),
+         |rreach(url, depth) AS (
+         |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url, 0 AS depth
+         |  UNION
+         |  SELECT e.dst_url, r.depth + 1
+         |  FROM rreach r JOIN redges e ON e.src_url = r.url
+         |  WHERE r.depth < 64
+         |), rseen AS (SELECT url, MIN(depth) AS depth FROM rreach GROUP BY url)
+         |SELECT s.url, CAST(s.depth AS BIGINT) AS depth,
+         |  CAST(CASE WHEN m.empty_html = 0 AND m.redirect_to = ''
+         |       THEN 1 ELSE 0 END AS BIGINT) AS saved
+         |FROM rseen s LEFT JOIN ${gt("meta")} m ON m.url = s.url""".stripMargin,
     // cuckoo seen-filter run: the pre-filter cannot change exact results,
     // so the oracle is the identical reachability CTE — any cuckoo false
     // negative would surface as duplicate rows / wrong depths here
@@ -1071,6 +1128,44 @@ object SparkEntry {
          |SELECT m.url, m.title FROM ${gt("meta")} m
          |JOIN locs l ON l.url = m.url
          |WHERE m.empty_html = 0""".stripMargin,
+    // robots-seeded sitemap discovery: Sitemap: lines parsed out of every
+    // robots body (groupless, comment-stripped, key case-insensitive),
+    // fetched by join (dead advertised urls drop = fetch miss), one index
+    // level resolved, urlsets parsed — the orphan sitemap-old.xml rows
+    // must contribute nothing
+    "crawl_sitemap_discovery" ->
+      s"""WITH rl AS (
+         |  SELECT host,
+         |    trim(CASE WHEN strpos(raw, '#') > 0
+         |         THEN substr(raw, 1, strpos(raw, '#') - 1) ELSE raw END) AS l
+         |  FROM (SELECT host, unnest(str_split(body, chr(10))) AS raw
+         |        FROM ${gt("robots_txt")})),
+         |rsm AS (
+         |  SELECT DISTINCT host, trim(substr(l, strpos(l, ':') + 1)) AS adv_url
+         |  FROM rl
+         |  WHERE l <> '' AND strpos(l, ':') > 1
+         |    AND lower(trim(substr(l, 1, strpos(l, ':') - 1))) = 'sitemap'
+         |    AND trim(substr(l, strpos(l, ':') + 1)) <> ''),
+         |sm AS (SELECT url, body FROM ${gt("sitemaps")}),
+         |f0 AS (SELECT r.host, r.adv_url AS sitemap_url, s.body
+         |       FROM rsm r JOIN sm s ON s.url = r.adv_url),
+         |kids AS (
+         |  SELECT host, trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS adv_url
+         |  FROM (SELECT host,
+         |          unnest(regexp_extract_all(body, '<sitemap>.*?</sitemap>')) AS b
+         |        FROM f0 WHERE contains(body, '<sitemapindex'))),
+         |f1 AS (SELECT k.host, k.adv_url AS sitemap_url, s.body
+         |       FROM kids k JOIN sm s ON s.url = k.adv_url),
+         |dcs AS (SELECT host, sitemap_url, body FROM f0
+         |        WHERE NOT contains(body, '<sitemapindex')
+         |        UNION ALL SELECT host, sitemap_url, body FROM f1),
+         |bl AS (SELECT host, sitemap_url,
+         |         unnest(regexp_extract_all(body, '<url>.*?</url>')) AS b
+         |       FROM dcs)
+         |SELECT host, sitemap_url,
+         |  trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS loc,
+         |  regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
+         |FROM bl""".stripMargin,
     // the per-host parsed rules TABLE itself: engine = RobotsParser over
     // the served bodies, oracle = the same grammar replayed in SQL
     "crawl_robots_parse" ->

@@ -50,7 +50,16 @@ final case class MetaRow(url: String, host: String, host_idx: Int, page_idx: Int
       * their images there, so this differs from `markdown` exactly on those
       * pages.
       */
-    sel_markdown: String)
+    sel_markdown: String,
+    /** `<meta name="robots">` ground truth ([[CorpusGen.metaRobotsOf]]):
+      * page asks not to be indexed / not to have its links followed.
+      */
+    noindex: Int = 0,
+    nofollow: Int = 0,
+    /** Meta-refresh redirect target ([[CorpusGen.redirectTargetOf]]):
+      * normalized absolute url, "" when the page is not a redirect.
+      */
+    redirect_to: String = "")
 final case class RobotsRow(host: String, disallow_prefix: String)
 
 /** A host's served `/robots.txt` page: the raw BODY a production crawler
@@ -154,6 +163,11 @@ object CorpusGen {
     val sb = new StringBuilder
     sb.append(s"# robots.txt for $host — corpus ground truth (seed ${spec.seed})\n")
     sb.append("# comments, case variation and unknown directives are deliberate\n\n")
+    // a groupless directive BEFORE any user-agent line: rule parsing must
+    // ignore it, sitemap discovery must still collect it — and the target
+    // is a dead link on odd hosts (no such document is served), the
+    // discovery fetch-miss case
+    if (h % 2 == 1) sb.append(s"SiteMap: http://$host/sitemap-extra.xml\n\n")
     sb.append("User-agent: MegaCrawler\n")
     sb.append("Disallow: /\n")
     sb.append("Crawl-delay: 10\n\n")
@@ -244,6 +258,12 @@ object CorpusGen {
       } else {
         Seq(SitemapRow(host, s"http://$host/sitemap.xml", sitemapUrlsetBody(h, even)))
       }
+    } ++ (0 until spec.nHosts).map { h =>
+      // an ORPHAN document per host: present in the served-sitemaps table
+      // but advertised by no robots.txt — a table dump sees it, the
+      // robots-seeded discovery chain must not
+      SitemapRow(hostName(h), s"http://${hostName(h)}/sitemap-old.xml",
+        sitemapUrlsetBody(h, (0 until spec.hostSizes(h)).filter(_ % 16 == 1)))
     }
 
   /** Ordered, deduped link targets of page (h, i): the ground truth the
@@ -422,7 +442,36 @@ object CorpusGen {
       if (deco == 3) ("<div class=\"outer-wrap\"><div class=\"inner-wrap\">\n", "\n</div></div>")
       else ("", "")
 
-    s"""<html><head><title>${pageTitle(h, i)}</title>$headDeco
+    // meta robots head tags (ground truth metaRobotsOf): deliberate case
+    // variation on the nofollow-only class; r==5 pages carry DISTRACTOR
+    // metas a generic robots parser must ignore (description, and an
+    // agent-specific robots tag for some other crawler)
+    val metaRobots = (if (i == 0) -1L else mix(spec.seed, h, i, 21) % 11) match {
+      case 3 => "\n<meta name=\"robots\" content=\"noindex\">"
+      case 7 => "\n<META NAME=\"Robots\" CONTENT=\"NoFollow\">"
+      case 9 => "\n<meta name=\"robots\" content=\"noindex, nofollow\">"
+      case 1 => "\n<meta name=\"robots\" content=\"none\">"
+      case 5 =>
+        "\n<meta name=\"description\" content=\"synthetic corpus page\">" +
+          "\n<meta name=\"otherbot\" content=\"noindex\">"
+      case _ => ""
+    }
+    // meta-refresh redirect head tag (ground truth redirectTargetOf): three
+    // raw spellings — quoted relative, uppercase-URL absolute with a delay,
+    // space-padded relative — all resolving to the same normalized target
+    val metaRefresh = {
+      val tgt = redirectTargetOf(spec, h, i)
+      if (tgt.isEmpty) ""
+      else {
+        val path = tgt.substring(tgt.indexOf('/', "http://".length))
+        mix(spec.seed, h, i, 25) % 3 match {
+          case 0 => s"""\n<meta http-equiv="refresh" content="0; url='$path'">"""
+          case 1 => s"""\n<META HTTP-EQUIV="Refresh" CONTENT="2; URL=$tgt">"""
+          case _ => s"""\n<meta http-equiv="refresh" content="0 ; url = $path">"""
+        }
+      }
+    }
+    s"""<html><head><title>${pageTitle(h, i)}</title>$headDeco$metaRobots$metaRefresh
        |<style>body { margin: 0; }</style>
        |<link rel="stylesheet" href="/static/site.css">
        |</head><body>
@@ -567,8 +616,37 @@ object CorpusGen {
       lang = Langs((mix(spec.seed, h, i, 4) % Langs.length).toInt))
   }
 
+  /** Page-level robots meta directives, encode-side ground truth: what a
+    * `<meta name="robots">` tag in the page's head asks of an indexing
+    * crawler (publicly documented REP meta extension). Roots and empty
+    * pages never carry one (roots keep every host crawlable; empty pages
+    * have no head). Returns (noindex, nofollow) as 0/1 ints.
+    */
+  def metaRobotsOf(spec: CorpusSpec, h: Int, i: Int): (Int, Int) =
+    if (i == 0 || isEmptyPage(spec, h, i)) (0, 0)
+    else mix(spec.seed, h, i, 21) % 11 match {
+      case 3 => (1, 0)
+      case 7 => (0, 1)
+      case 9 => (1, 1) // spelled out
+      case 1 => (1, 1) // spelled as the documented shorthand "none"
+      case _ => (0, 0)
+    }
+
+  /** Meta-refresh redirect ground truth: the NORMALIZED absolute target a
+    * redirect-following crawler must enqueue instead of saving the page,
+    * or "" when the page is not a redirect. ~1/13 of non-root, non-empty
+    * pages redirect to a deterministic same-host page; the html spells the
+    * target in one of three raw forms (quoted relative, uppercase-URL
+    * absolute, space-padded relative) that all resolve to this value.
+    */
+  def redirectTargetOf(spec: CorpusSpec, h: Int, i: Int): String =
+    if (i == 0 || isEmptyPage(spec, h, i) ||
+      mix(spec.seed, h, i, 23) % 13 != 4) ""
+    else pageUrl(h, (mix(spec.seed, h, i, 24) % spec.hostSizes(h)).toInt)
+
   def metaRow(spec: CorpusSpec, h: Int, i: Int): MetaRow = {
     val empty = isEmptyPage(spec, h, i)
+    val (ni, nf) = metaRobotsOf(spec, h, i)
     MetaRow(
       url = pageUrl(h, i),
       host = hostName(h),
@@ -580,7 +658,10 @@ object CorpusGen {
       markdown = if (spec.emitMarkdownTruth) expectedMarkdown(spec, h, i) else "",
       article_html = if (spec.emitMarkdownTruth) expectedArticleHtml(spec, h, i) else "",
       empty_html = if (empty) 1 else 0,
-      sel_markdown = if (spec.emitMarkdownTruth) expectedSelectorMarkdown(spec, h, i) else "")
+      sel_markdown = if (spec.emitMarkdownTruth) expectedSelectorMarkdown(spec, h, i) else "",
+      noindex = ni,
+      nofollow = nf,
+      redirect_to = redirectTargetOf(spec, h, i))
   }
 
   /** Ground-truth extractor output per page — empty for empty-HTML pages
@@ -720,7 +801,7 @@ object CorpusGen {
   /** Bumped whenever the emitted schema/content changes so stale on-disk
     * corpora regenerate instead of silently serving the old shape.
     */
-  val FormatVersion = 13
+  val FormatVersion = 16
 
   def ensure(spark: SparkSession, dir: String, spec: CorpusSpec): Unit = {
     val marker = new java.io.File(s"$dir/_CORPUS_READY")

@@ -113,6 +113,14 @@ object RobotsParser {
     }
   }
 
+  /** The `Sitemap:` urls the body advertises, in line order. RFC 9309 §2.3
+    * sitemap is an "other record" outside any group: every occurrence
+    * counts regardless of user-agent lines (even before the first group),
+    * and the value is an absolute url taken verbatim.
+    */
+  def sitemaps(body: String): Vector[String] =
+    lex(body).collect { case Kv(_, "sitemap", v) if v.nonEmpty => v }
+
   /** The `crawl-delay` (seconds) the winning group asks of `ua` — not part
     * of RFC 9309, but the de-facto rate directive several major engines
     * honor (publicly documented by Bing and Yandex; ignored by Google).

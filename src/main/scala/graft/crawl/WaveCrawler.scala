@@ -83,6 +83,22 @@ final case class CrawlConfig(
       * is the small-rule-set fast path.
       */
     robots9309Rules: Map[String, Vector[(String, String)]] = Map.empty,
+    /** Honor page-level `<meta name="robots">` directives (the publicly
+      * documented REP meta extension; off = reference parity, which has no
+      * such concept): a `noindex` page is crawled and expanded but never
+      * saved; a `nofollow` page's outgoing links never enter the frontier.
+      * Evaluated in-kernel off the shared per-page parse — zero extra
+      * passes.
+      */
+    metaRobots: Boolean = false,
+    /** Follow `<meta http-equiv="refresh">` redirects (standard HTML, a
+      * production-crawl staple; off = reference parity): a redirecting
+      * page is never saved and contributes exactly ONE outgoing link — its
+      * resolved, normalized target (content anchors are ignored, as a real
+      * crawler ignores interstitial bodies). The target runs through the
+      * same scheme/host/robots/trap gates as any discovered link.
+      */
+    followRedirects: Boolean = false,
     /** Reference parity: follow only the seed's hostname
       * (crawler.go:516-518). false = multi-host (Common-Crawl-shaped)
       * frontier: every http(s) link is followed across hosts; robots
@@ -731,9 +747,11 @@ object WaveCrawler {
         if (popN <= config.broadcastFrontierMax) broadcast(waveFrontier) else waveFrontier
       val joined = frontierForJoin.join(pagesSlim, Seq("url"), "inner")
 
-      // plain Boolean hoisted out of the closure: capturing `config` itself
+      // plain Booleans hoisted out of the closure: capturing `config` itself
       // would drag its DataFrame/function fields into task serialization
       val use9309 = config.robots9309
+      val useMetaRobots = config.metaRobots
+      val useRedirects = config.followRedirects
       val processedPlan = joined
         .select($"url", $"host", $"depth", $"seq", $"html")
         .as[(String, String, Int, Long, Array[Byte])]
@@ -756,17 +774,37 @@ object WaveCrawler {
               ProcessedRow(url, host, d, seq, ok = false, matched = false, "", "", "", Nil)
             } else {
               val path = UrlNorm.pathOf(url)
-              val matched = GlobSet.shouldProcess(matchGlobs, path)
+              val matchedGlob = GlobSet.shouldProcess(matchGlobs, path)
               // ONE parse per page, shared by link extraction (read-only,
               // must run first) and content extraction (mutates the tree)
               val doc =
                 try graft.html.HtmlParser.parse(html)
                 catch { case _: Throwable => null }
+              // page-level robots metas (read off the shared parse, before
+              // the pre-filter mutates it): noindex drops the page from
+              // the saved set (crawled, expanded, not kept), nofollow
+              // drops its OUTGOING links from the frontier
+              val (metaNoindex, metaNofollow) =
+                if (useMetaRobots && doc != null) Processor.metaRobots(doc)
+                else (false, false)
+              // meta-refresh redirect: the raw target's presence alone makes
+              // the page a redirect (unsaved); its resolved form (when the
+              // scheme/host predicates accept it) is the page's ONLY link
+              val redirectRaw =
+                if (useRedirects && doc != null) Processor.metaRefresh(doc)
+                else None
+              val matched = matchedGlob && !metaNoindex && redirectRaw.isEmpty
               val links =
                 if (!lm && (!sho || host == sHost) && doc != null) {
-                  val raw = LinkExtractor.extractFromDoc(url, sHost, doc, followGlobs,
-                    allHosts = !sho)
-                  raw.zipWithIndex.flatMap { case (dst, pos) =>
+                  val rawLinks =
+                    if (redirectRaw.isDefined)
+                      redirectRaw.flatMap(t =>
+                        LinkExtractor.resolveAccepted(url, t, sHost,
+                          allHosts = !sho)).toVector
+                    else if (metaNofollow) Vector.empty[String]
+                    else LinkExtractor.extractFromDoc(url, sHost, doc, followGlobs,
+                      allHosts = !sho)
+                  rawLinks.zipWithIndex.flatMap { case (dst, pos) =>
                     val dstHost = UrlNorm.hostnameOf(dst)
                     val dstPath = UrlNorm.pathOf(dst)
                     val allowed = (robots.get(dstHost) match {

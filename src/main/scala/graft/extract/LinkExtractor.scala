@@ -113,6 +113,21 @@ object LinkExtractor {
     * pins parse(toUrlString(u)) ≡ u on the adversarial grid); the string
     * is only built for links that pass.
     */
+  /** Resolve + normalize ONE raw link target against its page url with the
+    * standard scheme / same-host predicates (no follow-globs) — the
+    * redirect follower runs a meta-refresh target through exactly the
+    * pipeline an anchor href gets.
+    */
+  def resolveAccepted(
+      pageUrlStr: String,
+      href: String,
+      startHost: String,
+      allHosts: Boolean): Option[String] =
+    GoUrl.parse(pageUrlStr) match {
+      case Left(_)   => None
+      case Right(pu) => Option(acceptedOrNull(pu, href, startHost, Nil, allHosts))
+    }
+
   private def acceptedOrNull(
       pageUrl: GoUrl,
       href: String,

@@ -31,6 +31,79 @@ object Processor {
 
   private val preFilterTags = Set("script", "style", "link", "img", "video")
 
+  /** Page-level robots meta directives (the publicly documented REP
+    * `<meta name="robots">` extension): returns (noindex, nofollow).
+    * Name matching is case-insensitive, content is a comma-separated
+    * token list (tokens trimmed, case-insensitive), `none` is the
+    * documented shorthand for both, multiple robots metas union (the
+    * most-restrictive-wins practice), and agent-specific metas
+    * (`name="somebot"`) are ignored — this engine keys on the generic
+    * token only. Must run BEFORE the pre-filter mutates the tree (head
+    * tags survive it, but the crawl kernel reads flags off the shared
+    * parse like link extraction does).
+    */
+  def metaRobots(doc: graft.html.HDocument): (Boolean, Boolean) = {
+    var ni = false
+    var nf = false
+    doc.root.foreachElement { e =>
+      if (e.tag == "meta") {
+        val n = e.attrOrNull("name")
+        if (n != null && n.equalsIgnoreCase("robots")) {
+          val c = e.attrOrNull("content")
+          if (c != null) c.split(',').foreach { tok =>
+            tok.trim.toLowerCase match {
+              case "noindex"  => ni = true
+              case "nofollow" => nf = true
+              case "none"     => ni = true; nf = true
+              case _          =>
+            }
+          }
+        }
+      }
+    }
+    (ni, nf)
+  }
+
+  /** Meta-refresh redirect target (the `<meta http-equiv="refresh">`
+    * pattern — an HTML-standard attribute a production crawler must treat
+    * as a redirect): the FIRST refresh meta's raw url, or None. Grammar:
+    * http-equiv matched case-insensitively; content is `delay; url=TARGET`
+    * with optional whitespace around `;`, `url`, `=`; the url key is
+    * case-insensitive; the target may be wrapped in single or double
+    * quotes; any delay value counts (crawlers follow delayed refreshes
+    * too). A refresh with no url clause refreshes in place — not a
+    * redirect.
+    */
+  def metaRefresh(doc: graft.html.HDocument): Option[String] = {
+    var found: String = null
+    doc.root.foreachElement { e =>
+      if (found == null && e.tag == "meta") {
+        val he = e.attrOrNull("http-equiv")
+        if (he != null && he.equalsIgnoreCase("refresh")) {
+          val c = e.attrOrNull("content")
+          if (c != null) {
+            val semi = c.indexOf(';')
+            if (semi >= 0) {
+              val rest = c.substring(semi + 1).trim
+              if (rest.length >= 4 && rest.substring(0, 3).equalsIgnoreCase("url")) {
+                val afterKey = rest.substring(3).trim
+                if (afterKey.startsWith("=")) {
+                  var t = afterKey.substring(1).trim
+                  if (t.length >= 2 &&
+                    ((t.head == '\'' && t.last == '\'') ||
+                      (t.head == '"' && t.last == '"')))
+                    t = t.substring(1, t.length - 1).trim
+                  if (t.nonEmpty) found = t
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    Option(found)
+  }
+
   def processHTML(
       pageUrl: String,
       rawHtml: String,

@@ -223,6 +223,84 @@ object CrawlQueries {
     fullCrawl(spark, sfDir).seen
       .select(col("url"), col("depth").cast("long").as("depth"))
 
+  /** Per-page `<meta name="robots">` flags parsed from the raw HTML of
+    * every non-empty corpus page — the acquisition step of the meta-robots
+    * gate, pinned page-by-page against the encode-side ground truth. One
+    * narrow mapPartitions; at 100 TB this is a scan-rate operator.
+    */
+  def metaFlags(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    CorpusGen.pages(spark, dir).select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, htmlBytes) =>
+        val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
+        if (html.trim.isEmpty) None
+        else {
+          val (ni, nf) = graft.extract.Processor.metaRobots(
+            graft.html.HtmlParser.parse(html))
+          Some((url, if (ni) 1L else 0L, if (nf) 1L else 0L))
+        }
+      }.toDF("url", "noindex", "nofollow")
+  }
+
+  /** Per-page meta-refresh redirect targets, resolved and normalized
+    * exactly as the crawl would enqueue them — '' when the page is not a
+    * redirect. Pinned against the encode-side ground truth; the three raw
+    * spellings (quoted relative, uppercase absolute, space-padded) must
+    * all land on the same normalized value.
+    */
+  def redirectTargets(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    CorpusGen.pages(spark, dir).select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, htmlBytes) =>
+        val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
+        if (html.trim.isEmpty) None
+        else {
+          val t = graft.extract.Processor.metaRefresh(
+            graft.html.HtmlParser.parse(html))
+            .flatMap(raw => graft.extract.LinkExtractor.resolveAccepted(
+              url, raw, graft.url.UrlNorm.hostnameOf(url), allHosts = false))
+            .getOrElse("")
+          Some((url, t))
+        }
+      }.toDF("url", "redirect_to")
+  }
+
+  /** Full host0 BFS following meta-refresh redirects
+    * (CrawlConfig.followRedirects): a redirecting page is seen but never
+    * saved, and its only outgoing edge is the refresh target. Same
+    * (url, depth, saved) shape as the meta-robots gate.
+    */
+  def redirectCrawl(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = cached(spark, sfDir, "redirects") { dir =>
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(startUrl = Seed, followRedirects = true, extractContent = false))
+    }
+    out.seen.select(col("url"), col("depth").cast("long").as("depth"))
+      .join(out.saved.select(col("url"), lit(1L).as("saved")), Seq("url"), "left")
+      .select(col("url"), col("depth"), coalesce(col("saved"), lit(0L)).as("saved"))
+  }
+
+  /** Full host0 BFS honoring the page-level meta-robots directives
+    * (CrawlConfig.metaRobots): nofollow pages stop expanding, noindex
+    * pages stay unsaved. Returns every seen url with its first-discovery
+    * depth and a saved 0/1 flag — both semantics land in one row set.
+    */
+  def metaGatedCrawl(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = cached(spark, sfDir, "metaRobots") { dir =>
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(startUrl = Seed, metaRobots = true, extractContent = false))
+    }
+    out.seen.select(col("url"), col("depth").cast("long").as("depth"))
+      .join(out.saved.select(col("url"), lit(1L).as("saved")), Seq("url"), "left")
+      .select(col("url"), col("depth"), coalesce(col("saved"), lit(0L)).as("saved"))
+  }
+
   /** Same BFS with the cuckoo seen-filter forced from wave 1 (seenFilter =
     * "cuckoo", engagement threshold 0). The filter is a pre-filter only —
     * exact results are filter-independent — so the oracle is the same

@@ -83,4 +83,44 @@ object Sitemap {
       entries(spark, sfDir).select(col("host"), col("loc")),
       "line_no", col("host").asc, col("loc").asc)
       .select(col("loc").as("url_raw"), col("line_no"))
+
+  /** The robots-SEEDED discovery chain — what a production crawler actually
+    * runs (robots.txt §2.3 `Sitemap:` lines name the documents; nothing
+    * else is fetched): parse every host's robots body for advertised
+    * sitemap urls, "fetch" them by equi-join onto the served-sitemaps
+    * table (a dead advertised url is a fetch miss and silently drops — the
+    * crawl's P8 skip), resolve one `<sitemapindex>` level the same way,
+    * and parse the resulting urlsets. Differs from [[entries]] exactly on
+    * the corpus's traps: the orphan `sitemap-old.xml` documents (served
+    * but advertised nowhere) contribute nothing here, and odd hosts'
+    * advertised-but-unserved `sitemap-extra.xml` is tolerated.
+    *
+    * Scale shape: two broadcast-or-shuffle equi-joins keyed by url plus
+    * narrow per-body parses — no step is wider than the sitemap table
+    * itself (host-count-bounded, orders of magnitude below `pages`).
+    */
+  def discoveredEntries(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    val adv = spark.read.parquet(s"$dir/robots_txt.parquet")
+      .select(col("host"), col("body")).as[(String, String)]
+      .flatMap { case (h, b) =>
+        graft.crawl.RobotsParser.sitemaps(b).map(u => (h, u))
+      }.toDF("host", "adv_url").distinct()
+    val sm = spark.read.parquet(s"$dir/sitemaps.parquet")
+      .select(col("url"), col("body"))
+    def fetch(req: DataFrame): org.apache.spark.sql.Dataset[(String, String, String)] =
+      req.join(sm, req("adv_url") === sm("url"))
+        .select(col("host"), col("adv_url").as("sitemap_url"), col("body"))
+        .as[(String, String, String)]
+    val f0 = fetch(adv)
+    val kids = f0.filter(t => isIndex(t._3)).flatMap { case (h, _, b) =>
+      parseIndex(b).map(c => (h, c))
+    }.toDF("host", "adv_url")
+    f0.filter(t => !isIndex(t._3)).union(fetch(kids))
+      .flatMap { case (h, u, b) =>
+        parseUrlset(b).map { case (loc, lm) => (h, u, loc, lm) }
+      }.toDF("host", "sitemap_url", "loc", "lastmod")
+  }
 }

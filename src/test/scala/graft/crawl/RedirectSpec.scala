@@ -1,0 +1,94 @@
+package graft.crawl
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.{CorpusGen, CorpusSpec}
+import graft.extract.{LinkExtractor, Processor}
+import graft.html.HtmlParser
+
+/** Meta-refresh redirect support: the parse grammar, the corpus
+  * encode/decode agreement across all three raw spellings, and the
+  * redirect-following BFS against a local ground-truth replay.
+  */
+class RedirectSpec extends AnyFunSuite {
+
+  private def target(html: String): Option[String] =
+    Processor.metaRefresh(HtmlParser.parse(html))
+
+  test("meta refresh parse: delay, case, quotes, spacing, non-redirect refresh") {
+    def page(meta: String) = s"""<html><head>$meta</head><body>x</body></html>"""
+    assert(target(page("""<meta http-equiv="refresh" content="0; url=/a">""")) == Some("/a"))
+    assert(target(page("""<META HTTP-EQUIV="Refresh" CONTENT="2; URL=http://h.test/b">""")) == Some("http://h.test/b"))
+    assert(target(page("""<meta http-equiv="refresh" content="0 ; url = /c ">""")) == Some("/c"))
+    assert(target(page("""<meta http-equiv="refresh" content="0; url='/d'">""")) == Some("/d"))
+    assert(target(page("""<meta http-equiv="refresh" content='5; url="/e"'>""")) == Some("/e"))
+    // refresh with no url clause reloads in place — not a redirect
+    assert(target(page("""<meta http-equiv="refresh" content="30">""")).isEmpty)
+    // first refresh wins
+    assert(target(page("""<meta http-equiv="refresh" content="0; url=/f"><meta http-equiv="refresh" content="0; url=/g">""")) == Some("/f"))
+    // distractors: other http-equiv values, robots metas
+    assert(target(page("""<meta http-equiv="content-type" content="text/html"><meta name="robots" content="noindex">""")).isEmpty)
+  }
+
+  test("corpus encode/decode agreement: resolved targets equal redirectTargetOf") {
+    val spec = CorpusSpec(nHosts = 4, totalPages = 500, seed = 19L)
+    var spellings = Set.empty[Long]
+    var redirects = 0
+    for (h <- 0 until spec.nHosts; i <- 0 until spec.hostSizes(h)
+         if !CorpusGen.isEmptyPage(spec, h, i)) {
+      val url = CorpusGen.pageUrl(h, i)
+      val got = target(CorpusGen.pageHtml(spec, h, i))
+        .flatMap(raw => LinkExtractor.resolveAccepted(
+          url, raw, graft.url.UrlNorm.hostnameOf(url), allHosts = false))
+        .getOrElse("")
+      assert(got == CorpusGen.redirectTargetOf(spec, h, i), s"h=$h i=$i")
+      if (got.nonEmpty) {
+        redirects += 1
+        spellings += CorpusGen.mix(spec.seed, h, i, 25) % 3
+      }
+    }
+    // the corpus exercises redirects in all three raw spellings at this size
+    assert(redirects > 5 && spellings == Set(0L, 1L, 2L),
+      s"redirects=$redirects spellings=$spellings")
+  }
+
+  test("redirect-following BFS equals a local replay over the ground-truth graph") {
+    val spark = graft.SparkTestBase.spark
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.CrawlQueries.redirectCrawl(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val spec = CorpusGen.specFor(sf)
+    val redirect = (for (h <- 0 until spec.nHosts; i <- 0 until spec.hostSizes(h))
+      yield CorpusGen.pageUrl(h, i) -> CorpusGen.redirectTargetOf(spec, h, i)).toMap
+    val links = (for (h <- 0 until spec.nHosts; i <- 0 until spec.hostSizes(h)) yield {
+      val u = CorpusGen.pageUrl(h, i)
+      val r = redirect(u)
+      u -> (if (r.nonEmpty) Vector(r)
+            else CorpusGen.linkRows(spec, h, i).map(_.dst_url).toVector)
+    }).toMap
+    val empty = (for (h <- 0 until spec.nHosts; i <- 0 until spec.hostSizes(h))
+      yield CorpusGen.pageUrl(h, i) -> CorpusGen.isEmptyPage(spec, h, i)).toMap
+
+    val depth = scala.collection.mutable.HashMap("http://host0.test/" -> 0L)
+    var frontier = Vector("http://host0.test/")
+    while (frontier.nonEmpty) {
+      val next = Vector.newBuilder[String]
+      frontier.foreach { u =>
+        links.getOrElse(u, Nil).foreach { v =>
+          if (!depth.contains(v)) { depth(v) = depth(u) + 1; next += v }
+        }
+      }
+      frontier = next.result()
+    }
+    val expected = depth.map { case (u, d) =>
+      val saved =
+        if (empty.getOrElse(u, true)) 0L
+        else if (redirect.getOrElse(u, "").nonEmpty) 0L
+        else 1L
+      u -> ((d, saved))
+    }.toMap
+    assert(got == expected)
+    // the gate engages: some seen-but-unsaved redirect pages
+    assert(got.values.exists(_._2 == 0L))
+  }
+}

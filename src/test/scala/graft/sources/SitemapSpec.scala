@@ -43,4 +43,43 @@ class SitemapSpec extends AnyFunSuite {
       .find(_.url == "http://host0.test/sitemap.xml").get.body
     assert(Sitemap.parseUrlset(index).isEmpty)
   }
+
+  test("robots sitemap lines: groupless, case-insensitive, comment-stripped") {
+    import graft.crawl.RobotsParser
+    // corpus bodies: odd hosts advertise the dead extra url at the TOP
+    // (before any group) plus the live one at the end; even hosts only the end
+    assert(RobotsParser.sitemaps(CorpusGen.robotsTxtBody(spec, 1)) ==
+      Vector("http://host1.test/sitemap-extra.xml", "http://host1.test/sitemap.xml"))
+    assert(RobotsParser.sitemaps(CorpusGen.robotsTxtBody(spec, 2)) ==
+      Vector("http://host2.test/sitemap.xml"))
+    // a sitemap line INSIDE a group still counts (groupless record), and
+    // the rule parse for that group is unchanged by its presence
+    val body =
+      "User-agent: graftbot\nDisallow: /a\n" +
+        "Sitemap: http://x.test/s.xml   # trailing comment\nAllow: /a/b\n"
+    assert(RobotsParser.sitemaps(body) == Vector("http://x.test/s.xml"))
+    assert(RobotsParser.parse(body, "graftbot") ==
+      Vector(("disallow", "/a"), ("allow", "/a/b")))
+    // the top-of-file line on odd hosts must not perturb their rule set
+    assert(RobotsParser.parse(CorpusGen.robotsTxtBody(spec, 1), "graftbot") ==
+      RobotsParser.parse(CorpusGen.robotsTxtBody(spec, 1)
+        .replace("SiteMap: http://host1.test/sitemap-extra.xml\n\n", ""), "graftbot"))
+  }
+
+  test("discovery: robots-seeded chain excludes orphans, tolerates dead urls") {
+    val spark = graft.SparkTestBase.spark
+    val sf = "/root/testdata/sf0.001"
+    val all = Sitemap.entries(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val disc = Sitemap.discoveredEntries(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    // the orphan documents ARE in the table dump…
+    assert(all.exists(_._2.endsWith("/sitemap-old.xml")))
+    // …and exactly they are what discovery excludes
+    assert(disc.toSet == all.filterNot(_._2.endsWith("/sitemap-old.xml")).toSet)
+    assert(disc.forall(!_._2.endsWith("/sitemap-old.xml")))
+    // host0's entries arrive via the index's children, keyed to the child urls
+    assert(disc.filter(_._1 == "host0.test").forall(e =>
+      e._2 == "http://host0.test/sitemap-1.xml" || e._2 == "http://host0.test/sitemap-2.xml"))
+  }
 }
