@@ -792,6 +792,8 @@ object SparkEntry {
     "crawl_meta_gated" -> ((s, d) => C.metaGatedCrawl(s, d)),
     "crawl_redirect_targets" -> ((s, d) => C.redirectTargets(s, d)),
     "crawl_redirect_gated" -> ((s, d) => C.redirectCrawl(s, d)),
+    "crawl_canonical_targets" -> ((s, d) => C.canonicalTargets(s, d)),
+    "crawl_canonical_fold" -> ((s, d) => C.canonicalFold(s, d)),
     "crawl_cuckoo_seen" -> ((s, d) => C.cuckooSeen(s, d)),
     "crawl_saved_titles" -> ((s, d) => C.savedTitles(s, d)),
     "crawl_article_html" -> ((s, d) => C.savedArticleHtml(s, d)),
@@ -864,6 +866,7 @@ object SparkEntry {
     "dd_dsir_weights" -> ((s, d) => graft.pipeline.Dsir.dsirWeights(s, d)),
     "dd_dsir_sample" -> ((s, d) => graft.pipeline.Dsir.dsirSample(s, d)),
     "dd_nb_quality" -> ((s, d) => graft.pipeline.NbQuality.nbQuality(s, d)),
+    "dd_len_deciles" -> ((s, d) => TextAnalysis.lenDeciles(s, d)),
     "crawl_url_templates" -> ((s, d) => C.urlTemplates(s, d)),
     "crawl_trap_gated" -> ((s, d) => C.trapGatedSeen(s, d)),
     "dd_lm_buckets" -> ((s, d) => graft.pipeline.Lm.lmBuckets(s, d)),
@@ -944,6 +947,23 @@ object SparkEntry {
          |  CAST(CASE WHEN m.empty_html = 0 AND m.noindex = 0
          |       THEN 1 ELSE 0 END AS BIGINT) AS saved
          |FROM mseen s LEFT JOIN ${gt("meta")} m ON m.url = s.url""".stripMargin,
+    // rel=canonical targets parsed+resolved from raw HTML (REL token list
+    // case-insensitive, absolute + relative spellings, stylesheet links
+    // ignored); self-canonicals resolve to the page itself
+    "crawl_canonical_targets" ->
+      s"""SELECT url, canonical_to FROM ${gt("meta")}
+         |WHERE empty_html = 0""".stripMargin,
+    // canonical-aware dedup fold: rep = declared canonical else self;
+    // group sizes over the live pages
+    "crawl_canonical_fold" ->
+      s"""WITH f AS (
+         |  SELECT url,
+         |    CASE WHEN canonical_to <> '' THEN canonical_to ELSE url END AS rep
+         |  FROM ${gt("meta")} WHERE empty_html = 0),
+         |gs AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS group_size
+         |       FROM f GROUP BY rep)
+         |SELECT f.url, f.rep, gs.group_size
+         |FROM f JOIN gs ON gs.rep = f.rep""".stripMargin,
     // meta-refresh targets parsed+resolved from raw HTML: three raw
     // spellings must land on the encode-side normalized value, '' elsewhere
     "crawl_redirect_targets" ->
@@ -2292,6 +2312,36 @@ object SparkEntry {
          |  CAST(CASE WHEN COALESCE(sc.s, 0) + (SELECT b FROM bs) >= 0
          |       THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin
+    },
+    // exact per-source length deciles WITHOUT a global sort: (source,
+    // value) histogram + per-source cumsum over distinct values; decile k
+    // = smallest value with 10·cum ≥ k·n (percentile_disc in integers) —
+    // and the oracle cross-checks that rank math against DuckDB's own
+    // percentile_disc
+    "dd_len_deciles" -> {
+      val ducks = (1 to 9).map(k =>
+        s"""SELECT source, CAST($k AS BIGINT) AS decile,
+           |    CAST(percentile_disc(${k / 10.0}) WITHIN GROUP (ORDER BY n_chars)
+           |      AS BIGINT) AS dvalue
+           |  FROM documents GROUP BY 1""".stripMargin).mkString("\n  UNION ALL\n  ")
+      s"""WITH hist AS (
+         |  SELECT source, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, n_chars,
+         |    SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum
+         |  FROM hist),
+         |tot AS (SELECT source, SUM(c) AS n FROM hist GROUP BY 1),
+         |ks AS (SELECT CAST(k AS BIGINT) AS decile FROM range(1, 10) t(k)),
+         |mine AS (
+         |  SELECT c.source, ks.decile, CAST(MIN(c.n_chars) AS BIGINT) AS value
+         |  FROM cum c JOIN tot t ON t.source = c.source CROSS JOIN ks
+         |  WHERE c.cum * 10 >= ks.decile * t.n
+         |  GROUP BY 1, 2),
+         |ducks AS (
+         |  $ducks)
+         |SELECT m.source, m.decile, m.value
+         |FROM mine m JOIN ducks d
+         |  ON d.source = m.source AND d.decile = m.decile AND d.dvalue = m.value""".stripMargin
     },
     // CCNet perplexity bucketing (Wenzek 2020 §3.2): per-language terciles
     // of the per-token LM score, ranked by the same two-level shape the

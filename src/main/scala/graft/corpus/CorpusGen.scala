@@ -59,7 +59,11 @@ final case class MetaRow(url: String, host: String, host_idx: Int, page_idx: Int
     /** Meta-refresh redirect target ([[CorpusGen.redirectTargetOf]]):
       * normalized absolute url, "" when the page is not a redirect.
       */
-    redirect_to: String = "")
+    redirect_to: String = "",
+    /** `<link rel="canonical">` target ([[CorpusGen.canonicalTargetOf]]):
+      * normalized absolute url (possibly the page itself), "" when none.
+      */
+    canonical_to: String = "")
 final case class RobotsRow(host: String, disallow_prefix: String)
 
 /** A host's served `/robots.txt` page: the raw BODY a production crawler
@@ -471,7 +475,20 @@ object CorpusGen {
         }
       }
     }
-    s"""<html><head><title>${pageTitle(h, i)}</title>$headDeco$metaRobots$metaRefresh
+    // rel=canonical head link (ground truth canonicalTargetOf): raw
+    // spelling alternates absolute url / relative path; the REL value
+    // carries case variation on the self-canonical class
+    val canonicalLink = {
+      val tgt = canonicalTargetOf(spec, h, i)
+      if (tgt.isEmpty) ""
+      else if (mix(spec.seed, h, i, 29) % 2 == 0)
+        s"""\n<link rel="canonical" href="$tgt">"""
+      else {
+        val path = tgt.substring(tgt.indexOf('/', "http://".length))
+        s"""\n<link REL="Canonical" HREF="$path">"""
+      }
+    }
+    s"""<html><head><title>${pageTitle(h, i)}</title>$headDeco$metaRobots$metaRefresh$canonicalLink
        |<style>body { margin: 0; }</style>
        |<link rel="stylesheet" href="/static/site.css">
        |</head><body>
@@ -644,6 +661,24 @@ object CorpusGen {
       mix(spec.seed, h, i, 23) % 13 != 4) ""
     else pageUrl(h, (mix(spec.seed, h, i, 24) % spec.hostSizes(h)).toInt)
 
+  /** `<link rel="canonical">` ground truth: the NORMALIZED canonical url a
+    * dedup/index fold must group this page under, or "" when the page
+    * declares none. ~1/17 of non-root, non-empty, non-redirect pages point
+    * at a deterministic same-host page (cross-canonical: mirror/variant
+    * pages folding into a representative), and another slice declare
+    * THEMSELVES canonical (the production-common self-canonical, which the
+    * fold must treat as standalone). Raw spellings alternate absolute /
+    * relative.
+    */
+  def canonicalTargetOf(spec: CorpusSpec, h: Int, i: Int): String =
+    if (i == 0 || isEmptyPage(spec, h, i) ||
+      redirectTargetOf(spec, h, i).nonEmpty) ""
+    else mix(spec.seed, h, i, 27) % 17 match {
+      case 6 => pageUrl(h, (mix(spec.seed, h, i, 28) % spec.hostSizes(h)).toInt)
+      case 2 => pageUrl(h, i) // self-canonical
+      case _ => ""
+    }
+
   def metaRow(spec: CorpusSpec, h: Int, i: Int): MetaRow = {
     val empty = isEmptyPage(spec, h, i)
     val (ni, nf) = metaRobotsOf(spec, h, i)
@@ -661,7 +696,8 @@ object CorpusGen {
       sel_markdown = if (spec.emitMarkdownTruth) expectedSelectorMarkdown(spec, h, i) else "",
       noindex = ni,
       nofollow = nf,
-      redirect_to = redirectTargetOf(spec, h, i))
+      redirect_to = redirectTargetOf(spec, h, i),
+      canonical_to = canonicalTargetOf(spec, h, i))
   }
 
   /** Ground-truth extractor output per page — empty for empty-HTML pages
@@ -801,7 +837,7 @@ object CorpusGen {
   /** Bumped whenever the emitted schema/content changes so stale on-disk
     * corpora regenerate instead of silently serving the old shape.
     */
-  val FormatVersion = 16
+  val FormatVersion = 17
 
   def ensure(spark: SparkSession, dir: String, spec: CorpusSpec): Unit = {
     val marker = new java.io.File(s"$dir/_CORPUS_READY")

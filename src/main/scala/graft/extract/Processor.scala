@@ -104,6 +104,28 @@ object Processor {
     Option(found)
   }
 
+  /** `<link rel="canonical">` target (the publicly documented canonical
+    * link relation, RFC 6596): the FIRST canonical link's raw href, or
+    * None. The rel value is matched as a case-insensitive whitespace-
+    * separated token list (rel="Canonical alternate" counts), hrefs are
+    * taken raw for the caller to resolve. Stylesheet and other link
+    * relations are ignored.
+    */
+  def canonicalOf(doc: graft.html.HDocument): Option[String] = {
+    var found: String = null
+    doc.root.foreachElement { e =>
+      if (found == null && e.tag == "link") {
+        val rel = e.attrOrNull("rel")
+        if (rel != null &&
+          rel.split("\\s+").exists(_.equalsIgnoreCase("canonical"))) {
+          val href = e.attrOrNull("href")
+          if (href != null && href.trim.nonEmpty) found = href.trim
+        }
+      }
+    }
+    Option(found)
+  }
+
   def processHTML(
       pageUrl: String,
       rawHtml: String,

@@ -348,6 +348,39 @@ object TextAnalysis {
       when(pass, 1L).otherwise(0L).as("pass"))
   }
 
+  // ------------------------------------------- exact distributed quantiles
+
+  /** Exact per-source deciles of document length (n_chars) WITHOUT a
+    * global sort: aggregate a (source, value) histogram, cumulative-sum it
+    * over the DISTINCT values per source (a window over the bounded
+    * value-histogram, never the row set), and pick decile k as the
+    * smallest value whose inclusive cumulative count reaches ⌈k·n/10⌉ —
+    * percentile_disc semantics in pure integer arithmetic
+    * (cum ≥ ⌈kn/10⌉ ⟺ 10·cum ≥ k·n). The corpus-profiling step a data
+    * pipeline runs per source/shard before choosing length cutoffs.
+    *
+    * Scale shape: one (source, value)-keyed map-side-combined agg, a
+    * per-source scan over distinct values, a 9-row broadcast cross join —
+    * the row set itself is never sorted or shuffled wider than the
+    * histogram. Returns (source, decile 1..9, value).
+    */
+  def lenDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val hist = docs(spark, sfDir).groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+    val tot = hist.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val ks = (1 to 9).map(_.toLong).toDF("decile")
+    cum.join(tot, Seq("source"))
+      .join(broadcast(ks))
+      .filter(col("cum") * 10L >= col("decile") * col("n"))
+      .groupBy(col("source"), col("decile"))
+      .agg(min(col("n_chars")).as("value"))
+  }
+
   // ------------------------------------------------- C4 cleaning rules
 
   /** The corpus text is single-line and punctuation-free, so the C4 rules

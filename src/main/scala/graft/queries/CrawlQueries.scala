@@ -271,6 +271,48 @@ object CrawlQueries {
       }.toDF("url", "redirect_to")
   }
 
+  /** Per-page `<link rel="canonical">` targets, resolved and normalized —
+    * '' when the page declares none. Self-canonicals resolve to the page's
+    * own url. Pinned against the encode-side ground truth.
+    */
+  def canonicalTargets(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    CorpusGen.pages(spark, dir).select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, htmlBytes) =>
+        val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
+        if (html.trim.isEmpty) None
+        else {
+          val t = graft.extract.Processor.canonicalOf(
+            graft.html.HtmlParser.parse(html))
+            .flatMap(raw => graft.extract.LinkExtractor.resolveAccepted(
+              url, raw, graft.url.UrlNorm.hostnameOf(url), allHosts = false))
+            .getOrElse("")
+          Some((url, t))
+        }
+      }.toDF("url", "canonical_to")
+  }
+
+  /** Canonical-aware dedup fold (RFC 6596 as a pipeline op): every live
+    * page groups under its declared canonical representative (itself when
+    * it declares none, or declares itself). Returns
+    * (url, rep, group_size) — the site-variant collapse an index or a
+    * training-corpus dedup runs BEFORE any content hashing. One rep-keyed
+    * aggregation + join; at 100 TB both shuffle on the canonical key only.
+    */
+  def canonicalFold(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = canonicalTargets(spark, sfDir)
+    val withRep = t.select(col("url"),
+      when(col("canonical_to") =!= "", col("canonical_to"))
+        .otherwise(col("url")).as("rep"))
+    val sizes = withRep.groupBy(col("rep"))
+      .agg(count(lit(1)).cast("long").as("group_size"))
+    withRep.join(sizes, Seq("rep"))
+      .select(col("url"), col("rep"), col("group_size"))
+  }
+
   /** Full host0 BFS following meta-refresh redirects
     * (CrawlConfig.followRedirects): a redirecting page is seen but never
     * saved, and its only outgoing edge is the refresh target. Same

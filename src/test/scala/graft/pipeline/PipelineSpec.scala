@@ -983,4 +983,22 @@ class PipelineSpec extends AnyFunSuite {
       assert(sorted.forall(_._4 > 0L), s"query $qid nonpositive score")
     }
   }
+
+  test("len deciles: histogram rank math equals a local sort-based percentile_disc") {
+    val rows = TextAnalysis.lenDeciles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val bySource = docs.groupBy(_._1).map { case (s, vs) => s -> vs.map(_._2).sorted }
+    val expected = bySource.flatMap { case (s, vs) =>
+      (1 to 9).map { k =>
+        // percentile_disc: the value at 1-indexed position ceil(k·n/10)
+        val pos = (k * vs.length + 9) / 10
+        (s, k.toLong) -> vs(pos - 1)
+      }
+    }
+    assert(rows == expected)
+    assert(rows.keys.map(_._1).toSet == bySource.keySet)
+  }
 }
