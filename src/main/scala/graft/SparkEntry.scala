@@ -221,6 +221,30 @@ object SparkEntry {
     * drift between them. All counters integer; thresholds integer
     * cross-multiplications.
     */
+  /** The boilerplate-injected view + per-(source, line) doc counts
+    * (Dedup.bpDocs / sourceBoilerplate in SQL). Ends at
+    * `l2(doc_id, source, line_no, line)`, `pl(source, line, n_docs)` and
+    * `tt(source, n_total)`.
+    */
+  private lazy val bpCtes: String =
+    s"""bpv AS (
+       |  SELECT doc_id, source,
+       |    concat_ws(chr(10), text,
+       |      '(c) ' || source || ' syndication network',
+       |      CASE WHEN (doc_id * 2654435761) % 100 < 50 THEN 'All rights reserved by ' || source END,
+       |      CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to ' || source || ' updates today' END)
+       |      AS text
+       |  FROM documents),
+       |l2 AS (
+       |  SELECT doc_id, source, CAST(p[2] AS BIGINT) - 1 AS line_no, p[1] AS line
+       |  FROM (SELECT doc_id, source,
+       |          unnest(list_zip(ls, generate_series(1, len(ls)))) AS p
+       |        FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+       |              FROM bpv))),
+       |pl AS (SELECT source, line, COUNT(DISTINCT doc_id) AS n_docs
+       |       FROM l2 GROUP BY 1, 2),
+       |tt AS (SELECT source, COUNT(*) AS n_total FROM bpv GROUP BY 1)""".stripMargin
+
   private lazy val gopherCtes: String = {
     // stop-word OCCURRENCES (TextAnalysis.GopherStops doc): count matching
     // tokens, not distinct types
@@ -794,6 +818,7 @@ object SparkEntry {
     "crawl_redirect_gated" -> ((s, d) => C.redirectCrawl(s, d)),
     "crawl_canonical_targets" -> ((s, d) => C.canonicalTargets(s, d)),
     "crawl_canonical_fold" -> ((s, d) => C.canonicalFold(s, d)),
+    "crawl_full_gates" -> ((s, d) => C.fullGatesCrawl(s, d)),
     "crawl_cuckoo_seen" -> ((s, d) => C.cuckooSeen(s, d)),
     "crawl_saved_titles" -> ((s, d) => C.savedTitles(s, d)),
     "crawl_article_html" -> ((s, d) => C.savedArticleHtml(s, d)),
@@ -871,6 +896,8 @@ object SparkEntry {
     "crawl_trap_gated" -> ((s, d) => C.trapGatedSeen(s, d)),
     "dd_lm_buckets" -> ((s, d) => graft.pipeline.Lm.lmBuckets(s, d)),
     "dd_line_dedup" -> ((s, d) => Dedup.lineDedup(s, d)),
+    "dd_source_boilerplate" -> ((s, d) => Dedup.sourceBoilerplate(s, d)),
+    "dd_boilerplate_clean" -> ((s, d) => Dedup.boilerplateClean(s, d)),
     "dd_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dd_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "search_postings" -> ((s, d) => Search.postings(s, d)),
@@ -947,6 +974,66 @@ object SparkEntry {
          |  CAST(CASE WHEN m.empty_html = 0 AND m.noindex = 0
          |       THEN 1 ELSE 0 END AS BIGINT) AS saved
          |FROM mseen s LEFT JOIN ${gt("meta")} m ON m.url = s.url""".stripMargin,
+    // EVERY production gate in ONE crawl: parsed RFC 9309 rules (longest
+    // match, allow wins ties), the mined trap blocklist, meta-robots
+    // nofollow/noindex, and meta-refresh redirects — the oracle composes
+    // the proven per-gate CTEs over one jointly-filtered edge set
+    "crawl_full_gates" ->
+      s"""WITH RECURSIVE ${robotsParseCtes()},
+         |r9 AS MATERIALIZED (
+         |  SELECT host, rule_id, verdict, pattern, $rbRegexSql AS regex,
+         |    strlen(pattern) AS plen
+         |  FROM rb_rules),
+         |tmt AS MATERIALIZED (
+         |  SELECT regexp_extract(dst_url, '^https?://([^/]+)', 1) AS h,
+         |    regexp_replace(regexp_extract(dst_url, '^https?://[^/]+(.*)${"$"}', 1),
+         |      '[0-9]+', 'N', 'g') AS t,
+         |    COUNT(DISTINCT dst_url) AS n
+         |  FROM ${gt("xlinks")} GROUP BY 1, 2),
+         |blk AS MATERIALIZED (
+         |  SELECT h, t FROM (
+         |    SELECT h, t, ROW_NUMBER() OVER (PARTITION BY h
+         |      ORDER BY n DESC, t) AS rn FROM tmt)
+         |  WHERE rn = 1),
+         |edges AS MATERIALIZED (
+         |  SELECT url AS src_url, redirect_to AS dst_url
+         |  FROM ${gt("meta")} WHERE redirect_to <> ''
+         |  UNION ALL
+         |  SELECT l.src_url, l.dst_url
+         |  FROM ${gt("links")} l JOIN ${gt("meta")} m ON m.url = l.src_url
+         |  WHERE m.redirect_to = '' AND m.nofollow = 0),
+         |cand AS MATERIALIZED (SELECT DISTINCT dst_url FROM edges),
+         |rgate AS MATERIALIZED (
+         |  SELECT dst_url FROM (
+         |    SELECT c.dst_url, rb.verdict,
+         |      ROW_NUMBER() OVER (PARTITION BY c.dst_url
+         |        ORDER BY rb.plen DESC, rb.verdict ASC, rb.rule_id ASC) AS rn
+         |    FROM cand c LEFT JOIN r9 rb
+         |      ON rb.host = regexp_extract(c.dst_url, '^https?://([^/]+)', 1)
+         |     AND regexp_matches(
+         |      regexp_replace(c.dst_url, '^https?://[^/]*', ''), rb.regex)
+         |  ) WHERE rn = 1 AND COALESCE(verdict, 'allow') = 'allow'),
+         |okd AS MATERIALIZED (
+         |  SELECT g.dst_url FROM rgate g WHERE NOT EXISTS (
+         |    SELECT 1 FROM blk
+         |    WHERE blk.h = regexp_extract(g.dst_url, '^https?://([^/]+)', 1)
+         |      AND blk.t = regexp_replace(
+         |        regexp_extract(g.dst_url, '^https?://[^/]+(.*)${"$"}', 1),
+         |        '[0-9]+', 'N', 'g'))),
+         |ged AS MATERIALIZED (
+         |  SELECT e.src_url, e.dst_url FROM edges e
+         |  JOIN okd o ON o.dst_url = e.dst_url),
+         |freach(url, depth) AS (
+         |  SELECT CAST('http://host0.test/' AS VARCHAR) AS url, 0 AS depth
+         |  UNION
+         |  SELECT e.dst_url, r.depth + 1
+         |  FROM freach r JOIN ged e ON e.src_url = r.url
+         |  WHERE r.depth < 64
+         |), fseen AS (SELECT url, MIN(depth) AS depth FROM freach GROUP BY url)
+         |SELECT s.url, CAST(s.depth AS BIGINT) AS depth,
+         |  CAST(CASE WHEN m.empty_html = 0 AND m.noindex = 0
+         |         AND m.redirect_to = '' THEN 1 ELSE 0 END AS BIGINT) AS saved
+         |FROM fseen s LEFT JOIN ${gt("meta")} m ON m.url = s.url""".stripMargin,
     // rel=canonical targets parsed+resolved from raw HTML (REL token list
     // case-insensitive, absolute + relative spellings, stylesheet links
     // ignored); self-canonicals resolve to the page itself
@@ -1814,6 +1901,34 @@ object SparkEntry {
          |  COALESCE(string_agg(CASE WHEN kept = 1 THEN line END, chr(10) ORDER BY line_no), '')
          |    AS cleaned
          |FROM f GROUP BY doc_id""".stripMargin,
+    // source-scoped boilerplate detection over the injected view
+    // (Dedup.bpDocs): footer 100%, rights ~50% (hash-split — per-source
+    // counts straddle the threshold), subscribe ~33%; a line shared by >= 2 docs is
+    // boilerplate when 2*n_docs >= the source's doc count
+    "dd_source_boilerplate" ->
+      s"""WITH $bpCtes
+         |SELECT pl.source, pl.line, CAST(pl.n_docs AS BIGINT) AS n_docs,
+         |  CAST(CASE WHEN 2 * pl.n_docs >= tt.n_total THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_boilerplate
+         |FROM pl JOIN tt ON tt.source = pl.source
+         |WHERE pl.n_docs >= 2""".stripMargin,
+    // boilerplate removal: re-join every doc without its source's
+    // boilerplate lines, counting the drops
+    "dd_boilerplate_clean" ->
+      s"""WITH $bpCtes,
+         |bpl AS (SELECT pl.source, pl.line
+         |        FROM pl JOIN tt ON tt.source = pl.source
+         |        WHERE pl.n_docs >= 2 AND 2 * pl.n_docs >= tt.n_total),
+         |sel AS (SELECT l2.doc_id, l2.line_no, l2.line,
+         |          CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END AS isbp
+         |        FROM l2 LEFT JOIN bpl b
+         |          ON b.source = l2.source AND b.line = l2.line)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  CAST(SUM(isbp) AS BIGINT) AS n_removed,
+         |  COALESCE(string_agg(CASE WHEN isbp = 0 THEN line END, chr(10)
+         |    ORDER BY line_no), '') AS cleaned
+         |FROM sel GROUP BY doc_id""".stripMargin,
     // engine decodes the opaque payload bytes (from-scratch BMP/WAV
     // parsers); oracle reads the features the generator computed while
     // ENCODING them — a decode bug cannot self-confirm

@@ -700,6 +700,70 @@ object Dedup {
     docs(spark, sfDir).select(col("doc_id"), text.as("text"))
   }
 
+  /** Injected view for the SOURCE-scoped boilerplate detector: every doc
+    * of a source carries the source's footer line (100% of docs — clear
+    * boilerplate), a multiplicative-hash half of the docs carry a rights
+    * line (doc_id·2654435761 mod 100 < 50, ≈50% — the per-source counts
+    * land on either side of the majority threshold, a deliberate boundary
+    * case; a plain doc_id%2 would be constant per source because source =
+    * doc_id%20), and doc_id%3==0 docs a subscribe line (≈33%, below
+    * threshold). concat_ws drops the NULL branches.
+    */
+  private[pipeline] def bpDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val footer = concat(lit("(c) "), col("source"), lit(" syndication network"))
+    val rights = concat(lit("All rights reserved by "), col("source"))
+    val subscribe = concat(lit("Subscribe to "), col("source"), lit(" updates today"))
+    docs(spark, sfDir).select(col("doc_id"), col("source"),
+      concat_ws("\n", col("text"), footer,
+        when(pmod(col("doc_id") * lit(2654435761L), lit(100)) < 50, rights),
+        when(pmod(col("doc_id"), lit(3)) === 0, subscribe)).as("text"))
+  }
+
+  /** Source-scoped boilerplate detection (the site-template removal step
+    * of a web-text pipeline — CCNet and C4 both strip repeated chrome
+    * before modeling): a line repeated across ≥ half of a SOURCE's
+    * documents is that source's boilerplate. Returns
+    * (source, line, n_docs, is_boilerplate) for every line shared by ≥ 2
+    * docs; is_boilerplate = 2·n_docs ≥ n_source_docs. One (source, line)
+    * aggregation — text shuffles once, keyed by the line (hash-keyed at
+    * 100 TB, the lineDedup note).
+    */
+  def sourceBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = bpDocs(spark, sfDir).select(col("doc_id"), col("source"),
+      explode(split(col("text"), "\n")).as("line"))
+    val perLine = lines.groupBy(col("source"), col("line"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val tot = bpDocs(spark, sfDir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"))
+    perLine.filter(col("n_docs") >= 2L)
+      .join(tot, Seq("source"))
+      .select(col("source"), col("line"), col("n_docs"),
+        (col("n_docs") * 2L >= col("n_total")).cast("long").as("is_boilerplate"))
+  }
+
+  /** Boilerplate removal: every doc re-joined without its source's
+    * boilerplate lines. Returns (doc_id, n_lines, n_removed, cleaned).
+    * The boilerplate table is source-count-bounded — it broadcasts; the
+    * clean pass is one narrow join + per-doc re-aggregation.
+    */
+  def boilerplateClean(spark: SparkSession, sfDir: String): DataFrame = {
+    val bp = sourceBoilerplate(spark, sfDir)
+      .filter(col("is_boilerplate") === 1L)
+      .select(col("source"), col("line"), lit(1L).as("bp"))
+    val lines = bpDocs(spark, sfDir).select(col("doc_id"), col("source"),
+      posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+    lines.join(broadcast(bp), Seq("source", "line"), "left")
+      .withColumn("isbp", coalesce(col("bp"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("isbp")).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("isbp") === 0L,
+            struct(col("line_no"), col("line"))))),
+          x => x.getField("line")), "\n").as("cleaned"))
+  }
+
   /** Corpus-wide line-level exact dedup (CCNet, Wenzek et al. 2020 §3.1 —
     * public — dedups at paragraph granularity before any doc-level pass):
     * a line survives only at its FIRST occurrence in (doc_id, line_no)

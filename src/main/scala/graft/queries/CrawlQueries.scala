@@ -545,20 +545,52 @@ object CrawlQueries {
     * reachability over the template-filtered link graph — which is what the
     * oracle replays. The blocklist collect is host-bounded (1 row/host).
     */
+  /** The mined trap blocklist: each host's most-minted template (the
+    * [[urlTemplates]] audit's worst offender). Host-bounded collect
+    * (1 row/host).
+    */
+  private def minedTrapBlocklist(spark: SparkSession,
+      sfDir: String): Map[String, Set[String]] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst_host")).orderBy(col("n_urls").desc, col("path_template"))
+    urlTemplates(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("dst_host"), col("path_template")).collect()
+      .groupBy(_.getString(0)).map { case (h, rs) =>
+        h -> rs.map(_.getString(1)).toSet
+      }
+  }
+
   def trapGatedSeen(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "trapbfs") { dir =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("dst_host")).orderBy(col("n_urls").desc, col("path_template"))
-      val blocked = urlTemplates(spark, sfDir)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("dst_host"), col("path_template")).collect()
-        .groupBy(_.getString(0)).map { case (h, rs) =>
-          h -> rs.map(_.getString(1)).toSet
-        }
       WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
         CrawlConfig(startUrl = Seed, extractContent = false,
-          trapTemplates = blocked))
+          trapTemplates = minedTrapBlocklist(spark, sfDir)))
     }.seen.select(col("url"), col("depth").cast("long").as("depth"))
+
+  /** EVERY production gate composed into one wave-engine run: per-host
+    * PARSED RFC 9309 rules, the mined trap blocklist, page-level
+    * meta-robots directives, and meta-refresh redirect following — the
+    * configuration a real production crawl runs, exercised as a single
+    * dataflow. Seen = reachability over the jointly-filtered graph
+    * (redirect pages contribute only their target; nofollow pages stop
+    * expanding; dst urls must pass the longest-match robots verdict AND
+    * the template gate), saved = live ∧ ¬noindex ∧ ¬redirect.
+    */
+  def fullGatesCrawl(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = cached(spark, sfDir, "fullGates") { dir =>
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(startUrl = Seed, extractContent = false,
+          robots9309 = true,
+          robots9309Rules = graft.crawl.Robots9309.hostRules(spark, sfDir),
+          trapTemplates = minedTrapBlocklist(spark, sfDir),
+          metaRobots = true,
+          followRedirects = true))
+    }
+    out.seen.select(col("url"), col("depth").cast("long").as("depth"))
+      .join(out.saved.select(col("url"), lit(1L).as("saved")), Seq("url"), "left")
+      .select(col("url"), col("depth"), coalesce(col("saved"), lit(0L)).as("saved"))
+  }
 
   /** H4+H5+H6 over every corpus page: extracted titles. */
   def extractTitles(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1001,4 +1001,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows == expected)
     assert(rows.keys.map(_._1).toSet == bySource.keySet)
   }
+
+  test("source boilerplate: class thresholds fire correctly, clean drops exactly the flagged lines") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val bySource = docs.groupBy(_._2).map { case (s, vs) => s -> vs.map(_._1) }
+
+    val bp = Dedup.sourceBoilerplate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    bySource.foreach { case (src, ids) =>
+      val n = ids.length.toLong
+      // footer: on every doc → always boilerplate
+      assert(bp((src, s"(c) $src syndication network")) == ((n, 1L)))
+      // rights: a hash-split ~half; flagged exactly when 2·count ≥ n
+      val evens = ids.count(id => (id * 2654435761L) % 100 < 50).toLong
+      if (evens >= 2)
+        assert(bp((src, s"All rights reserved by $src")) ==
+          ((evens, if (2 * evens >= n) 1L else 0L)))
+      // subscribe: ~a third — never reaches the majority here
+      val thirds = ids.count(_ % 3 == 0).toLong
+      if (thirds >= 2) {
+        val (cnt, flag) = bp((src, s"Subscribe to $src updates today"))
+        assert(cnt == thirds && flag == (if (2 * thirds >= n) 1L else 0L))
+        assert(flag == 0L, s"$src subscribe unexpectedly boilerplate")
+      }
+    }
+    // both threshold sides occur across sources (the %2 boundary case)
+    val rightsFlags = bp.collect {
+      case ((s, l), (_, f)) if l.startsWith("All rights") => f
+    }.toSet
+    assert(rightsFlags == Set(0L, 1L), s"rights flags: $rightsFlags")
+
+    val clean = Dedup.boilerplateClean(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    docs.foreach { case (id, src) =>
+      val n = bySource(src).length.toLong
+      val evens = bySource(src).count(x => (x * 2654435761L) % 100 < 50).toLong
+      val hasRights = (id * 2654435761L) % 100 < 50
+      val injected = 1L + (if (hasRights) 1L else 0L) + (if (id % 3 == 0) 1L else 0L)
+      val expectRemoved = 1L + (if (hasRights && 2 * evens >= n) 1L else 0L)
+      val (nLines, nRemoved, cleaned) = clean(id)
+      assert(nLines == 1L + injected, s"doc $id")
+      assert(nRemoved == expectRemoved, s"doc $id")
+      assert(!cleaned.contains("syndication network"), s"doc $id")
+      assert(cleaned.nonEmpty)
+    }
+  }
 }
