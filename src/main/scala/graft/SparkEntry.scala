@@ -215,12 +215,109 @@ object SparkEntry {
     (head +: steps).mkString(",\n")
   }
 
-  /** Gopher quality counters (graft.pipeline.TextAnalysis.qualityGopher in
-    * SQL) as composable CTEs `gbase`/`gcnt`, plus the pass condition —
-    * shared by dd_quality_gopher and dd_train_manifest so the gates cannot
-    * drift between them. All counters integer; thresholds integer
-    * cross-multiplications.
+  /** The naive-Bayes classifier chain in SQL (graft.pipeline.NbQuality in
+    * SQL), nb_-prefixed so it composes with the lm/dsir chains (which use
+    * tok, vals, the lg chain and lgt themselves). Requires gcnt ([[gopherCtes]]) in
+    * scope; ends at `nb_sc(doc_id, s, n)` and `nb_bs(b)`.
     */
+  private lazy val nbCtes: String = {
+    import graft.pipeline.Lm.{LogScaleBits, LogFracBits}
+    import graft.pipeline.NbQuality.{TrainMod, VocabSize}
+    val two = 1L << (LogScaleBits + 1)
+    val steps = (1 to LogFracBits).map { i =>
+      s"""nblg$i AS (
+         |  SELECT v, CASE WHEN y >= $two THEN y >> 1 ELSE y END AS x,
+         |    r * 2 + CASE WHEN y >= $two THEN 1 ELSE 0 END AS r
+         |  FROM (SELECT v, r, (x * x) >> $LogScaleBits AS y FROM nblg${i - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""nb_lab AS (SELECT doc_id,
+       |          CASE WHEN $gopherPassCond THEN 1 ELSE 0 END AS pass
+       |        FROM gcnt),
+       |nb_tok AS (SELECT doc_id,
+       |          unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+       |                             x -> x <> '')) AS w
+       |        FROM documents),
+       |nb_ttok AS (SELECT nb_tok.doc_id, nb_tok.w, nb_lab.pass
+       |         FROM nb_tok JOIN nb_lab ON nb_lab.doc_id = nb_tok.doc_id
+       |         WHERE nb_tok.doc_id % $TrainMod = 0),
+       |nb_vocab AS (SELECT w FROM (
+       |            SELECT w, COUNT(DISTINCT doc_id) AS df FROM nb_ttok GROUP BY 1)
+       |          ORDER BY df DESC, w LIMIT $VocabSize),
+       |nb_vc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM nb_vocab),
+       |nb_tc AS (SELECT vb.w,
+       |         CAST(SUM(CASE WHEN t.pass = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |         CAST(SUM(CASE WHEN t.pass = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cf
+       |       FROM nb_vocab vb JOIN nb_ttok t ON t.w = vb.w GROUP BY 1),
+       |nb_tots AS (SELECT CAST(SUM(cp) + (SELECT v FROM nb_vc) AS BIGINT) AS tp,
+       |                CAST(SUM(cf) + (SELECT v FROM nb_vc) AS BIGINT) AS tf
+       |         FROM nb_tc),
+       |nb_pri AS (SELECT
+       |          CAST(SUM(CASE WHEN pass = 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS np,
+       |          CAST(SUM(CASE WHEN pass = 0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS nf
+       |        FROM nb_lab WHERE doc_id % $TrainMod = 0),
+       |nb_vals AS (SELECT DISTINCT cp + 1 AS v FROM nb_tc
+       |         UNION SELECT DISTINCT cf + 1 FROM nb_tc
+       |         UNION SELECT tp FROM nb_tots UNION SELECT tf FROM nb_tots
+       |         UNION SELECT np FROM nb_pri UNION SELECT nf FROM nb_pri),
+       |nblg0 AS (
+       |  SELECT v,
+       |    (v << $LogScaleBits) >> (length(format('{:b}', v)) - 1) AS x,
+       |    CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS r
+       |  FROM nb_vals),
+       |$steps,
+       |nb_lgt AS (SELECT v, r AS lg FROM nblg$LogFracBits),
+       |nb_wt AS (
+       |  SELECT nb_tc.w,
+       |    (lp.lg - (SELECT lg FROM nb_lgt WHERE v = (SELECT tp FROM nb_tots)))
+       |    - (lf.lg - (SELECT lg FROM nb_lgt WHERE v = (SELECT tf FROM nb_tots))) AS wq
+       |  FROM nb_tc JOIN nb_lgt lp ON lp.v = nb_tc.cp + 1
+       |          JOIN nb_lgt lf ON lf.v = nb_tc.cf + 1),
+       |nb_bs AS (SELECT (SELECT lg FROM nb_lgt WHERE v = (SELECT np FROM nb_pri))
+       |            - (SELECT lg FROM nb_lgt WHERE v = (SELECT nf FROM nb_pri)) AS b),
+       |nb_sc AS (SELECT nb_tok.doc_id, SUM(nb_wt.wq) AS s, COUNT(*) AS n
+       |       FROM nb_tok JOIN nb_wt ON nb_wt.w = nb_tok.w GROUP BY 1)""".stripMargin
+  }
+
+  /** The robots-seeded sitemap discovery chain in SQL (RobotsParser
+    * .sitemaps → fetch-join → one index level → urlset parse). Ends at
+    * `disc(host, sitemap_url, loc, lastmod)`. Shared by
+    * crawl_sitemap_discovery and crawl_sitemap_recrawl.
+    */
+  private lazy val sitemapDiscoveryCtes: String =
+    s"""rl AS (
+       |  SELECT host,
+       |    trim(CASE WHEN strpos(raw, '#') > 0
+       |         THEN substr(raw, 1, strpos(raw, '#') - 1) ELSE raw END) AS l
+       |  FROM (SELECT host, unnest(str_split(body, chr(10))) AS raw
+       |        FROM ${gt("robots_txt")})),
+       |rsm AS (
+       |  SELECT DISTINCT host, trim(substr(l, strpos(l, ':') + 1)) AS adv_url
+       |  FROM rl
+       |  WHERE l <> '' AND strpos(l, ':') > 1
+       |    AND lower(trim(substr(l, 1, strpos(l, ':') - 1))) = 'sitemap'
+       |    AND trim(substr(l, strpos(l, ':') + 1)) <> ''),
+       |sm AS (SELECT url, body FROM ${gt("sitemaps")}),
+       |f0 AS (SELECT r.host, r.adv_url AS sitemap_url, s.body
+       |       FROM rsm r JOIN sm s ON s.url = r.adv_url),
+       |kids AS (
+       |  SELECT host, trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS adv_url
+       |  FROM (SELECT host,
+       |          unnest(regexp_extract_all(body, '<sitemap>.*?</sitemap>')) AS b
+       |        FROM f0 WHERE contains(body, '<sitemapindex'))),
+       |f1 AS (SELECT k.host, k.adv_url AS sitemap_url, s.body
+       |       FROM kids k JOIN sm s ON s.url = k.adv_url),
+       |dcs AS (SELECT host, sitemap_url, body FROM f0
+       |        WHERE NOT contains(body, '<sitemapindex')
+       |        UNION ALL SELECT host, sitemap_url, body FROM f1),
+       |bl AS (SELECT host, sitemap_url,
+       |         unnest(regexp_extract_all(body, '<url>.*?</url>')) AS b
+       |       FROM dcs),
+       |disc AS (
+       |  SELECT host, sitemap_url,
+       |    trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS loc,
+       |    regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
+       |  FROM bl)""".stripMargin
+
   /** The boilerplate-injected view + per-(source, line) doc counts
     * (Dedup.bpDocs / sourceBoilerplate in SQL). Ends at
     * `l2(doc_id, source, line_no, line)`, `pl(source, line, n_docs)` and
@@ -245,6 +342,12 @@ object SparkEntry {
        |       FROM l2 GROUP BY 1, 2),
        |tt AS (SELECT source, COUNT(*) AS n_total FROM bpv GROUP BY 1)""".stripMargin
 
+  /** Gopher quality counters (graft.pipeline.TextAnalysis.qualityGopher in
+    * SQL) as composable CTEs `gbase`/`gcnt`, plus the pass condition —
+    * shared by dd_quality_gopher and dd_train_manifest so the gates cannot
+    * drift between them. All counters integer; thresholds integer
+    * cross-multiplications.
+    */
   private lazy val gopherCtes: String = {
     // stop-word OCCURRENCES (TextAnalysis.GopherStops doc): count matching
     // tokens, not distinct types
@@ -898,6 +1001,7 @@ object SparkEntry {
     "dd_line_dedup" -> ((s, d) => Dedup.lineDedup(s, d)),
     "dd_source_boilerplate" -> ((s, d) => Dedup.sourceBoilerplate(s, d)),
     "dd_boilerplate_clean" -> ((s, d) => Dedup.boilerplateClean(s, d)),
+    "dd_filter_funnel" -> ((s, d) => Dedup.filterFunnel(s, d)),
     "dd_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dd_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "search_postings" -> ((s, d) => Search.postings(s, d)),
@@ -935,6 +1039,7 @@ object SparkEntry {
     "crawl_sitemap_list" -> ((s, d) => C.sitemapList(s, d)),
     "crawl_sitemap_discovery" -> ((s, d) =>
       graft.sources.Sitemap.discoveredEntries(s, d)),
+    "crawl_sitemap_recrawl" -> ((s, d) => C.sitemapRecrawl(s, d)),
     "graph_host_pagerank" -> ((s, d) => graft.pipeline.HostGraph.hostPageRank(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
     "mm_blob_features" -> ((s, d) => Multimodal.blobFeatures(s, d)),
@@ -1241,38 +1346,19 @@ object SparkEntry {
     // level resolved, urlsets parsed — the orphan sitemap-old.xml rows
     // must contribute nothing
     "crawl_sitemap_discovery" ->
-      s"""WITH rl AS (
-         |  SELECT host,
-         |    trim(CASE WHEN strpos(raw, '#') > 0
-         |         THEN substr(raw, 1, strpos(raw, '#') - 1) ELSE raw END) AS l
-         |  FROM (SELECT host, unnest(str_split(body, chr(10))) AS raw
-         |        FROM ${gt("robots_txt")})),
-         |rsm AS (
-         |  SELECT DISTINCT host, trim(substr(l, strpos(l, ':') + 1)) AS adv_url
-         |  FROM rl
-         |  WHERE l <> '' AND strpos(l, ':') > 1
-         |    AND lower(trim(substr(l, 1, strpos(l, ':') - 1))) = 'sitemap'
-         |    AND trim(substr(l, strpos(l, ':') + 1)) <> ''),
-         |sm AS (SELECT url, body FROM ${gt("sitemaps")}),
-         |f0 AS (SELECT r.host, r.adv_url AS sitemap_url, s.body
-         |       FROM rsm r JOIN sm s ON s.url = r.adv_url),
-         |kids AS (
-         |  SELECT host, trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS adv_url
-         |  FROM (SELECT host,
-         |          unnest(regexp_extract_all(body, '<sitemap>.*?</sitemap>')) AS b
-         |        FROM f0 WHERE contains(body, '<sitemapindex'))),
-         |f1 AS (SELECT k.host, k.adv_url AS sitemap_url, s.body
-         |       FROM kids k JOIN sm s ON s.url = k.adv_url),
-         |dcs AS (SELECT host, sitemap_url, body FROM f0
-         |        WHERE NOT contains(body, '<sitemapindex')
-         |        UNION ALL SELECT host, sitemap_url, body FROM f1),
-         |bl AS (SELECT host, sitemap_url,
-         |         unnest(regexp_extract_all(body, '<url>.*?</url>')) AS b
-         |       FROM dcs)
-         |SELECT host, sitemap_url,
-         |  trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS loc,
-         |  regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
-         |FROM bl""".stripMargin,
+      s"""WITH $sitemapDiscoveryCtes
+         |SELECT host, sitemap_url, loc, lastmod FROM disc""".stripMargin,
+    // sitemap-lastmod recrawl: the discovery chain's entries filtered to
+    // lastmod past the cutoff (ISO strings compare lexicographically),
+    // distinct locs through the list-crawl semantics (live, non-empty)
+    "crawl_sitemap_recrawl" ->
+      s"""WITH $sitemapDiscoveryCtes,
+         |due AS (SELECT DISTINCT loc FROM disc
+         |        WHERE lastmod <> ''
+         |          AND lastmod > '${graft.queries.CrawlQueries.SitemapRecrawlCutoff}')
+         |SELECT m.url, m.title FROM ${gt("meta")} m
+         |JOIN due d ON d.loc = m.url
+         |WHERE m.empty_html = 0""".stripMargin,
     // the per-host parsed rules TABLE itself: engine = RobotsParser over
     // the served bodies, oracle = the same grammar replayed in SQL
     "crawl_robots_parse" ->
@@ -1901,6 +1987,59 @@ object SparkEntry {
          |  COALESCE(string_agg(CASE WHEN kept = 1 THEN line END, chr(10) ORDER BY line_no), '')
          |    AS cleaned
          |FROM f GROUP BY doc_id""".stripMargin,
+    // the end-to-end filter funnel: five proven gate chains composed in
+    // curation order (gopher -> dup losers -> decontam -> NB classifier ->
+    // perplexity tail), one count row per stage — the whole curation
+    // pipeline's dataflow in a single query
+    "dd_filter_funnel" ->
+      (dupClusterCtes + ",\n" +
+        s"""$gopherCtes,
+           |$lmScoreCtes,
+           |$lmBucketCtes,
+           |$nbCtes,
+           |fs1 AS (SELECT doc_id FROM gcnt WHERE $gopherPassCond),
+           |flos AS (SELECT doc_id FROM l${Dedup.ClusterIters} WHERE doc_id <> lbl),
+           |fs2 AS (SELECT doc_id FROM fs1
+           |        WHERE doc_id NOT IN (SELECT doc_id FROM flos)),
+           |ctoks AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(text), '\\W+'), w -> w <> '') AS ws
+           |  FROM documents),
+           |cwin AS (
+           |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+           |  FROM ctoks WHERE len(ws) >= 8),
+           |cwing AS (
+           |  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS g
+           |  FROM cwin),
+           |cbench AS (SELECT DISTINCT g FROM cwing WHERE doc_id % 25 = 7 AND pos = 6),
+           |fcont AS (SELECT DISTINCT w.doc_id FROM cwing w
+           |          JOIN cbench b ON b.g = w.g),
+           |fs3 AS (SELECT doc_id FROM fs2
+           |        WHERE doc_id NOT IN (SELECT doc_id FROM fcont)),
+           |fnbp AS (SELECT d.doc_id FROM documents d
+           |         LEFT JOIN nb_sc ON nb_sc.doc_id = d.doc_id
+           |         WHERE COALESCE(nb_sc.s, 0) + (SELECT b FROM nb_bs) >= 0),
+           |fs4 AS (SELECT doc_id FROM fs3
+           |        WHERE doc_id IN (SELECT doc_id FROM fnbp)),
+           |ftail AS (SELECT doc_id FROM rk WHERE lang_rank * 3 > n_lang * 2),
+           |fs5 AS (SELECT doc_id FROM fs4
+           |        WHERE doc_id NOT IN (SELECT doc_id FROM ftail)),
+           |cnts(stage_no, stage, n_in, n_out) AS (
+           |  SELECT 1, 'gopher', (SELECT COUNT(*) FROM documents),
+           |    (SELECT COUNT(*) FROM fs1)
+           |  UNION ALL SELECT 2, 'dedup', (SELECT COUNT(*) FROM fs1),
+           |    (SELECT COUNT(*) FROM fs2)
+           |  UNION ALL SELECT 3, 'decontam', (SELECT COUNT(*) FROM fs2),
+           |    (SELECT COUNT(*) FROM fs3)
+           |  UNION ALL SELECT 4, 'nb_quality', (SELECT COUNT(*) FROM fs3),
+           |    (SELECT COUNT(*) FROM fs4)
+           |  UNION ALL SELECT 5, 'ppl_tail', (SELECT COUNT(*) FROM fs4),
+           |    (SELECT COUNT(*) FROM fs5))
+           |SELECT CAST(stage_no AS BIGINT) AS stage_no, stage,
+           |  CAST(n_in AS BIGINT) AS n_in,
+           |  CAST(n_in - n_out AS BIGINT) AS n_dropped,
+           |  CAST(n_out AS BIGINT) AS n_out
+           |FROM cnts""".stripMargin),
     // source-scoped boilerplate detection over the injected view
     // (Dedup.bpDocs): footer 100%, rights ~50% (hash-split — per-source
     // counts straddle the threshold), subscribe ~33%; a line shared by >= 2 docs is
@@ -2364,70 +2503,15 @@ object SparkEntry {
     // §3.3 made deterministic): Gopher verdicts as weak labels on the
     // doc_id%3==0 split, top-64-df vocabulary, add-1 smoothed Q16 log-odds
     // via the unrolled Turner log2 iteration — every weight bit-replayed
-    "dd_nb_quality" -> {
-      import graft.pipeline.Lm.{LogScaleBits, LogFracBits}
-      import graft.pipeline.NbQuality.{TrainMod, VocabSize}
-      val two = 1L << (LogScaleBits + 1)
-      val steps = (1 to LogFracBits).map { i =>
-        s"""lg$i AS (
-           |  SELECT v, CASE WHEN y >= $two THEN y >> 1 ELSE y END AS x,
-           |    r * 2 + CASE WHEN y >= $two THEN 1 ELSE 0 END AS r
-           |  FROM (SELECT v, r, (x * x) >> $LogScaleBits AS y FROM lg${i - 1}))""".stripMargin
-      }.mkString(",\n")
+    "dd_nb_quality" ->
       s"""WITH $gopherCtes,
-         |lab AS (SELECT doc_id,
-         |          CASE WHEN $gopherPassCond THEN 1 ELSE 0 END AS pass
-         |        FROM gcnt),
-         |tok AS (SELECT doc_id,
-         |          unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
-         |                             x -> x <> '')) AS w
-         |        FROM documents),
-         |ttok AS (SELECT tok.doc_id, tok.w, lab.pass
-         |         FROM tok JOIN lab ON lab.doc_id = tok.doc_id
-         |         WHERE tok.doc_id % $TrainMod = 0),
-         |vocab AS (SELECT w FROM (
-         |            SELECT w, COUNT(DISTINCT doc_id) AS df FROM ttok GROUP BY 1)
-         |          ORDER BY df DESC, w LIMIT $VocabSize),
-         |vc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
-         |tc AS (SELECT vb.w,
-         |         CAST(SUM(CASE WHEN t.pass = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-         |         CAST(SUM(CASE WHEN t.pass = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cf
-         |       FROM vocab vb JOIN ttok t ON t.w = vb.w GROUP BY 1),
-         |tots AS (SELECT CAST(SUM(cp) + (SELECT v FROM vc) AS BIGINT) AS tp,
-         |                CAST(SUM(cf) + (SELECT v FROM vc) AS BIGINT) AS tf
-         |         FROM tc),
-         |pri AS (SELECT
-         |          CAST(SUM(CASE WHEN pass = 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS np,
-         |          CAST(SUM(CASE WHEN pass = 0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS nf
-         |        FROM lab WHERE doc_id % $TrainMod = 0),
-         |vals AS (SELECT DISTINCT cp + 1 AS v FROM tc
-         |         UNION SELECT DISTINCT cf + 1 FROM tc
-         |         UNION SELECT tp FROM tots UNION SELECT tf FROM tots
-         |         UNION SELECT np FROM pri UNION SELECT nf FROM pri),
-         |lg0 AS (
-         |  SELECT v,
-         |    (v << $LogScaleBits) >> (length(format('{:b}', v)) - 1) AS x,
-         |    CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS r
-         |  FROM vals),
-         |$steps,
-         |lgt AS (SELECT v, r AS lg FROM lg$LogFracBits),
-         |wt AS (
-         |  SELECT tc.w,
-         |    (lp.lg - (SELECT lg FROM lgt WHERE v = (SELECT tp FROM tots)))
-         |    - (lf.lg - (SELECT lg FROM lgt WHERE v = (SELECT tf FROM tots))) AS wq
-         |  FROM tc JOIN lgt lp ON lp.v = tc.cp + 1
-         |          JOIN lgt lf ON lf.v = tc.cf + 1),
-         |bs AS (SELECT (SELECT lg FROM lgt WHERE v = (SELECT np FROM pri))
-         |            - (SELECT lg FROM lgt WHERE v = (SELECT nf FROM pri)) AS b),
-         |sc AS (SELECT tok.doc_id, SUM(wt.wq) AS s, COUNT(*) AS n
-         |       FROM tok JOIN wt ON wt.w = tok.w GROUP BY 1)
+         |$nbCtes
          |SELECT d.doc_id,
-         |  CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_feats,
-         |  CAST(COALESCE(sc.s, 0) + (SELECT b FROM bs) AS BIGINT) AS score_q16,
-         |  CAST(CASE WHEN COALESCE(sc.s, 0) + (SELECT b FROM bs) >= 0
+         |  CAST(COALESCE(nb_sc.n, 0) AS BIGINT) AS n_feats,
+         |  CAST(COALESCE(nb_sc.s, 0) + (SELECT b FROM nb_bs) AS BIGINT) AS score_q16,
+         |  CAST(CASE WHEN COALESCE(nb_sc.s, 0) + (SELECT b FROM nb_bs) >= 0
          |       THEN 1 ELSE 0 END AS BIGINT) AS pred
-         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin
-    },
+         |FROM documents d LEFT JOIN nb_sc ON nb_sc.doc_id = d.doc_id""".stripMargin,
     // exact per-source length deciles WITHOUT a global sort: (source,
     // value) histogram + per-source cumsum over distinct values; decile k
     // = smallest value with 10·cum ≥ k·n (percentile_disc in integers) —

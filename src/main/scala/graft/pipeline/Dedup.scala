@@ -483,6 +483,40 @@ object Dedup {
       .withColumn("bucket", coalesce(col("bucket"), lit("tail")))
   }
 
+  /** The end-to-end filter-funnel report — the observability table every
+    * production data pipeline keeps: how many documents each gate drops,
+    * applied in the curation order (Gopher heuristics → dup-cluster losers
+    * → benchmark decontamination → the trained NB quality classifier →
+    * CCNet perplexity-tail cut). Returns one row per stage
+    * (stage_no, stage, n_in, n_dropped, n_out); survivors of stage k feed
+    * stage k+1, so the n_out chain is monotone.
+    *
+    * Scale shape: each stage is a semi/anti join of a doc_id set against a
+    * proven operator's output; the driver holds six counts. At 100 TB the
+    * same report is six metrics off the manifest job's accumulators.
+    */
+  def filterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = docs(spark, sfDir).select(col("doc_id"))
+    val s1 = base.join(TextAnalysis.qualityGopher(spark, sfDir)
+      .filter(col("pass") === 1L).select("doc_id"), Seq("doc_id"), "left_semi")
+    val s2 = s1.join(dupClusters(spark, sfDir)
+      .filter(col("doc_id") =!= col("keeper_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val s3 = s2.join(contamination(spark, sfDir).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val s4 = s3.join(NbQuality.nbQuality(spark, sfDir)
+      .filter(col("pred") === 1L).select("doc_id"), Seq("doc_id"), "left_semi")
+    val s5 = s4.join(Lm.lmBuckets(spark, sfDir)
+      .filter(col("bucket") === "tail").select("doc_id"), Seq("doc_id"), "left_anti")
+    val counts = Seq(base, s1, s2, s3, s4, s5).map(_.count())
+    Seq("gopher", "dedup", "decontam", "nb_quality", "ppl_tail").zipWithIndex
+      .map { case (st, i) =>
+        (i + 1L, st, counts(i), counts(i) - counts(i + 1), counts(i + 1))
+      }.toDF("stage_no", "stage", "n_in", "n_dropped", "n_out")
+  }
+
   /** The data-mix report over the training manifest: document and token
     * totals per (language, perplexity bucket) — the table a CCNet-style
     * sampler draws its mixture weights from (Wenzek et al. 2020 §3.2's

@@ -753,6 +753,31 @@ object CrawlQueries {
           isUrlListMode = true))
     }.saved.select(col("url"), col("title"))
 
+  /** The recrawl-scheduling cutoff for [[sitemapRecrawl]]: entries whose
+    * sitemap `<lastmod>` is strictly newer are due.
+    */
+  val SitemapRecrawlCutoff = "2024-06-15"
+
+  /** Sitemap-lastmod-driven recrawl (X40 × X13 composed): a standing crawl
+    * re-fetches only the urls whose robots-discovered sitemap entries
+    * advertise a `<lastmod>` past the last-cycle cutoff — the
+    * delta-selection step a production recrawl runs before touching any
+    * page. The due set feeds the REAL list-mode wave engine (ghost/dead
+    * entries are fetch misses, duplicates first-wins); ISO dates compare
+    * as strings. Returns the refreshed (url, title).
+    */
+  def sitemapRecrawl(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "sitemaprecrawl") { dir =>
+      val due = graft.sources.Sitemap.discoveredEntries(spark, sfDir)
+        .filter(col("lastmod") =!= "" && col("lastmod") > lit(SitemapRecrawlCutoff))
+        .select(col("host"), col("loc"))
+      val seeds = WaveCrawler.withGlobalIndex(
+        due, "line_no", col("host").asc, col("loc").asc)
+        .select(col("loc").as("url_raw"), col("line_no"))
+      WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
+        CrawlConfig(urlListDf = Some(seeds), isUrlListMode = true))
+    }.saved.select(col("url"), col("title"))
+
   def hostBudget(spark: SparkSession, sfDir: String, budget: Int): DataFrame =
     cached(spark, sfDir, s"budget$budget") { dir =>
       WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),

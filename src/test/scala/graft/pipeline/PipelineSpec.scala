@@ -1048,4 +1048,26 @@ class PipelineSpec extends AnyFunSuite {
       assert(cleaned.nonEmpty)
     }
   }
+
+  test("filter funnel: stages chain monotonically and agree with the operators") {
+    val rows = Dedup.filterFunnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._2).toSeq ==
+      Seq("gopher", "dedup", "decontam", "nb_quality", "ppl_tail"))
+    rows.foreach { case (_, st, in, dropped, out) =>
+      assert(out == in - dropped && dropped >= 0, st)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 == a._5, s"stage ${b._2} n_in chain")
+      case _           =>
+    }
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.head._3 == nDocs)
+    // stage 1 equals the independently-run gopher gate
+    val g = TextAnalysis.qualityGopher(spark, sf).filter("pass = 1").count()
+    assert(rows.head._5 == g)
+    // the final survivor count is positive and below the input
+    assert(rows.last._5 > 0 && rows.last._5 < nDocs)
+  }
 }

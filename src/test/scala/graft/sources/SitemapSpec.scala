@@ -82,4 +82,25 @@ class SitemapSpec extends AnyFunSuite {
     assert(disc.filter(_._1 == "host0.test").forall(e =>
       e._2 == "http://host0.test/sitemap-1.xml" || e._2 == "http://host0.test/sitemap-2.xml"))
   }
+
+  test("lastmod recrawl: exactly the live due entries are refreshed") {
+    import graft.queries.CrawlQueries
+    val spark = graft.SparkTestBase.spark
+    val sf = "/root/testdata/sf0.001"
+    val cutoff = CrawlQueries.SitemapRecrawlCutoff
+    val entries = Sitemap.discoveredEntries(spark, sf).collect()
+      .map(r => (r.getString(2), r.getString(3)))
+    val due = entries.collect { case (loc, lm) if lm.nonEmpty && lm > cutoff => loc }.toSet
+    val notDue = entries.collect { case (loc, lm) if lm.nonEmpty && lm <= cutoff => loc }.toSet
+    // the cutoff splits the advertised lastmods at this sf
+    assert(due.nonEmpty && notDue.nonEmpty)
+    val spec = CorpusGen.specFor(sf)
+    val live = (for (h <- 0 until spec.nHosts; i <- 0 until spec.hostSizes(h)
+      if !CorpusGen.isEmptyPage(spec, h, i)) yield CorpusGen.pageUrl(h, i)).toSet
+    val got = CrawlQueries.sitemapRecrawl(spark, sf).collect()
+      .map(_.getString(0)).toSet
+    assert(got == (due intersect live))
+    // not-due live urls were NOT refreshed
+    assert((notDue intersect live).forall(u => !got(u) || due(u)))
+  }
 }
