@@ -68,4 +68,32 @@ class CapPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in manifest plan:\n$plan")
   }
+
+  test("nb scoring joins the broadcast model BEFORE the per-doc aggregation") {
+    // the V-row weight table must broadcast into the token stream so only
+    // vocabulary hits reach the sum — at 100 TB a shuffle join here would
+    // move the whole token stream by word
+    val plan = NbQuality.nbQuality(spark, sf).queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in nb plan:\n$plan")
+  }
+
+  test("len deciles never plan a global sort (histogram rank math only)") {
+    // the whole point of the histogram+cumsum shape: no rangepartitioning
+    // exchange (global sort) of the row set anywhere
+    val plan = TextAnalysis.lenDeciles(spark, sf).queryExecution.executedPlan.toString()
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort in deciles plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in deciles plan (the 9-row decile table must broadcast):\n$plan")
+  }
+
+  test("boilerplate clean broadcasts the flagged-line table") {
+    val plan = Dedup.boilerplateClean(spark, sf).queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate table (source-count-bounded) must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in clean plan:\n$plan")
+  }
 }
