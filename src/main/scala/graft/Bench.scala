@@ -40,20 +40,24 @@ object Bench {
     // CONVERGES — the best two times agree within `tol` (15%) — with a floor
     // of `minReps` (≥3, SPARK_GRAFT_REPEATS can only raise it) and a cap of
     // `maxReps` (8). Each phase carries "converged"; the record carries
-    // "clean" = (loadavg_start below threshold AND every phase converged) so
-    // a contaminated number discounts itself mechanically instead of being
-    // adjudicated by hand (it happened two rounds running).
+    // "clean" = (every phase converged AND both calibration stamps at the
+    // quiet-VM nominal) so a contaminated number discounts itself
+    // mechanically instead of being adjudicated by hand (it happened two
+    // rounds running). Calibration — not loadavg — is the gating signal:
+    // on a 32-core box the process's OWN pre-phase work (corpus count,
+    // warmup, the settle probes themselves) keeps 1-min loadavg above any
+    // threshold for ~a minute even on a perfectly quiet host, which made
+    // the old loadavg-based flag a permanent false negative (measured:
+    // loadavg_start 6-7 with calib dead-nominal 0.42-0.44 and best-ever
+    // phase times). The loadavg stamps remain in the record for context.
     val minReps = math.max(sys.env.getOrElse("SPARK_GRAFT_REPEATS", "1").toInt, 3)
     val maxReps = math.max(sys.env.getOrElse("SPARK_GRAFT_MAX_REPEATS", "8").toInt, minReps)
     val tol = 0.15
-    val loadCleanMax = 2.0
 
     def loadavg(): String =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ").take(3).mkString(",")
       catch { case _: Throwable => "" }
-    def load1(): Double =
-      loadavg().split(",").headOption.flatMap(_.toDoubleOption).getOrElse(99.0)
 
     // CPU calibration: a FIXED integer spin on `cpus` threads whose nominal
     // wall time is independent of any engine change — ambient host
@@ -84,20 +88,22 @@ object Bench {
     // ---- settle gate: the driver launches the bench straight after its
     // own compile+verify workload, so the measurement window's START always
     // eats that tail (the r02-r04 contaminated-record pathology). Bounded
-    // spin-wait until the host is quiet — 1-min loadavg below the clean
-    // threshold AND a calibration spin within 1.2× the quiet-VM nominal —
-    // then stamp how long we waited so the record shows the gate ran.
+    // wait until a calibration probe lands within 1.2× the quiet-VM
+    // nominal, then stamp how long we waited so the record shows the gate
+    // ran. Loadavg deliberately does NOT gate: the probes themselves are
+    // full-width CPU spins, so on a wide box the gate's own activity (plus
+    // the pre-phase corpus jobs) holds 1-min loadavg above any threshold —
+    // the old loadavg condition could never clear and self-defeated the
+    // flag. Contention is what calibration measures directly.
     val calibNominal =
       sys.env.getOrElse("SPARK_GRAFT_CALIB_NOMINAL", "0.45").toDouble
     val settleCapSec =
       sys.env.getOrElse("SPARK_GRAFT_SETTLE_CAP_SEC", "90").toDouble
     val settleT0 = System.nanoTime()
     var calibStart = calibrate()
-    var load1Start = load1()
-    while ((load1Start > loadCleanMax || calibStart > 1.2 * calibNominal) &&
+    while (calibStart > 1.2 * calibNominal &&
         (System.nanoTime() - settleT0) / 1e9 < settleCapSec) {
       Thread.sleep(5000)
-      load1Start = load1()
       calibStart = calibrate()
     }
     val settleWaitSec = (System.nanoTime() - settleT0) / 1e9
@@ -189,14 +195,18 @@ object Bench {
     val urlsPerSec = extracted / tList
     val bfsPerSec = bfsSaved / tBfs
     val allConverged = convergedBy.values.forall(identity)
-    val clean = allConverged && load1Start <= loadCleanMax
+    val calibEnd = calibrate()
+    // both ends of the window at the quiet nominal (the end gets 1.3× —
+    // the tail drifting is less damaging than starting contaminated, and
+    // converged best-of times were taken before it)
+    val clean = allConverged && calibStart <= 1.2 * calibNominal &&
+      calibEnd <= 1.3 * calibNominal
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val qs = times.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val reps = allRepeats.map { case (k, vs) =>
       "\"" + k + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val conv = convergedBy.map { case (k, v) => "\"" + k + s"""\":$v""" }.mkString("{", ",", "}")
-    val calibEnd = calibrate()
     val json =
       f"""{"metric":"urls_fetched_extracted_per_sec","value":$urlsPerSec%.1f,"unit":"urls/sec","clean":$clean,"converged":$conv,"settle_wait_sec":$settleWaitSec%.1f,"calib_sec_start":$calibStart%.3f,"calib_sec_end":$calibEnd%.3f,"total_sec":${times.values.sum}%.3f,"corpus_pages":$nPages,"extracted":$extracted,"bfs_urls_per_sec":$bfsPerSec%.1f,"cores":$cpus,"heap_mb":$heapMb,"queries":$qs,"repeats":$reps,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}"""
     // machine-readable copy at a known path — sbt/log4j noise on stdout must
