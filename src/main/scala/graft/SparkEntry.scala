@@ -1002,6 +1002,7 @@ object SparkEntry {
     "dd_source_boilerplate" -> ((s, d) => Dedup.sourceBoilerplate(s, d)),
     "dd_boilerplate_clean" -> ((s, d) => Dedup.boilerplateClean(s, d)),
     "dd_filter_funnel" -> ((s, d) => Dedup.filterFunnel(s, d)),
+    "dd_shard_manifest" -> ((s, d) => Dedup.shardManifest(s, d)),
     "dd_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dd_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "search_postings" -> ((s, d) => Search.postings(s, d)),
@@ -1987,6 +1988,30 @@ object SparkEntry {
          |  COALESCE(string_agg(CASE WHEN kept = 1 THEN line END, chr(10) ORDER BY line_no), '')
          |    AS cleaned
          |FROM f GROUP BY doc_id""".stripMargin,
+    // deterministic output sharding of the manifest: shard = md5-hex
+    // prefix of the doc id mod NumShards (stateless, any worker computes
+    // any doc's shard) — the per-shard balance report
+    "dd_shard_manifest" ->
+      (dupClusterCtes + ",\n" +
+        s"""$gopherCtes,
+           |mani AS (
+           |  SELECT c.doc_id,
+           |    CASE WHEN trim(d.text) = '' THEN CAST(0 AS BIGINT)
+           |         ELSE CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+           |    END AS n_tokens
+           |  FROM gcnt c JOIN documents d ON d.doc_id = c.doc_id
+           |  WHERE ($gopherPassCond)
+           |    AND c.doc_id NOT IN (
+           |      SELECT doc_id FROM l${Dedup.ClusterIters} WHERE doc_id <> lbl)),
+           |hx AS (SELECT i, format('{:02x}', i) AS h FROM range(256) t(i)),
+           |shd AS (SELECT m.doc_id, m.n_tokens,
+           |          hx.i % ${Dedup.NumShards} AS shard
+           |        FROM mani m
+           |        JOIN hx ON substr(md5(CAST(m.doc_id AS VARCHAR)), 1, 2) = hx.h)
+           |SELECT CAST(shard AS BIGINT) AS shard,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+           |FROM shd GROUP BY 1""".stripMargin),
     // the end-to-end filter funnel: five proven gate chains composed in
     // curation order (gopher -> dup losers -> decontam -> NB classifier ->
     // perplexity tail), one count row per stage — the whole curation

@@ -483,6 +483,29 @@ object Dedup {
       .withColumn("bucket", coalesce(col("bucket"), lit("tail")))
   }
 
+  /** Output shard count for [[shardManifest]]. */
+  val NumShards = 8
+
+  /** Deterministic output sharding of the training manifest — the final
+    * "write the corpus" step: every surviving document lands in one of
+    * [[NumShards]] shards by a content-independent hash (the md5-hex
+    * prefix of its id, the stratifiedSample recipe), so shard assignment
+    * is stateless, partitioning-independent and reproducible — the
+    * property a 100 TB writer needs (any worker can compute any doc's
+    * shard without coordination). Returns the per-shard balance report
+    * (shard, n_docs, total_tokens) — hash sharding is how production
+    * corpora bound shard skew without a sequential packer.
+    */
+  def shardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val shard = pmod(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2), 16, 10)
+        .cast("long"), lit(NumShards.toLong))
+    trainManifest(spark, sfDir)
+      .withColumn("shard", shard)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
   /** The end-to-end filter-funnel report — the observability table every
     * production data pipeline keeps: how many documents each gate drops,
     * applied in the curation order (Gopher heuristics → dup-cluster losers

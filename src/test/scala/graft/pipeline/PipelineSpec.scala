@@ -1070,4 +1070,18 @@ class PipelineSpec extends AnyFunSuite {
     // the final survivor count is positive and below the input
     assert(rows.last._5 > 0 && rows.last._5 < nDocs)
   }
+
+  test("shard manifest: totals conserved, assignment spread across shards") {
+    val rows = Dedup.shardManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mani = Dedup.trainManifest(spark, sf)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("n_tokens")).collect()(0)
+    assert(rows.map(_._2).sum == mani.getLong(0))
+    assert(rows.map(_._3).sum == mani.getLong(1))
+    assert(rows.forall(r => r._1 >= 0 && r._1 < Dedup.NumShards))
+    // the hash spreads: more than half the shards are non-empty at this sf
+    assert(rows.count(_._2 > 0) > Dedup.NumShards / 2)
+  }
 }
