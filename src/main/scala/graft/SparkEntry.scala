@@ -1012,6 +1012,7 @@ object SparkEntry {
       Search.bm25fTopK(s, C.extractMarkdown(s, d), C.anchorText(s, d))),
     "search_phrase" -> ((s, d) => Search.phraseTopK(s, d)),
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_ivf_kmeans_topk" -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
@@ -2800,6 +2801,75 @@ object SparkEntry {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 10""".stripMargin,
+    // product-quantization ANN (Jégou 2011): per-subspace integer Lloyd
+    // replayed round by round (assignment = exact integer squared-L2, tie
+    // to lower cid; update = floored integer means — the +2^22 offset
+    // keeps the numerator non-negative because DuckDB's // truncates
+    // where the engine's floorDiv floors, the dd_dsir_sample trick),
+    // then encode + ADC table lookups — every distance a Long, ranked
+    // (dist asc, id)
+    "ann_pq_topk" -> {
+      import graft.pipeline.Similarity.{PqSubspaces, PqSubDims, PqK, PqIters}
+      val scale = graft.pipeline.Similarity.KmeansScale.toLong
+      val d2 = "CAST(list_sum(list_transform(list_zip(%s, %s)," +
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+      def dist(a: String, b: String) = d2.format(a, b)
+      val steps = (1 to PqIters).map { k =>
+        s"""pa$k AS MATERIALIZED (
+           |  SELECT vec_id, sub, sq, cid FROM (
+           |    SELECT es.vec_id, es.sub, es.sq, b.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY es.vec_id, es.sub
+           |        ORDER BY ${dist("es.sq", "b.mv")} ASC, b.cid ASC) AS rn
+           |    FROM es JOIN pb${k - 1} b ON b.sub = es.sub) WHERE rn = 1),
+           |ps$k AS (
+           |  SELECT sub, cid, i AS dim, SUM(sq[i]) AS sm, COUNT(*) AS cnt
+           |  FROM pa$k CROSS JOIN (SELECT unnest(generate_series(1, $PqSubDims)) AS i) t
+           |  GROUP BY 1, 2, 3),
+           |pn$k AS (
+           |  SELECT sub, cid,
+           |    list(CAST(((sm + cnt * 4194304) // cnt) - 4194304 AS BIGINT)
+           |         ORDER BY dim) AS mv
+           |  FROM ps$k GROUP BY 1, 2),
+           |pb$k AS MATERIALIZED (
+           |  SELECT p.sub, p.cid, COALESCE(n.mv, p.mv) AS mv
+           |  FROM pb${k - 1} p LEFT JOIN pn$k n
+           |    ON n.sub = p.sub AND n.cid = p.cid)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale) AS BIGINT)
+         |     for i in generate_series(1, len(embedding))] AS q
+         |  FROM embeddings),
+         |es AS MATERIALIZED (
+         |  SELECT vec_id, s.sub,
+         |    array_slice(q, s.sub * $PqSubDims + 1, (s.sub + 1) * $PqSubDims) AS sq
+         |  FROM e CROSS JOIN
+         |    (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS sub) s),
+         |pb0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cid, sq AS mv
+         |        FROM es WHERE vec_id < $PqK),
+         |$steps,
+         |enc AS MATERIALIZED (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT es.vec_id, es.sub, b.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY es.vec_id, es.sub
+         |        ORDER BY ${dist("es.sq", "b.mv")} ASC, b.cid ASC) AS rn
+         |    FROM es JOIN pb$PqIters b ON b.sub = es.sub) WHERE rn = 1),
+         |q20 AS (SELECT vec_id AS qid, sub, sq FROM es
+         |        WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 20)),
+         |dt AS MATERIALIZED (
+         |  SELECT q.qid, q.sub, b.cid, ${dist("q.sq", "b.mv")} AS d
+         |  FROM q20 q JOIN pb$PqIters b ON b.sub = q.sub),
+         |sc AS (
+         |  SELECT dt.qid, enc.vec_id, CAST(SUM(dt.d) AS BIGINT) AS dist
+         |  FROM enc JOIN dt ON dt.sub = enc.sub AND dt.cid = enc.cid
+         |  WHERE enc.vec_id <> dt.qid GROUP BY 1, 2)
+         |SELECT query_id, rank, neighbor_id, dist_q FROM (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id, dist AS dist_q,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY dist ASC, vec_id ASC) AS BIGINT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10""".stripMargin
+    },
     // Common-Crawl-index-style per-host rollup over the corpus pages
     "graph_host_stats" ->
       s"""SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,

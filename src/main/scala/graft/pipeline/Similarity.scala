@@ -669,4 +669,168 @@ object Similarity {
       .toDF("vec_id", "cid", "kept")
       .unionByName(overflow)
   }
+
+  // ------------------------------------ product-quantization (PQ) ANN
+
+  /** PQ layout (Jégou et al. 2011, "Product Quantization for Nearest
+    * Neighbor Search" — public): [[EmbDims]] splits into [[PqSubspaces]]
+    * contiguous subspaces of [[PqSubDims]] dims; each learns a
+    * [[PqK]]-entry codebook, so a vector compresses to 4 small codes and
+    * query scoring is table lookups (ADC) instead of full-vector math.
+    */
+  val PqSubspaces = 4
+  val PqSubDims: Int = EmbDims / PqSubspaces
+  val PqK = 16
+  val PqIters = 4
+
+  /** Squared L2 between quantized subvector `q[off..off+n)` and codebook
+    * row `m` — pure Long arithmetic (components ≤ 2^21 ⇒ the 16-term sum
+    * ≤ 2^48, overflow-safe).
+    */
+  def pqDist(q: Array[Long], off: Int, m: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < m.length) {
+      val d = q(off + i) - m(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  private def pqNearest(book: Array[Array[Long]], q: Array[Long], off: Int): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val d = pqDist(q, off, book(c))
+      if (d < bestD) { bestD = d; best = c } // strict < ⇒ ties keep lower cid
+      c += 1
+    }
+    best
+  }
+
+  /** Per-subspace integer Lloyd: seeds are the [[PqK]] lowest vec_ids'
+    * quantized subvectors; assignment is exact integer squared-L2 (ties to
+    * the lower centroid id); the update floors the exact integer
+    * component sums (`s div cnt`), so every codebook entry stays a Long
+    * and the whole training run is bit-replayable by the oracle's
+    * unrolled SQL — the ivf-k-means integer-oracle pattern with division
+    * moved INSIDE the loop (centroids re-quantize every round instead of
+    * staying rational). All [[PqSubspaces]] books train in the same
+    * [[PqIters]] distributed passes (subspace is just another key of the
+    * partial-sum aggregation). Returns [sub][cid][dim].
+    */
+  def trainPqCodebooks(spark: SparkSession,
+      all: org.apache.spark.sql.Dataset[(Long, Array[Float])]): Array[Array[Array[Long]]] = {
+    val spark2 = spark
+    import spark2.implicits._
+    val m = PqSubspaces
+    val sd = PqSubDims
+    var books: Array[Array[Array[Long]]] = {
+      val seeds = all.filter(_._1 < PqK).collect().sortBy(_._1)
+        .map { case (_, v) => quantize(v) }
+      Array.tabulate(m)(s => seeds.map(q => q.slice(s * sd, (s + 1) * sd)))
+    }
+    for (_ <- 1 to PqIters) {
+      val bcB = spark.sparkContext.broadcast(books)
+      val rows = all.mapPartitions { it =>
+        val bs = bcB.value
+        val sums = Array.fill(m, PqK)(new Array[Long](sd))
+        val cnts = Array.fill(m)(new Array[Long](PqK))
+        it.foreach { case (_, v) =>
+          val q = quantize(v)
+          var s = 0
+          while (s < m) {
+            val c = pqNearest(bs(s), q, s * sd)
+            cnts(s)(c) += 1
+            var d = 0
+            while (d < sd) { sums(s)(c)(d) += q(s * sd + d); d += 1 }
+            s += 1
+          }
+        }
+        (for (s <- (0 until m).iterator; c <- (0 until PqK).iterator
+              if cnts(s)(c) > 0)
+          yield Iterator.single((s, c, -1, cnts(s)(c))) ++
+            (0 until sd).iterator.map(d => (s, c, d, sums(s)(c)(d)))).flatten
+      }.toDF("sub", "cid", "dim", "s")
+        .groupBy($"sub", $"cid", $"dim").agg(sum($"s").as("s"))
+        .as[(Int, Int, Int, Long)].collect()
+      val cnts = Array.fill(m)(new Array[Long](PqK))
+      val sums = Array.fill(m, PqK)(new Array[Long](sd))
+      rows.foreach { case (s, c, d, v) =>
+        if (d == -1) cnts(s)(c) = v else sums(s)(c)(d) = v
+      }
+      books = Array.tabulate(m, PqK) { (s, c) =>
+        if (cnts(s)(c) == 0) books(s)(c) // empty cluster keeps its codeword
+        else sums(s)(c).map(x => Math.floorDiv(x, cnts(s)(c)))
+      }
+    }
+    books
+  }
+
+  /** PQ top-k by asymmetric distance (ADC): every vector is encoded ONCE
+    * to [[PqSubspaces]] codes against the broadcast codebooks; each query
+    * precomputes its [[PqSubspaces]]×[[PqK]] distance table; a candidate's
+    * score is [[PqSubspaces]] table lookups summed — exact integers end to
+    * end, ranked (distance asc, vec_id asc), self excluded. Scale shape:
+    * the model is (M·K·subdims) longs broadcast; the scan touches codes,
+    * not vectors; per-partition bounded heaps → tiny global merge, the
+    * bruteForceTopK shell with lookups replacing the dot products.
+    */
+  def pqTopK(spark: SparkSession, sfDir: String,
+      nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val all = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val books = trainPqCodebooks(spark, all)
+    val queries = all.orderBy(col("vec_id")).limit(nQueries).collect()
+    val dts: Array[(Long, Array[Array[Long]])] = queries.map { case (qid, qv) =>
+      val q = quantize(qv)
+      qid -> Array.tabulate(PqSubspaces, PqK)((s, c) =>
+        pqDist(q, s * PqSubDims, books(s)(c)))
+    }
+    val bcB = spark.sparkContext.broadcast(books)
+    val bcDt = spark.sparkContext.broadcast(dts)
+
+    val partial = all.mapPartitions { it =>
+      val bs = bcB.value
+      val qs = bcDt.value
+      // bounded max-heaps: evict the largest distance (ties: larger id)
+      val heaps = qs.map(_ => new java.util.PriorityQueue[(Long, Long)](
+        k + 1, Ordering.by[(Long, Long), (Long, Long)](t => (-t._1, -t._2))))
+      it.foreach { case (id, vec) =>
+        val q = quantize(vec)
+        val codes = Array.tabulate(PqSubspaces)(s => pqNearest(bs(s), q, s * PqSubDims))
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, dt) = qs(qi)
+          if (qid != id) {
+            var d = 0L
+            var s = 0
+            while (s < PqSubspaces) { d += dt(s)(codes(s)); s += 1 }
+            val h = heaps(qi)
+            h.add((d, id))
+            if (h.size > k) h.poll(): Unit
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        import scala.jdk.CollectionConverters._
+        val qid = qs(qi)._1
+        h.iterator().asScala.map { case (d, id) => (qid, id, d) }
+      }
+    }.toDF("query_id", "neighbor_id", "dist")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    partial
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("dist").as("dist_q"))
+  }
 }

@@ -153,6 +153,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.02, s"recall=$recall")
   }
 
+  test("pq topk: dense ranks, monotone integer distances, recall above random") {
+    val rows = Similarity.pqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"query $qid ranks")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 < b._4 || (a._4 == b._4 && a._3 < b._3), s"query $qid order")
+        case _ =>
+      }
+      assert(sorted.forall(_._4 >= 0L))
+      assert(!sorted.exists(_._3 == qid), s"query $qid contains itself")
+    }
+    val exact = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = rows.map(r => (r._1, r._3)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 64 dims → 4 codes of 4 bits is aggressive compression over
+    // uniform-random vectors; anything clearly above chance passes (the
+    // planted-control pattern pins the high-cosine case elsewhere)
+    assert(recall > 0.05, s"recall=$recall")
+  }
+
   test("ivf topk: dense ranks, bounded size, recall above random") {
     val exact = Similarity.bruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
