@@ -215,6 +215,66 @@ object SparkEntry {
     (head +: steps).mkString(",\n")
   }
 
+  /** The PQ chain in SQL (graft.pipeline.Similarity.trainPqCodebooks +
+    * pqTopK): per-subspace integer Lloyd replayed round by round
+    * (assignment = exact integer squared-L2, tie to lower cid; update =
+    * floored integer means — the +2^22 offset keeps the numerator
+    * non-negative because DuckDB's // truncates where the engine's
+    * floorDiv floors, the dd_dsir_sample trick), then encode + ADC table
+    * lookups. Requires `e(vec_id, q)` (quantized vectors) in scope; ends
+    * at `pqsc(qid, vec_id, dist)`. Shared by ann_pq_topk and ann_recall.
+    */
+  private lazy val pqCtes: String = {
+    import graft.pipeline.Similarity.{PqSubspaces, PqSubDims, PqK, PqIters}
+    val d2 = "CAST(list_sum(list_transform(list_zip(%s, %s)," +
+      " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    def dist(a: String, b: String) = d2.format(a, b)
+    val steps = (1 to PqIters).map { k =>
+      s"""pa$k AS MATERIALIZED (
+         |  SELECT vec_id, sub, sq, cid FROM (
+         |    SELECT es.vec_id, es.sub, es.sq, b.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY es.vec_id, es.sub
+         |        ORDER BY ${dist("es.sq", "b.mv")} ASC, b.cid ASC) AS rn
+         |    FROM es JOIN pb${k - 1} b ON b.sub = es.sub) WHERE rn = 1),
+         |ps$k AS (
+         |  SELECT sub, cid, i AS dim, SUM(sq[i]) AS sm, COUNT(*) AS cnt
+         |  FROM pa$k CROSS JOIN (SELECT unnest(generate_series(1, $PqSubDims)) AS i) t
+         |  GROUP BY 1, 2, 3),
+         |pn$k AS (
+         |  SELECT sub, cid,
+         |    list(CAST(((sm + cnt * 4194304) // cnt) - 4194304 AS BIGINT)
+         |         ORDER BY dim) AS mv
+         |  FROM ps$k GROUP BY 1, 2),
+         |pb$k AS MATERIALIZED (
+         |  SELECT p.sub, p.cid, COALESCE(n.mv, p.mv) AS mv
+         |  FROM pb${k - 1} p LEFT JOIN pn$k n
+         |    ON n.sub = p.sub AND n.cid = p.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""es AS MATERIALIZED (
+       |  SELECT vec_id, s.sub,
+       |    array_slice(q, s.sub * $PqSubDims + 1, (s.sub + 1) * $PqSubDims) AS sq
+       |  FROM e CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS sub) s),
+       |pb0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cid, sq AS mv
+       |        FROM es WHERE vec_id < $PqK),
+       |$steps,
+       |penc AS MATERIALIZED (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT es.vec_id, es.sub, b.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY es.vec_id, es.sub
+       |        ORDER BY ${dist("es.sq", "b.mv")} ASC, b.cid ASC) AS rn
+       |    FROM es JOIN pb$PqIters b ON b.sub = es.sub) WHERE rn = 1),
+       |pq20 AS (SELECT vec_id AS qid, sub, sq FROM es
+       |        WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 20)),
+       |pdt AS MATERIALIZED (
+       |  SELECT q.qid, q.sub, b.cid, ${dist("q.sq", "b.mv")} AS d
+       |  FROM pq20 q JOIN pb$PqIters b ON b.sub = q.sub),
+       |pqsc AS (
+       |  SELECT pdt.qid, penc.vec_id, CAST(SUM(pdt.d) AS BIGINT) AS dist
+       |  FROM penc JOIN pdt ON pdt.sub = penc.sub AND pdt.cid = penc.cid
+       |  WHERE penc.vec_id <> pdt.qid GROUP BY 1, 2)""".stripMargin
+  }
+
   /** The naive-Bayes classifier chain in SQL (graft.pipeline.NbQuality in
     * SQL), nb_-prefixed so it composes with the lm/dsir chains (which use
     * tok, vals, the lg chain and lgt themselves). Requires gcnt ([[gopherCtes]]) in
@@ -1869,18 +1929,26 @@ object SparkEntry {
          |  FROM kqp p JOIN af a ON a.cid = p.cid AND a.vec_id <> p.qid),
          |km AS (SELECT qid, nid FROM (
          |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
-         |  FROM kcand) WHERE rn <= 10)
+         |  FROM kcand) WHERE rn <= 10),
+         |$pqCtes,
+         |pq AS (SELECT qid, nid FROM (
+         |  SELECT qid, vec_id AS nid, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY dist ASC, vec_id ASC) AS rn
+         |  FROM pqsc) WHERE rn <= 10)
          |SELECT b.qid AS query_id,
          |  CAST(COALESCE(lh.n, 0) AS BIGINT) AS lsh_hits,
          |  CAST(COALESCE(ih.n, 0) AS BIGINT) AS ivf_hits,
-         |  CAST(COALESCE(kh.n, 0) AS BIGINT) AS ivf_kmeans_hits
+         |  CAST(COALESCE(kh.n, 0) AS BIGINT) AS ivf_kmeans_hits,
+         |  CAST(COALESCE(ph.n, 0) AS BIGINT) AS pq_hits
          |FROM (SELECT DISTINCT qid FROM bf) b
          |LEFT JOIN (SELECT l.qid, COUNT(*) AS n FROM lsh l
          |  JOIN bf ON bf.qid = l.qid AND bf.nid = l.nid GROUP BY 1) lh ON lh.qid = b.qid
          |LEFT JOIN (SELECT i.qid, COUNT(*) AS n FROM ivf i
          |  JOIN bf ON bf.qid = i.qid AND bf.nid = i.nid GROUP BY 1) ih ON ih.qid = b.qid
          |LEFT JOIN (SELECT k.qid, COUNT(*) AS n FROM km k
-         |  JOIN bf ON bf.qid = k.qid AND bf.nid = k.nid GROUP BY 1) kh ON kh.qid = b.qid""".stripMargin
+         |  JOIN bf ON bf.qid = k.qid AND bf.nid = k.nid GROUP BY 1) kh ON kh.qid = b.qid
+         |LEFT JOIN (SELECT p.qid, COUNT(*) AS n FROM pq p
+         |  JOIN bf ON bf.qid = p.qid AND bf.nid = p.nid GROUP BY 1) ph ON ph.qid = b.qid""".stripMargin
     },
     // the planted-cluster counterpart of ann_recall's lsh_hits: identical
     // LSH kernel, vectors regenerated with planted centroid structure
@@ -2809,65 +2877,18 @@ object SparkEntry {
     // then encode + ADC table lookups — every distance a Long, ranked
     // (dist asc, id)
     "ann_pq_topk" -> {
-      import graft.pipeline.Similarity.{PqSubspaces, PqSubDims, PqK, PqIters}
       val scale = graft.pipeline.Similarity.KmeansScale.toLong
-      val d2 = "CAST(list_sum(list_transform(list_zip(%s, %s)," +
-        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
-      def dist(a: String, b: String) = d2.format(a, b)
-      val steps = (1 to PqIters).map { k =>
-        s"""pa$k AS MATERIALIZED (
-           |  SELECT vec_id, sub, sq, cid FROM (
-           |    SELECT es.vec_id, es.sub, es.sq, b.cid,
-           |      ROW_NUMBER() OVER (PARTITION BY es.vec_id, es.sub
-           |        ORDER BY ${dist("es.sq", "b.mv")} ASC, b.cid ASC) AS rn
-           |    FROM es JOIN pb${k - 1} b ON b.sub = es.sub) WHERE rn = 1),
-           |ps$k AS (
-           |  SELECT sub, cid, i AS dim, SUM(sq[i]) AS sm, COUNT(*) AS cnt
-           |  FROM pa$k CROSS JOIN (SELECT unnest(generate_series(1, $PqSubDims)) AS i) t
-           |  GROUP BY 1, 2, 3),
-           |pn$k AS (
-           |  SELECT sub, cid,
-           |    list(CAST(((sm + cnt * 4194304) // cnt) - 4194304 AS BIGINT)
-           |         ORDER BY dim) AS mv
-           |  FROM ps$k GROUP BY 1, 2),
-           |pb$k AS MATERIALIZED (
-           |  SELECT p.sub, p.cid, COALESCE(n.mv, p.mv) AS mv
-           |  FROM pb${k - 1} p LEFT JOIN pn$k n
-           |    ON n.sub = p.sub AND n.cid = p.cid)""".stripMargin
-      }.mkString(",\n")
       s"""WITH e AS (
          |  SELECT vec_id,
          |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale) AS BIGINT)
          |     for i in generate_series(1, len(embedding))] AS q
          |  FROM embeddings),
-         |es AS MATERIALIZED (
-         |  SELECT vec_id, s.sub,
-         |    array_slice(q, s.sub * $PqSubDims + 1, (s.sub + 1) * $PqSubDims) AS sq
-         |  FROM e CROSS JOIN
-         |    (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS sub) s),
-         |pb0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cid, sq AS mv
-         |        FROM es WHERE vec_id < $PqK),
-         |$steps,
-         |enc AS MATERIALIZED (
-         |  SELECT vec_id, sub, cid FROM (
-         |    SELECT es.vec_id, es.sub, b.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY es.vec_id, es.sub
-         |        ORDER BY ${dist("es.sq", "b.mv")} ASC, b.cid ASC) AS rn
-         |    FROM es JOIN pb$PqIters b ON b.sub = es.sub) WHERE rn = 1),
-         |q20 AS (SELECT vec_id AS qid, sub, sq FROM es
-         |        WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 20)),
-         |dt AS MATERIALIZED (
-         |  SELECT q.qid, q.sub, b.cid, ${dist("q.sq", "b.mv")} AS d
-         |  FROM q20 q JOIN pb$PqIters b ON b.sub = q.sub),
-         |sc AS (
-         |  SELECT dt.qid, enc.vec_id, CAST(SUM(dt.d) AS BIGINT) AS dist
-         |  FROM enc JOIN dt ON dt.sub = enc.sub AND dt.cid = enc.cid
-         |  WHERE enc.vec_id <> dt.qid GROUP BY 1, 2)
+         |$pqCtes
          |SELECT query_id, rank, neighbor_id, dist_q FROM (
          |  SELECT qid AS query_id, vec_id AS neighbor_id, dist AS dist_q,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
          |      ORDER BY dist ASC, vec_id ASC) AS BIGINT) AS rank
-         |  FROM sc)
+         |  FROM pqsc)
          |WHERE rank <= 10""".stripMargin
     },
     // Common-Crawl-index-style per-host rollup over the corpus pages

@@ -429,10 +429,12 @@ object Similarity {
       .join(hits(lshTopK(spark, sfDir), "lsh_hits"), Seq("query_id"), "left")
       .join(hits(ivfTopK(spark, sfDir), "ivf_hits"), Seq("query_id"), "left")
       .join(hits(ivfKmeansTopK(spark, sfDir), "ivf_kmeans_hits"), Seq("query_id"), "left")
+      .join(hits(pqTopK(spark, sfDir), "pq_hits"), Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
         coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"),
-        coalesce(col("ivf_kmeans_hits"), lit(0L)).as("ivf_kmeans_hits"))
+        coalesce(col("ivf_kmeans_hits"), lit(0L)).as("ivf_kmeans_hits"),
+        coalesce(col("pq_hits"), lit(0L)).as("pq_hits"))
   }
 
   // ------------------------------------------ planted-cluster recall audit
