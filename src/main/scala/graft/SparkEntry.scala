@@ -1063,6 +1063,7 @@ object SparkEntry {
     "dd_boilerplate_clean" -> ((s, d) => Dedup.boilerplateClean(s, d)),
     "dd_filter_funnel" -> ((s, d) => Dedup.filterFunnel(s, d)),
     "dd_shard_manifest" -> ((s, d) => Dedup.shardManifest(s, d)),
+    "dd_cms_est" -> ((s, d) => graft.pipeline.CountMin.inlinkCmsAudit(s, d)),
     "dd_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dd_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "search_postings" -> ((s, d) => Search.postings(s, d)),
@@ -1089,6 +1090,11 @@ object SparkEntry {
     "crawl_sink_warc" -> ((s, d) => graft.sinks.Warc.warcRecords(s, d)),
     "crawl_warc_roundtrip" -> ((s, d) => C.warcRoundtrip(s, d)),
     "crawl_warc_bfs" -> ((s, d) => C.warcBfsSeen(s, d)),
+    "crawl_warc_revisit" -> ((s, d) => graft.sinks.Warc.revisitRecords(s, d)),
+    "crawl_revisit_resolve" -> ((s, d) => C.revisitResolve(s, d)),
+    "crawl_churn_stats" -> ((s, d) => C.churnStats(s, d)),
+    "search_index_delta" -> ((s, d) => C.searchIndexDelta(s, d)),
+    "crawl_wet_roundtrip" -> ((s, d) => C.wetRoundtrip(s, d)),
     "crawl_robots_rfc9309" -> ((s, d) => graft.crawl.Robots9309.verdicts(s, d)),
     "crawl_cdx_index" -> ((s, d) => graft.sinks.Warc.cdxIndex(s, d)),
     "crawl_sink_wet" -> ((s, d) => graft.sinks.Warc.wetRecords(s, d)),
@@ -1102,6 +1108,8 @@ object SparkEntry {
     "crawl_sitemap_discovery" -> ((s, d) =>
       graft.sources.Sitemap.discoveredEntries(s, d)),
     "crawl_sitemap_recrawl" -> ((s, d) => C.sitemapRecrawl(s, d)),
+    "crawl_sitemap_priority" -> ((s, d) => graft.sources.Sitemap.entriesMeta(s, d)),
+    "crawl_sitemap_schedule" -> ((s, d) => graft.sources.Sitemap.prioritySchedule(s, d)),
     "graph_host_pagerank" -> ((s, d) => graft.pipeline.HostGraph.hostPageRank(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
     "mm_blob_features" -> ((s, d) => Multimodal.blobFeatures(s, d)),
@@ -1390,6 +1398,51 @@ object SparkEntry {
          |  trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS loc,
          |  regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
          |FROM bl""".stripMargin,
+    // full per-entry sitemap metadata: changefreq token and the priority
+    // hint in integer tenths (protocol default 0.5 -> 5 when absent)
+    "crawl_sitemap_priority" ->
+      s"""WITH sm AS (
+         |  SELECT host, url AS sitemap_url, body FROM ${gt("sitemaps")}
+         |  WHERE NOT contains(body, '<sitemapindex')),
+         |bl AS (
+         |  SELECT host, sitemap_url,
+         |    unnest(regexp_extract_all(body, '<url>.*?</url>')) AS b
+         |  FROM sm)
+         |SELECT host, sitemap_url,
+         |  trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS loc,
+         |  regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod,
+         |  trim(regexp_extract(b, '<changefreq>([^<]*)</changefreq>', 1)) AS changefreq,
+         |  CAST(CASE WHEN regexp_extract(b, '<priority>([^<]*)</priority>', 1)
+         |              SIMILAR TO '[01]\\.[0-9]'
+         |       THEN CAST(substr(trim(regexp_extract(b, '<priority>([^<]*)</priority>', 1)), 1, 1) AS INT) * 10
+         |          + CAST(substr(trim(regexp_extract(b, '<priority>([^<]*)</priority>', 1)), 3, 1) AS INT)
+         |       ELSE 5 END AS BIGINT) AS priority_q10
+         |FROM bl""".stripMargin,
+    // priority-ordered per-host fetch schedule: sibling-sitemap duplicates
+    // merge by max hint, rank (priority desc, loc), top 10 per host
+    "crawl_sitemap_schedule" ->
+      s"""WITH sm AS (
+         |  SELECT host, body FROM ${gt("sitemaps")}
+         |  WHERE NOT contains(body, '<sitemapindex')),
+         |bl AS (
+         |  SELECT host, unnest(regexp_extract_all(body, '<url>.*?</url>')) AS b
+         |  FROM sm),
+         |e AS (
+         |  SELECT host,
+         |    trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS loc,
+         |    CASE WHEN regexp_extract(b, '<priority>([^<]*)</priority>', 1)
+         |           SIMILAR TO '[01]\\.[0-9]'
+         |         THEN CAST(substr(trim(regexp_extract(b, '<priority>([^<]*)</priority>', 1)), 1, 1) AS INT) * 10
+         |            + CAST(substr(trim(regexp_extract(b, '<priority>([^<]*)</priority>', 1)), 3, 1) AS INT)
+         |         ELSE 5 END AS q
+         |  FROM bl),
+         |m AS (SELECT host, loc, MAX(q) AS priority_q10 FROM e GROUP BY 1, 2),
+         |r AS (SELECT host, loc, CAST(priority_q10 AS BIGINT) AS priority_q10,
+         |        ROW_NUMBER() OVER (PARTITION BY host
+         |          ORDER BY priority_q10 DESC, loc) AS rank
+         |      FROM m)
+         |SELECT host, loc, priority_q10, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10""".stripMargin,
     // sitemap-seeded list crawl: titles of the advertised pages that are
     // live and non-empty (ghost entries are fetch misses)
     "crawl_sitemap_list" ->
@@ -2081,6 +2134,35 @@ object SparkEntry {
            |  CAST(COUNT(*) AS BIGINT) AS n_docs,
            |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
            |FROM shd GROUP BY 1""".stripMargin),
+    // count-min sketch audit: d*w counter cells built in one pass over the
+    // link stream; a deterministic ~3% key sample gets exact counts beside
+    // the min-of-d estimates (the sketch guarantee est >= exact and the
+    // collision overestimate both land in the output)
+    "dd_cms_est" -> {
+      import graft.pipeline.CountMin.{CmsRows, CmsW, SampleMod}
+      s"""WITH occ AS (SELECT dst_url FROM ${gt("xlinks")}),
+         |rr AS (SELECT unnest(generate_series(0, ${CmsRows - 1})) AS r),
+         |cms AS (
+         |  SELECT r,
+         |    ('0x' || substr(md5('cms' || r || ':' || dst_url), 1, 14))::BIGINT
+         |      % $CmsW AS b,
+         |    COUNT(*) AS cnt
+         |  FROM occ CROSS JOIN rr GROUP BY 1, 2),
+         |samp AS (
+         |  SELECT dst_url, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+         |  FROM occ
+         |  WHERE ('0x' || substr(md5(dst_url), 1, 14))::BIGINT % $SampleMod = 0
+         |  GROUP BY 1),
+         |pr AS (
+         |  SELECT s.dst_url, s.exact_cnt, rr.r,
+         |    ('0x' || substr(md5('cms' || rr.r || ':' || s.dst_url), 1, 14))::BIGINT
+         |      % $CmsW AS b
+         |  FROM samp s CROSS JOIN rr)
+         |SELECT pr.dst_url AS url, pr.exact_cnt,
+         |  CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+         |FROM pr JOIN cms c ON c.r = pr.r AND c.b = pr.b
+         |GROUP BY 1, 2""".stripMargin
+    },
     // the end-to-end filter funnel: five proven gate chains composed in
     // curation order (gopher -> dup losers -> decontam -> NB classifier ->
     // perplexity tail), one count row per stage — the whole curation
@@ -2978,6 +3060,139 @@ object SparkEntry {
          |  chr(13) || chr(10) || chr(13) || chr(10) AS wet_record
          |FROM $gtMeta m JOIN $gtPages p ON p.url = m.url""".stripMargin
     },
+    // WARC revisit records of the recrawl cycle: the same deterministic
+    // donor-edit change set as crawl_recrawl_delta, every capture refetched
+    // one day later; digest-unchanged pages collapse to payload-less
+    // revisit records (identical-payload-digest profile), changed pages get
+    // full response records — both rebuilt byte-for-byte here
+    "crawl_warc_revisit" -> {
+      val rid = "substr(md5('rev:' || url), %s, %s)"
+      def r(a: Int, b: Int) = rid.format(a, b)
+      s"""WITH mx AS (
+         |  SELECT m.url, m.host_idx, m.page_idx, p.warc_ts, p.html
+         |  FROM ${gt("meta")} m JOIN ${gt("pages")} p ON p.url = m.url),
+         |don AS (
+         |  SELECT c.url, d.html AS dhtml
+         |  FROM mx c JOIN mx d
+         |    ON d.host_idx = c.host_idx AND d.page_idx = c.page_idx - 1
+         |  WHERE c.page_idx % 7 = 3),
+         |v2 AS (
+         |  SELECT mx.url, mx.warc_ts,
+         |    COALESCE(don.dhtml, mx.html) AS html2, mx.html AS html1
+         |  FROM mx LEFT JOIN don ON don.url = mx.url),
+         |t AS (
+         |  SELECT url, warc_ts, html2,
+         |    sha256(decode(html2)) AS dig,
+         |    CASE WHEN sha256(decode(html2)) = sha256(decode(html1))
+         |         THEN 'revisit' ELSE 'response' END AS record_type
+         |  FROM v2)
+         |SELECT url, record_type,
+         |  'WARC/1.0' || chr(13) || chr(10) ||
+         |  'WARC-Type: ' || record_type || chr(13) || chr(10) ||
+         |  'WARC-Record-ID: <urn:uuid:' ||
+         |    ${r(1, 8)} || '-' || ${r(9, 4)} || '-' || ${r(13, 4)} || '-' ||
+         |    ${r(17, 4)} || '-' || ${r(21, 12)} || '>' || chr(13) || chr(10) ||
+         |  'WARC-Date: ' || strftime(warc_ts + INTERVAL 1 DAY, '%Y-%m-%dT%H:%M:%SZ')
+         |    || chr(13) || chr(10) ||
+         |  'WARC-Target-URI: ' || url || chr(13) || chr(10) ||
+         |  CASE WHEN record_type = 'revisit' THEN
+         |    'WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest'
+         |      || chr(13) || chr(10) ||
+         |    'WARC-Refers-To-Target-URI: ' || url || chr(13) || chr(10) ||
+         |    'WARC-Refers-To-Date: ' || strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ')
+         |      || chr(13) || chr(10) ||
+         |    'WARC-Payload-Digest: sha256:' || dig || chr(13) || chr(10) ||
+         |    'Content-Length: 0' || chr(13) || chr(10) ||
+         |    chr(13) || chr(10) || chr(13) || chr(10)
+         |  ELSE
+         |    'Content-Type: text/html' || chr(13) || chr(10) ||
+         |    'WARC-Block-Digest: sha256:' || dig || chr(13) || chr(10) ||
+         |    'Content-Length: ' || CAST(octet_length(html2) AS VARCHAR)
+         |      || chr(13) || chr(10) ||
+         |    chr(13) || chr(10) ||
+         |    decode(html2) ||
+         |    chr(13) || chr(10) || chr(13) || chr(10)
+         |  END AS warc_record
+         |FROM t""".stripMargin
+    },
+    // the revisit loop closed: revisit records re-ingested and resolved
+    // against the prior cycle's captures must reconstruct the true v2
+    // snapshot byte-for-byte (write(revisit) . read . resolve == recrawl)
+    "crawl_revisit_resolve" ->
+      s"""WITH mx AS (
+         |  SELECT m.url, m.host_idx, m.page_idx, p.html
+         |  FROM ${gt("meta")} m JOIN ${gt("pages")} p ON p.url = m.url),
+         |don AS (
+         |  SELECT c.url, d.html AS dhtml
+         |  FROM mx c JOIN mx d
+         |    ON d.host_idx = c.host_idx AND d.page_idx = c.page_idx - 1
+         |  WHERE c.page_idx % 7 = 3),
+         |v2 AS (
+         |  SELECT mx.url,
+         |    COALESCE(don.dhtml, mx.html) AS html2, mx.html AS html1
+         |  FROM mx LEFT JOIN don ON don.url = mx.url)
+         |SELECT url,
+         |  CASE WHEN sha256(decode(html2)) = sha256(decode(html1))
+         |       THEN 'revisit' ELSE 'response' END AS via,
+         |  sha256(decode(html2)) AS html_sha,
+         |  CAST(octet_length(html2) AS BIGINT) AS n_bytes
+         |FROM v2""".stripMargin,
+    // incremental index maintenance == rebuild: the oracle builds postings
+    // from scratch over the v2 ground-truth extraction (donor markdown for
+    // changed urls); the engine must reach the identical index by
+    // retract-and-append on the delta only
+    "search_index_delta" ->
+      s"""WITH mx AS (
+         |  SELECT url, host_idx, page_idx, markdown FROM ${gt("meta")}),
+         |don AS (
+         |  SELECT c.url, d.markdown AS dmd
+         |  FROM mx c JOIN mx d
+         |    ON d.host_idx = c.host_idx AND d.page_idx = c.page_idx - 1
+         |  WHERE c.page_idx % 7 = 3),
+         |v2 AS (
+         |  SELECT mx.url, COALESCE(don.dmd, mx.markdown) AS markdown
+         |  FROM mx LEFT JOIN don ON don.url = mx.url)
+         |SELECT w AS term, url, COUNT(*) AS tf FROM (
+         |  SELECT url,
+         |    unnest(list_filter(regexp_split_to_array(lower(markdown), '\\W+'),
+         |      x -> x <> '')) AS w
+         |  FROM v2)
+         |GROUP BY 1, 2""".stripMargin,
+    // per-host recrawl churn: captures, changed, stable, and the payload
+    // bytes the revisit mechanism avoided rewriting
+    "crawl_churn_stats" ->
+      s"""WITH mx AS (
+         |  SELECT m.url, m.host_idx, m.page_idx, p.html
+         |  FROM ${gt("meta")} m JOIN ${gt("pages")} p ON p.url = m.url),
+         |don AS (
+         |  SELECT c.url, d.html AS dhtml
+         |  FROM mx c JOIN mx d
+         |    ON d.host_idx = c.host_idx AND d.page_idx = c.page_idx - 1
+         |  WHERE c.page_idx % 7 = 3),
+         |v2 AS (
+         |  SELECT mx.url,
+         |    CASE WHEN sha256(decode(COALESCE(don.dhtml, mx.html)))
+         |              = sha256(decode(mx.html))
+         |         THEN 1 ELSE 0 END AS stable,
+         |    octet_length(mx.html) AS v1_bytes
+         |  FROM mx LEFT JOIN don ON don.url = mx.url)
+         |SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         |  CAST(COUNT(*) AS BIGINT) AS n_captures,
+         |  CAST(SUM(1 - stable) AS BIGINT) AS n_changed,
+         |  CAST(SUM(stable) AS BIGINT) AS n_stable,
+         |  CAST(SUM(CASE WHEN stable = 1 THEN v1_bytes ELSE 0 END) AS BIGINT)
+         |    AS bytes_saved
+         |FROM v2 GROUP BY 1""".stripMargin,
+    // WET write→read roundtrip: conversion records parsed back by the
+    // Content-Length-framed reader must return every page's extracted
+    // markdown byte-intact (digest + octet count vs encode-side ground
+    // truth, date vs the capture timestamp)
+    "crawl_wet_roundtrip" ->
+      s"""SELECT m.url,
+         |  strftime(p.warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+         |  sha256(m.markdown) AS text_sha,
+         |  CAST(strlen(m.markdown) AS BIGINT) AS n_bytes
+         |FROM ${gt("meta")} m JOIN ${gt("pages")} p ON p.url = m.url""".stripMargin,
     // CDX/SURT capture index: reversed host labels + ')' + path key,
     // 14-digit timestamp, sha-256 digest
     "crawl_cdx_index" ->

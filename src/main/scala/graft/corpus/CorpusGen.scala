@@ -214,12 +214,21 @@ object CorpusGen {
         robotsTxtBody(spec, h))
     }
 
+  /** The `<changefreq>` vocabulary (sitemaps.org protocol, all seven
+    * tokens).
+    */
+  val Changefreqs: Vector[String] =
+    Vector("always", "hourly", "daily", "weekly", "monthly", "yearly", "never")
+
   /** One `<urlset>` body listing pages `idxs` of host h, one `<url>` block
     * per line. Grammar coverage the parser must handle: whitespace-padded
     * `<loc>` values (every idx%8==0 entry), optional `<lastmod>` (present
-    * when idx%4==0), and a GHOST entry per body — a listed url that is not
-    * a live page, so sitemap-seeded crawls exercise the fetch-miss skip
-    * (host0's ghost appears in BOTH child sitemaps: a list-dedup case).
+    * when idx%4==0), optional `<changefreq>` (idx%6==1, cycling the full
+    * protocol vocabulary) and `<priority>` (idx%5==2, values 0.0–1.0 in
+    * tenths — absent means the protocol default 0.5), and a GHOST entry
+    * per body — a listed url that is not a live page, so sitemap-seeded
+    * crawls exercise the fetch-miss skip (host0's ghost appears in BOTH
+    * child sitemaps: a list-dedup case).
     */
   def sitemapUrlsetBody(h: Int, idxs: Seq[Int]): String = {
     val sb = new StringBuilder
@@ -231,7 +240,15 @@ object CorpusGen {
       val lastmod =
         if (i % 4 == 0) f"<lastmod>2024-${i % 12 + 1}%02d-${i % 28 + 1}%02d</lastmod>"
         else ""
-      sb.append(s"  <url><loc>$loc</loc>$lastmod</url>\n")
+      val changefreq =
+        if (i % 6 == 1) s"<changefreq>${Changefreqs((i * 5) % 7)}</changefreq>"
+        else ""
+      val priority =
+        if (i % 5 == 2) {
+          val d = (i * 7) % 11
+          s"<priority>${if (d == 10) "1.0" else s"0.$d"}</priority>"
+        } else ""
+      sb.append(s"  <url><loc>$loc</loc>$lastmod$changefreq$priority</url>\n")
     }
     sb.append(s"  <url><loc>http://${hostName(h)}/ghost-$h</loc></url>\n")
     sb.append("</urlset>\n")
@@ -837,7 +854,7 @@ object CorpusGen {
   /** Bumped whenever the emitted schema/content changes so stale on-disk
     * corpora regenerate instead of silently serving the old shape.
     */
-  val FormatVersion = 17
+  val FormatVersion = 18
 
   def ensure(spark: SparkSession, dir: String, spec: CorpusSpec): Unit = {
     val marker = new java.io.File(s"$dir/_CORPUS_READY")

@@ -73,6 +73,16 @@ object Search {
       .groupBy(col("w").as("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
 
+  /** [[postings]] over an arbitrary (id, text) relation — same tokenizer,
+    * same single map-side-combined shuffle; used by the crawl-side index
+    * builds (extraction postings, the incremental cycle-2 maintenance).
+    */
+  def postingsOf(src: DataFrame, idCol: String, textCol: String): DataFrame =
+    src.select(col(idCol), explode(split(lower(col(textCol)), "\\W+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w").as("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+
   /** Multi-term top-k search: score(q, d) = Σ_{t ∈ q} tf(t, d) · w(t),
     * w(t) = WeightScale div df(t); top 10 per query by (score desc,
     * doc_id). Zero-hit queries return no rows.

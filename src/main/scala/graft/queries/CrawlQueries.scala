@@ -202,6 +202,114 @@ object CrawlQueries {
       sha2(col("html"), 256).as("html_sha"),
       octet_length(col("html")).cast("long").as("n_bytes"))
 
+  private val wetDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Extracted text reconstructed THROUGH the WET format: the engine's own
+    * conversion records ([[graft.sinks.Warc.wetRecords]] — payload = the
+    * full readability→markdown kernel's output) written to scratch `.warc`
+    * files executor-side and parsed back by the same Content-Length-framed
+    * reader that ingests response captures. Closing this loop matters
+    * because WET is how text corpora actually move between pipelines
+    * (Common Crawl's text distribution IS wet files): a consumer must be
+    * able to re-ingest exactly what this engine publishes.
+    */
+  def wetRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = wetDirCache.computeIfAbsent(sfDir, { _ =>
+      val label = sfDir.replaceAll("/+$", "").split('/').last
+      val out = scratchDir(spark, "wet", label)
+      deleteRecursively(new java.io.File(out))
+      graft.sources.WarcReader.writeWarc(
+        graft.sinks.Warc.wetRecords(spark, sfDir).select("wet_record"), out)
+      out
+    })
+    graft.sources.WarcReader.readRecords(spark, dir)
+      .filter(col("warc_type") === "conversion")
+      .select(
+        col("url"),
+        col("warc_date"),
+        sha2(col("html"), 256).as("text_sha"),
+        octet_length(col("html")).cast("long").as("n_bytes"))
+  }
+
+  private val revisitDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The recrawl cycle's WARC output re-ingested and RESOLVED: revisit
+    * records carry no payload, so an archive reader materialises the new
+    * snapshot by splicing each revisit's payload from the capture it
+    * refers to (here the v1 response warc — same target URI under the
+    * identical-payload-digest profile) while response records carry their
+    * own bytes. The reconstructed table must byte-match the true v2
+    * snapshot — write(revisit) ∘ read ∘ resolve ≡ recrawl, the property
+    * that makes payload-less revisit storage safe at all.
+    *
+    * Scale shape: one url-keyed join of the (tiny) revisit set against the
+    * prior cycle's captures; response payloads stream through untouched.
+    */
+  def revisitResolve(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = revisitDirCache.computeIfAbsent(sfDir, { _ =>
+      val label = sfDir.replaceAll("/+$", "").split('/').last
+      val out = scratchDir(spark, "revisit", label)
+      deleteRecursively(new java.io.File(out))
+      graft.sources.WarcReader.writeWarc(
+        graft.sinks.Warc.revisitRecords(spark, sfDir).select("warc_record"), out)
+      out
+    })
+    val recs = graft.sources.WarcReader.readRecords(spark, dir)
+    val own = recs.filter(col("warc_type") === "response")
+      .select(col("url"), col("html"), lit("response").as("via"))
+    val spliced = recs.filter(col("warc_type") === "revisit")
+      .select(col("url"))
+      .join(warcPages(spark, sfDir).select(col("url"), col("html")), Seq("url"))
+      .select(col("url"), col("html"), lit("revisit").as("via"))
+    own.unionByName(spliced).select(
+      col("url"), col("via"),
+      sha2(col("html"), 256).as("html_sha"),
+      octet_length(col("html")).cast("long").as("n_bytes"))
+  }
+
+  /** Incremental inverted-index maintenance across the recrawl cycle: the
+    * index over cycle 2 is NOT rebuilt — the changed urls' postings are
+    * retracted (one url-keyed anti-join against the tiny change set) and
+    * the re-extracted delta's postings appended. The result must EQUAL a
+    * from-scratch build over the full v2 extraction — the invariant that
+    * lets a standing pipeline keep a corpus-scale index fresh for the cost
+    * of the delta (at a typical cycle that is 2–3 orders of magnitude less
+    * tokenisation + shuffle than a rebuild).
+    */
+  def searchIndexDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val p1 = graft.pipeline.Search.postingsOf(
+      extractMarkdown(spark, sfDir), "url", "markdown")
+    val changed = recrawlChanged(spark, sfDir)
+    val deltaMd = changed.as[(String, Array[Byte])]
+      .map { case (u, hb) =>
+        val html = new String(hb, java.nio.charset.StandardCharsets.UTF_8)
+        Processor.processHTML(u, html, "").fold(_ => (u, ""), pd => (u, pd.markdown))
+      }
+      .toDF("url", "markdown")
+    p1.join(changed.select(col("url")), Seq("url"), "left_anti")
+      .unionByName(graft.pipeline.Search.postingsOf(deltaMd, "url", "markdown"))
+  }
+
+  /** Per-host churn report of the recrawl cycle — captures, changed
+    * (full response rewritten), stable (payload-less revisit), and the
+    * byte volume the revisit mechanism actually avoided writing. The
+    * observability row a standing crawl watches cycle over cycle.
+    */
+  def churnStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sinks.Warc.revisitRecords(spark, sfDir)
+      .join(CorpusGen.pages(spark, CorpusGen.ensureFor(spark, sfDir))
+        .select(col("url"), octet_length(col("html")).cast("long").as("v1_bytes")),
+        Seq("url"))
+      .groupBy(regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"))
+      .agg(
+        count(lit(1)).as("n_captures"),
+        sum(when(col("record_type") === "response", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("record_type") === "revisit", 1L).otherwise(0L)).as("n_stable"),
+        sum(when(col("record_type") === "revisit", col("v1_bytes")).otherwise(0L))
+          .as("bytes_saved"))
+
   /** BFS crawl whose INPUT is the warc files, not the parquet corpus: the
     * reader's (url, html) feeds the wave scheduler directly, and the seen
     * set must equal the parquet-fed crawl's — the full ingest→crawl path
@@ -367,6 +475,25 @@ object CrawlQueries {
   def recrawlDelta(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = CorpusGen.ensureFor(spark, sfDir)
     val pages = CorpusGen.pages(spark, dir)
+    val v2 = pages.join(recrawlChanged(spark, sfDir), Seq("url"), "left")
+      .select(col("url"),
+        when(col("donor_html").isNotNull, col("warc_ts") + expr("INTERVAL 1 DAY"))
+          .otherwise(col("warc_ts")).as("warc_ts"),
+        coalesce(col("donor_html"), col("html")).as("html"))
+    graft.crawl.Recrawl.refresh(spark, pages, v2, extractMarkdown(spark, sfDir))
+  }
+
+  /** The recrawl cycle's deterministic change set: every page at
+    * page_idx % 7 == 3 takes the PREVIOUS page's html as its "edited"
+    * content (the donor is base-page-independent within a host — hrefs are
+    * root-relative or absolute). Returns (url, donor_html); pages absent
+    * here are content-unchanged in cycle 2. Shared by the ts-delta recrawl
+    * ([[recrawlDelta]]) and the digest-keyed WARC revisit sink
+    * ([[graft.sinks.Warc.revisitRecords]]).
+    */
+  def recrawlChanged(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    val pages = CorpusGen.pages(spark, dir)
     def intOrElse(c: org.apache.spark.sql.Column, dflt: Int) =
       coalesce(when(c =!= "", c).otherwise(lit(null)).cast("int"), lit(dflt))
     val keyed = pages
@@ -377,15 +504,9 @@ object CrawlQueries {
     val donors = keyed
       .select(col("host_idx").as("d_host"), (col("page_idx") + 1).as("d_for"),
         col("html").as("donor_html"))
-    val changed = keyed.where(pmod(col("page_idx"), lit(7)) === 3)
+    keyed.where(pmod(col("page_idx"), lit(7)) === 3)
       .join(donors, col("host_idx") === col("d_host") && col("page_idx") === col("d_for"))
       .select(col("url"), col("donor_html"))
-    val v2 = pages.join(changed, Seq("url"), "left")
-      .select(col("url"),
-        when(col("donor_html").isNotNull, col("warc_ts") + expr("INTERVAL 1 DAY"))
-          .otherwise(col("warc_ts")).as("warc_ts"),
-        coalesce(col("donor_html"), col("html")).as("html"))
-    graft.crawl.Recrawl.refresh(spark, pages, v2, extractMarkdown(spark, sfDir))
   }
 
   /** Saved pages of the full crawl with their extracted titles (H4 title

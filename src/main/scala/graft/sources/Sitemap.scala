@@ -44,10 +44,26 @@ object Sitemap {
     * block's trimmed `<loc>` plus its `<lastmod>` when present.
     */
   def parseUrlset(body: String): Vector[(String, String)] =
+    parseUrlsetFull(body).map { case (loc, lm, _, _) => (loc, lm) }
+
+  /** Full per-entry metadata of one `<urlset>` body: (loc, lastmod,
+    * changefreq, priority_q10). `priority_q10` is the `<priority>` hint in
+    * integer TENTHS (0–10) with the protocol's documented default 0.5 → 5
+    * when absent or malformed — integer so every downstream ranking is
+    * exact and oracle-replayable; `changefreq` is the raw token or "".
+    */
+  def parseUrlsetFull(body: String): Vector[(String, String, String, Long)] =
     tagValues(body, "url").map { block =>
       val loc = tagValues(block, "loc").headOption.getOrElse("").trim
       val lastmod = tagValues(block, "lastmod").headOption.getOrElse("")
-      (loc, lastmod)
+      val changefreq = tagValues(block, "changefreq").headOption.getOrElse("").trim
+      val priority = tagValues(block, "priority").headOption.getOrElse("").trim
+      val q10 = priority match {
+        case s if s.length == 3 && (s(0) == '0' || s(0) == '1') && s(1) == '.' &&
+          s(2).isDigit => s(0).asDigit * 10L + s(2).asDigit
+        case _ => 5L
+      }
+      (loc, lastmod, changefreq, q10)
     }.filter(_._1.nonEmpty)
 
   /** Child sitemap locations of one `<sitemapindex>` body. */
@@ -71,6 +87,43 @@ object Sitemap {
     sm.filter(t => !isIndex(t._3)).flatMap { case (host, url, body) =>
       parseUrlset(body).map { case (loc, lm) => (host, url, loc, lm) }
     }.toDF("host", "sitemap_url", "loc", "lastmod")
+  }
+
+  /** [[entries]] with the full per-entry metadata — the hints a scheduler
+    * consumes: (host, sitemap_url, loc, lastmod, changefreq, priority_q10).
+    */
+  def entriesMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    val sm = spark.read.parquet(s"$dir/sitemaps.parquet")
+      .select(col("host"), col("url"), col("body"))
+      .as[(String, String, String)]
+    sm.filter(t => !isIndex(t._3)).flatMap { case (host, url, body) =>
+      parseUrlsetFull(body).map { case (loc, lm, cf, q) => (host, url, loc, lm, cf, q) }
+    }.toDF("host", "sitemap_url", "loc", "lastmod", "changefreq", "priority_q10")
+  }
+
+  /** Priority-ordered fetch schedule from the advertised hints (sitemaps.org
+    * `<priority>`: "the likelihood a crawler should prefer this url relative
+    * to OTHERS ON THE SAME SITE"): duplicates across sibling sitemaps merge
+    * by MAX hint, then each host ranks (priority desc, loc) and keeps its
+    * top `perHost` — the which-urls-first decision a polite crawler with a
+    * per-site budget makes before its first fetch.
+    *
+    * Scale shape: one (host, loc) aggregation plus a per-host top-k window
+    * — host-keyed, and the top-k cuts before anything downstream widens.
+    */
+  def prioritySchedule(spark: SparkSession, sfDir: String,
+      perHost: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("priority_q10").desc, col("loc"))
+    entriesMeta(spark, sfDir)
+      .groupBy(col("host"), col("loc"))
+      .agg(max(col("priority_q10")).as("priority_q10"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perHost)
   }
 
   /** The distinct advertised page urls as a (url_raw, line_no) list source

@@ -1109,4 +1109,20 @@ class PipelineSpec extends AnyFunSuite {
     // the hash spreads: more than half the shards are non-empty at this sf
     assert(rows.count(_._2 > 0) > Dedup.NumShards / 2)
   }
+
+  test("count-min sketch: never underestimates, overestimate within the eps*N bound") {
+    val rows = CountMin.inlinkCmsAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, exact, est) => est >= exact },
+      "CMS must never underestimate")
+    // CM guarantee: P[est > exact + (e/w)*N] <= e^-d per key — with the
+    // fixed md5 hashes this either passes forever or the bound is
+    // genuinely broken
+    val dir = graft.corpus.CorpusGen.ensureFor(spark, sf)
+    val n = spark.read.parquet(s"$dir/xlinks.parquet").count()
+    val bound = (math.E / CountMin.CmsW * n).toLong + 1
+    assert(rows.forall { case (_, exact, est) => est - exact <= bound },
+      s"overestimate past eps*N=$bound")
+  }
 }

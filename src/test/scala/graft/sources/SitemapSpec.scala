@@ -18,6 +18,29 @@ class SitemapSpec extends AnyFunSuite {
     assert(entries.forall { case (loc, _) => loc == loc.trim })
   }
 
+  test("urlset full parse: priority tenths with 0.5 default, changefreq tokens") {
+    val body = CorpusGen.sitemapUrlsetBody(1, Seq(2, 7, 12, 13))
+    val full = Sitemap.parseUrlsetFull(body)
+    val byLoc = full.map(e => e._1 -> e).toMap
+    // idx 2: i%5==2 -> priority (2*7)%11=3 -> 0.3 -> q10 3
+    assert(byLoc(CorpusGen.pageUrl(1, 2))._4 == 3L)
+    // idx 7: i%5!=2 -> default 0.5 -> 5; i%6==1 -> changefreq (7*5)%7=0 "always"
+    assert(byLoc(CorpusGen.pageUrl(1, 7))._4 == 5L)
+    assert(byLoc(CorpusGen.pageUrl(1, 7))._3 == "always")
+    // idx 12: priority (12*7)%11=7 -> 0.7; no changefreq
+    assert(byLoc(CorpusGen.pageUrl(1, 12))._4 == 7L)
+    assert(byLoc(CorpusGen.pageUrl(1, 12))._3 == "")
+    // idx 13: i%6==1 -> changefreq (13*5)%7=2 "daily"
+    assert(byLoc(CorpusGen.pageUrl(1, 13))._3 == "daily")
+    // ghost entry: both hints default
+    assert(byLoc("http://host1.test/ghost-1")._3 == "")
+    assert(byLoc("http://host1.test/ghost-1")._4 == 5L)
+    // malformed priority values fall back to the default
+    assert(Sitemap.parseUrlsetFull(
+      "<urlset><url><loc>http://x/</loc><priority>high</priority></url></urlset>")
+      .head._4 == 5L)
+  }
+
   test("host0 index: children resolve to sitemap rows covering all even pages") {
     val rows = CorpusGen.sitemapRows(spec)
     val byUrl = rows.map(r => r.url -> r.body).toMap

@@ -69,6 +69,25 @@ class WarcReaderSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-length revisit records frame correctly between full records") {
+    // the shape Warc.revisitRecords emits for unchanged captures:
+    // Content-Length: 0, refers-to fields, no payload octets
+    val revisit =
+      "WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Record-ID: <urn:uuid:r>\r\n" +
+        "WARC-Date: 2024-01-02T00:00:00Z\r\nWARC-Target-URI: http://h/same\r\n" +
+        "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n" +
+        "WARC-Refers-To-Target-URI: http://h/same\r\n" +
+        "WARC-Refers-To-Date: 2024-01-01T00:00:00Z\r\n" +
+        "WARC-Payload-Digest: sha256:abc\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    val s = rec("response", "http://h/a", "before") + revisit +
+      rec("response", "http://h/b", "after")
+    val rs = WarcReader.records(new ByteArrayInputStream(s.getBytes(UTF_8))).toVector
+    assert(rs.map(r => (r.warcType, r.url, r.payload.length)) == Vector(
+      ("response", "http://h/a", 6),
+      ("revisit", "http://h/same", 0),
+      ("response", "http://h/b", 5)))
+  }
+
   test("distributed write→read round-trip preserves every record") {
     val spark = SparkTestBase.spark
     import spark.implicits._
