@@ -152,6 +152,7 @@ object Main {
       .appName("graft-crawl")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     try run(args, spark)
     finally spark.stop()

@@ -273,25 +273,28 @@ object Dedup {
     out
   }
 
-  def simhashes(spark: SparkSession, sfDir: String): DataFrame = {
-    val f = udf(simhash64 _)
-    docs(spark, sfDir).select(col("doc_id"), f(col("text")).as("simhash"))
-  }
+  def simhashes(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"),
+      graft.functions.SimhashExpr.simhash(col("text")).as("simhash"))
 
   /** Pairs within Hamming distance ≤ 3 of each other's SimHash, found by the
     * pigeonhole block index: any such pair agrees exactly on ≥1 of the 4
     * 16-bit blocks, so exact-match each block then verify popcount.
+    * Fingerprint + block expansion are all column expressions (the native
+    * [[graft.functions.SimhashExpr]] plus shifts/masks), so the whole
+    * blocked stream runs inside one codegen stage — no Encoder boundary.
     */
-  private[pipeline] def shBlocked(spark: SparkSession, sfDir: String): DataFrame = {
-    val spark2 = spark
-    import spark2.implicits._
+  private[pipeline] def shBlocked(spark: SparkSession, sfDir: String): DataFrame =
     docsWithDups(spark, sfDir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, t) => (id, simhash64(t)) }
-      .flatMap { case (id, h) =>
-        (0 until 4).map(b => (id, h, b, (h >>> (16 * b)) & 0xffffL))
-      }.toDF("doc_id", "simhash", "block", "block_val")
-  }
+      .select(col("doc_id"),
+        graft.functions.SimhashExpr.simhash(col("text")).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(
+          lit(b).as("block"),
+          shiftrightunsigned(col("simhash"), 16 * b)
+            .bitwiseAND(lit(0xffffL)).as("block_val"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.block").as("block"), col("bb.block_val").as("block_val"))
 
   def simhashPairs(spark: SparkSession, sfDir: String, maxDist: Int = 3): DataFrame = {
     val spark2 = spark
