@@ -1034,6 +1034,7 @@ object SparkEntry {
     "dd_dup_keep" -> ((s, d) => Dedup.dedupedDocs(s, d)),
     "dd_train_manifest" -> ((s, d) => Dedup.trainManifest(s, d)),
     "dd_data_mix" -> ((s, d) => Dedup.dataMix(s, d)),
+    "dd_mix_budget" -> ((s, d) => Dedup.mixBudget(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dd_repeated_ngrams" -> ((s, d) => Dedup.repeatedNgrams(s, d)),
     "dd_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
@@ -1110,6 +1111,8 @@ object SparkEntry {
     "crawl_sitemap_recrawl" -> ((s, d) => C.sitemapRecrawl(s, d)),
     "crawl_sitemap_priority" -> ((s, d) => graft.sources.Sitemap.entriesMeta(s, d)),
     "crawl_sitemap_schedule" -> ((s, d) => graft.sources.Sitemap.prioritySchedule(s, d)),
+    "crawl_sitemap_due" -> ((s, d) => C.sitemapDue(s, d)),
+    "crawl_refresh_budget" -> ((s, d) => C.refreshBudget(s, d)),
     "graph_host_pagerank" -> ((s, d) => graft.pipeline.HostGraph.hostPageRank(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
     "mm_blob_features" -> ((s, d) => Multimodal.blobFeatures(s, d)),
@@ -1443,6 +1446,65 @@ object SparkEntry {
          |      FROM m)
          |SELECT host, loc, priority_q10, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 10""".stripMargin,
+    // hint-aware due set: lastmod + changefreq interval lapsed at the cycle
+    // date (always/hourly 0, daily 1, weekly+default 7, monthly 30, yearly
+    // 365, never: never due)
+    "crawl_sitemap_due" ->
+      s"""WITH sm AS (
+         |  SELECT host, body FROM ${gt("sitemaps")}
+         |  WHERE NOT contains(body, '<sitemapindex')),
+         |bl AS (
+         |  SELECT host, unnest(regexp_extract_all(body, '<url>.*?</url>')) AS b
+         |  FROM sm),
+         |e AS (
+         |  SELECT host,
+         |    trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS loc,
+         |    regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod,
+         |    trim(regexp_extract(b, '<changefreq>([^<]*)</changefreq>', 1)) AS changefreq
+         |  FROM bl)
+         |SELECT DISTINCT host, loc, lastmod, changefreq,
+         |  CAST(CASE WHEN changefreq = 'never' THEN 0
+         |       WHEN CAST(lastmod AS DATE) +
+         |            (CASE changefreq WHEN 'always' THEN 0 WHEN 'hourly' THEN 0
+         |                  WHEN 'daily' THEN 1 WHEN 'monthly' THEN 30
+         |                  WHEN 'yearly' THEN 365 ELSE 7 END)
+         |            <= DATE '${graft.queries.CrawlQueries.SitemapRecrawlCutoff}'
+         |       THEN 1 ELSE 0 END AS BIGINT) AS due
+         |FROM e WHERE lastmod <> ''""".stripMargin,
+    // largest-remainder apportionment of the next-cycle refresh budget over
+    // per-host change rates: base = floor(K*w/W), leftover slots by
+    // remainder rank, sum(alloc) == K exactly
+    "crawl_refresh_budget" ->
+      s"""WITH mx AS (
+         |  SELECT m.url, m.host_idx, m.page_idx, p.html
+         |  FROM ${gt("meta")} m JOIN ${gt("pages")} p ON p.url = m.url),
+         |don AS (
+         |  SELECT c.url, d.html AS dhtml
+         |  FROM mx c JOIN mx d
+         |    ON d.host_idx = c.host_idx AND d.page_idx = c.page_idx - 1
+         |  WHERE c.page_idx % 7 = 3),
+         |v2 AS (
+         |  SELECT mx.url,
+         |    CASE WHEN sha256(decode(COALESCE(don.dhtml, mx.html)))
+         |              = sha256(decode(mx.html))
+         |         THEN 1 ELSE 0 END AS stable
+         |  FROM mx LEFT JOIN don ON don.url = mx.url),
+         |ch AS (
+         |  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         |    CAST(SUM(1 - stable) AS BIGINT) AS n_changed
+         |  FROM v2 GROUP BY 1),
+         |w AS (SELECT host, n_changed, n_changed + 1 AS weight FROM ch),
+         |t AS (SELECT SUM(weight) AS w_total FROM w),
+         |q AS (SELECT host, n_changed, weight,
+         |        (${graft.queries.CrawlQueries.RefreshBudget} * weight) // w_total AS base,
+         |        (${graft.queries.CrawlQueries.RefreshBudget} * weight) % w_total AS rem
+         |      FROM w CROSS JOIN t),
+         |l AS (SELECT ${graft.queries.CrawlQueries.RefreshBudget} - SUM(base) AS leftover FROM q),
+         |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rk FROM q)
+         |SELECT host, n_changed, CAST(weight AS BIGINT) AS weight,
+         |  CAST(base + CASE WHEN rk <= (SELECT leftover FROM l) THEN 1 ELSE 0 END
+         |       AS BIGINT) AS alloc
+         |FROM r""".stripMargin,
     // sitemap-seeded list crawl: titles of the advertised pages that are
     // live and non-empty (ghost entries are fetch misses)
     "crawl_sitemap_list" ->
@@ -2517,6 +2579,45 @@ object SparkEntry {
            |SELECT lang, bucket, COUNT(*) AS n_docs,
            |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
            |FROM mani GROUP BY 1, 2""".stripMargin),
+    // temperature-flattened mix budgeting: stratum weight floor(sqrt(
+    // total_tokens)) (alpha=0.5), the token budget apportioned by largest
+    // remainder — sum(alloc_tokens) == K exactly
+    "dd_mix_budget" ->
+      (dupClusterCtes + ",\n" +
+        s"""$gopherCtes,
+           |$lmScoreCtes,
+           |$lmBucketCtes,
+           |mani AS (
+           |  SELECT c.doc_id, d.lang,
+           |    CASE WHEN trim(d.text) = '' THEN CAST(0 AS BIGINT)
+           |         ELSE CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+           |    END AS n_tokens,
+           |    COALESCE(
+           |      CASE WHEN r.lang_rank * 3 <= r.n_lang THEN 'head'
+           |           WHEN r.lang_rank * 3 <= r.n_lang * 2 THEN 'middle'
+           |           WHEN r.lang_rank IS NOT NULL THEN 'tail' END,
+           |      'tail') AS bucket
+           |  FROM gcnt c JOIN documents d ON d.doc_id = c.doc_id
+           |  LEFT JOIN rk r ON r.doc_id = c.doc_id
+           |  WHERE ($gopherPassCond)
+           |    AND c.doc_id NOT IN (
+           |      SELECT doc_id FROM l${Dedup.ClusterIters} WHERE doc_id <> lbl)),
+           |mixw AS (
+           |  SELECT lang, bucket, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           |    CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS BIGINT))) AS BIGINT) AS weight
+           |  FROM mani GROUP BY 1, 2),
+           |mixt AS (SELECT SUM(weight) AS w_total FROM mixw),
+           |mixq AS (SELECT lang, bucket, total_tokens, weight,
+           |           (${Dedup.MixBudgetTokens} * weight) // w_total AS base,
+           |           (${Dedup.MixBudgetTokens} * weight) % w_total AS rem
+           |         FROM mixw CROSS JOIN mixt),
+           |mixl AS (SELECT ${Dedup.MixBudgetTokens} - SUM(base) AS leftover FROM mixq),
+           |mixr AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang, bucket) AS rk
+           |         FROM mixq)
+           |SELECT lang, bucket, total_tokens, weight,
+           |  CAST(base + CASE WHEN rk <= (SELECT leftover FROM mixl) THEN 1 ELSE 0 END
+           |       AS BIGINT) AS alloc_tokens
+           |FROM mixr""".stripMargin),
     // C4 cleaning heuristics (Raffel et al. 2020 §2.2) over the
     // deterministic five-variant injected view (TextAnalysis.c4Docs) —
     // line filter, sentence-count gate, lorem-ipsum / brace page drops

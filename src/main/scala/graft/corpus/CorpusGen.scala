@@ -223,8 +223,11 @@ object CorpusGen {
   /** One `<urlset>` body listing pages `idxs` of host h, one `<url>` block
     * per line. Grammar coverage the parser must handle: whitespace-padded
     * `<loc>` values (every idx%8==0 entry), optional `<lastmod>` (present
-    * when idx%4==0), optional `<changefreq>` (idx%6==1, cycling the full
-    * protocol vocabulary) and `<priority>` (idx%5==2, values 0.0–1.0 in
+    * when idx%4==0), optional `<changefreq>` (idx%6==2 — an EVEN-reachable
+    * residue, since sitemaps list even indices only; cycles the full
+    * protocol vocabulary, and idx≡8 (mod 12) entries carry changefreq AND
+    * lastmod together so interval-due logic engages, including
+    * never+lastmod at idx≡32 (mod 84)) and `<priority>` (idx%5==2, values 0.0–1.0 in
     * tenths — absent means the protocol default 0.5), and a GHOST entry
     * per body — a listed url that is not a live page, so sitemap-seeded
     * crawls exercise the fetch-miss skip (host0's ghost appears in BOTH
@@ -237,11 +240,14 @@ object CorpusGen {
     idxs.foreach { i =>
       val loc0 = pageUrl(h, i)
       val loc = if (i % 8 == 0) s"  $loc0  " else loc0
+      // month keyed to i/4 (not i%12) so it stays DECOUPLED from the
+      // %12-derived hint residues: changefreq+lastmod entries span the
+      // whole year and the interval-due outcomes genuinely vary per token
       val lastmod =
-        if (i % 4 == 0) f"<lastmod>2024-${i % 12 + 1}%02d-${i % 28 + 1}%02d</lastmod>"
+        if (i % 4 == 0) f"<lastmod>2024-${i / 4 % 12 + 1}%02d-${i % 28 + 1}%02d</lastmod>"
         else ""
       val changefreq =
-        if (i % 6 == 1) s"<changefreq>${Changefreqs((i * 5) % 7)}</changefreq>"
+        if (i % 6 == 2) s"<changefreq>${Changefreqs((i * 5) % 7)}</changefreq>"
         else ""
       val priority =
         if (i % 5 == 2) {
@@ -854,7 +860,7 @@ object CorpusGen {
   /** Bumped whenever the emitted schema/content changes so stale on-disk
     * corpora regenerate instead of silently serving the old shape.
     */
-  val FormatVersion = 18
+  val FormatVersion = 19
 
   def ensure(spark: SparkSession, dir: String, spec: CorpusSpec): Unit = {
     val marker = new java.io.File(s"$dir/_CORPUS_READY")

@@ -557,6 +557,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
   }
 
+  /** Token budget for the final mix, apportioned across the (lang, bucket)
+    * strata of [[dataMix]].
+    */
+  val MixBudgetTokens = 1000000L
+
+  /** Temperature-flattened mix budgeting: stratum weight =
+    * ⌊√total_tokens⌋ (α = 0.5 sampling temperature — the standard
+    * multilingual-mix move that flattens head strata so tail languages and
+    * perplexity buckets keep representation; proportional-to-size would
+    * just reproduce the raw skew), then [[MixBudgetTokens]] is apportioned
+    * exactly by largest remainder ([[Apportion]]): Σalloc ≡ K, so the
+    * sampled-corpus size is a contract, not an expectation. IEEE-754
+    * requires sqrt be correctly rounded, so ⌊√x⌋ over doubles is
+    * bit-identical between the engines for any x < 2^52.
+    *
+    * Scale shape: strata are (lang × 3 buckets) — dozens of rows; the
+    * global rank window in the apportionment is stratum-bounded.
+    */
+  def mixBudget(spark: SparkSession, sfDir: String): DataFrame =
+    Apportion.largestRemainder(
+      dataMix(spark, sfDir)
+        .select(col("lang"), col("bucket"), col("total_tokens"),
+          expr("CAST(FLOOR(SQRT(total_tokens)) AS BIGINT)").as("weight")),
+      MixBudgetTokens, Seq("lang", "bucket"))
+      .select(col("lang"), col("bucket"), col("total_tokens"),
+        col("weight"), col("alloc").as("alloc_tokens"))
+
   /** Benchmark decontamination: which documents share a [[GramW]]-token
     * window with the benchmark set — the check every training corpus runs
     * against its eval suites before release. The benchmark here is the

@@ -310,6 +310,48 @@ object CrawlQueries {
         sum(when(col("record_type") === "revisit", col("v1_bytes")).otherwise(0L))
           .as("bytes_saved"))
 
+  /** Next-cycle refresh budget K, apportioned across hosts by observed
+    * change rate with the largest-remainder (Hamilton) method — exact
+    * integer apportionment, the same math as seat allocation: weight
+    * w_h = n_changed + 1 (the +1 keeps never-yet-changed hosts probed),
+    * base_h = ⌊K·w_h / W⌋, and the K − Σbase leftover slots go to the
+    * largest remainders (ties by host). Σ alloc ≡ K exactly — a crawl
+    * scheduler's budget must conserve, floats can't promise that.
+    *
+    * Scale shape: host-keyed aggregation + one broadcastable 1-row total +
+    * a rank window over hosts (host-count-bounded, orders below pages).
+    */
+  def refreshBudget(spark: SparkSession, sfDir: String,
+      budget: Long = RefreshBudget): DataFrame =
+    graft.pipeline.Apportion.largestRemainder(
+      churnStats(spark, sfDir)
+        .select(col("host"), col("n_changed"), (col("n_changed") + 1L).as("weight")),
+      budget, Seq("host"))
+      .select(col("host"), col("n_changed"), col("weight"), col("alloc"))
+
+  /** Hint-aware sitemap due set: an advertised entry is due for refetch at
+    * the cycle date when its `<lastmod>` plus the `<changefreq>` interval
+    * has lapsed (always/hourly → every cycle, daily 1, weekly 7, monthly
+    * 30, yearly 365, never → never; entries with no hint default weekly —
+    * the X55 lastmod-only recrawl, upgraded with the v18 hints). Entries
+    * without lastmod are never "due" here (nothing to age).
+    */
+  def sitemapDue(spark: SparkSession, sfDir: String,
+      cycleDate: String = SitemapRecrawlCutoff): DataFrame = {
+    val days = when(col("changefreq").isin("always", "hourly"), 0)
+      .when(col("changefreq") === "daily", 1)
+      .when(col("changefreq") === "monthly", 30)
+      .when(col("changefreq") === "yearly", 365)
+      .otherwise(7) // weekly, and the protocol-silent default
+    graft.sources.Sitemap.entriesMeta(spark, sfDir)
+      .filter(col("lastmod") =!= "")
+      .select(col("host"), col("loc"), col("lastmod"), col("changefreq"),
+        when(col("changefreq") === "never", 0L)
+          .when(date_add(to_date(col("lastmod")), days) <= to_date(lit(cycleDate)), 1L)
+          .otherwise(0L).as("due"))
+      .distinct()
+  }
+
   /** BFS crawl whose INPUT is the warc files, not the parquet corpus: the
     * reader's (url, html) feeds the wave scheduler directly, and the seen
     * set must equal the parquet-fed crawl's — the full ingest→crawl path
@@ -878,6 +920,11 @@ object CrawlQueries {
     * sitemap `<lastmod>` is strictly newer are due.
     */
   val SitemapRecrawlCutoff = "2024-06-15"
+
+  /** Next-cycle refresh budget apportioned by [[refreshBudget]] — one
+    * constant shared by the engine default and the oracle literal.
+    */
+  val RefreshBudget = 200L
 
   /** Sitemap-lastmod-driven recrawl (X40 × X13 composed): a standing crawl
     * re-fetches only the urls whose robots-discovered sitemap entries

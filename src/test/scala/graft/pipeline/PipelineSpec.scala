@@ -1110,6 +1110,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.count(_._2 > 0) > Dedup.NumShards / 2)
   }
 
+  test("mix budget: exact conservation, head share flattened vs raw share") {
+    val rows = Dedup.mixBudget(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._5).sum == Dedup.MixBudgetTokens)
+    val totTok = rows.map(_._3).sum.toDouble
+    val top = rows.maxBy(_._3)
+    // sqrt flattening: the biggest stratum's allocated share is strictly
+    // below its raw token share
+    assert(top._5 / Dedup.MixBudgetTokens.toDouble < top._3 / totTok)
+  }
+
   test("count-min sketch: never underestimates, overestimate within the eps*N bound") {
     val rows = CountMin.inlinkCmsAudit(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

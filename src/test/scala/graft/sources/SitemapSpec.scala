@@ -19,19 +19,27 @@ class SitemapSpec extends AnyFunSuite {
   }
 
   test("urlset full parse: priority tenths with 0.5 default, changefreq tokens") {
-    val body = CorpusGen.sitemapUrlsetBody(1, Seq(2, 7, 12, 13))
+    val body = CorpusGen.sitemapUrlsetBody(1, Seq(2, 8, 12, 20, 32))
     val full = Sitemap.parseUrlsetFull(body)
     val byLoc = full.map(e => e._1 -> e).toMap
-    // idx 2: i%5==2 -> priority (2*7)%11=3 -> 0.3 -> q10 3
+    // idx 2: i%5==2 -> priority (2*7)%11=3 -> 0.3 -> q10 3; i%6==2 ->
+    // changefreq (2*5)%7=3 "weekly"
     assert(byLoc(CorpusGen.pageUrl(1, 2))._4 == 3L)
-    // idx 7: i%5!=2 -> default 0.5 -> 5; i%6==1 -> changefreq (7*5)%7=0 "always"
-    assert(byLoc(CorpusGen.pageUrl(1, 7))._4 == 5L)
-    assert(byLoc(CorpusGen.pageUrl(1, 7))._3 == "always")
-    // idx 12: priority (12*7)%11=7 -> 0.7; no changefreq
+    assert(byLoc(CorpusGen.pageUrl(1, 2))._3 == "weekly")
+    // idx 8: i%6==2 AND i%4==0 -> changefreq (8*5)%7=5 "yearly" WITH lastmod
+    // (the interval-due co-occurrence the v19 residue exists for)
+    assert(byLoc(CorpusGen.pageUrl(1, 8))._3 == "yearly")
+    assert(byLoc(CorpusGen.pageUrl(1, 8))._2.nonEmpty)
+    // idx 32: the never+lastmod entry (i=32 mod 84)
+    assert(byLoc(CorpusGen.pageUrl(1, 32))._3 == "never")
+    assert(byLoc(CorpusGen.pageUrl(1, 32))._2.nonEmpty)
+    // idx 12: priority (12*7)%11=7 -> 0.7; i%6==0 -> no changefreq
     assert(byLoc(CorpusGen.pageUrl(1, 12))._4 == 7L)
     assert(byLoc(CorpusGen.pageUrl(1, 12))._3 == "")
-    // idx 13: i%6==1 -> changefreq (13*5)%7=2 "daily"
-    assert(byLoc(CorpusGen.pageUrl(1, 13))._3 == "daily")
+    // idx 20: i%6==2 -> changefreq (20*5)%7=2 "daily"; no lastmod tag? 20%4==0
+    // so lastmod present; priority 20%5==0 -> default
+    assert(byLoc(CorpusGen.pageUrl(1, 20))._3 == "daily")
+    assert(byLoc(CorpusGen.pageUrl(1, 20))._4 == 5L)
     // ghost entry: both hints default
     assert(byLoc("http://host1.test/ghost-1")._3 == "")
     assert(byLoc("http://host1.test/ghost-1")._4 == 5L)
@@ -104,6 +112,35 @@ class SitemapSpec extends AnyFunSuite {
     // host0's entries arrive via the index's children, keyed to the child urls
     assert(disc.filter(_._1 == "host0.test").forall(e =>
       e._2 == "http://host0.test/sitemap-1.xml" || e._2 == "http://host0.test/sitemap-2.xml"))
+  }
+
+  test("hint-aware due set: every interval branch engages; never is never due") {
+    import org.apache.spark.sql.functions.col
+    val spark = graft.SparkTestBase.spark
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.CrawlQueries.sitemapDue(spark, sf).collect()
+      .map(r => (r.getString(3), r.getLong(4)))
+    val byCf = rows.groupBy(_._1)
+    // the corpus plants changefreq+lastmod co-occurrences (idx%12==8), so
+    // hinted rows exist beside the '' default
+    assert(byCf.keySet.contains(""), "default rows")
+    assert(byCf.exists { case (cf, _) => cf.nonEmpty }, "hinted rows")
+    assert(byCf.getOrElse("never", Array.empty[(String, Long)])
+      .forall(_._2 == 0L), "never entries must never be due")
+    // both outcomes occur overall
+    assert(rows.exists(_._2 == 1L) && rows.exists(_._2 == 0L))
+  }
+
+  test("refresh budget: exact conservation, churny hosts get more") {
+    val spark = graft.SparkTestBase.spark
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.CrawlQueries.refreshBudget(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._4).sum == graft.queries.CrawlQueries.RefreshBudget)
+    assert(rows.forall(_._4 >= 0))
+    // monotone in weight up to the ±1 remainder slot
+    for (a <- rows; b <- rows if a._3 > b._3)
+      assert(a._4 >= b._4 - 1, s"$a vs $b")
   }
 
   test("lastmod recrawl: exactly the live due entries are refreshed") {
