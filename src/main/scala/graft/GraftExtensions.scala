@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.SimhashExpr
+import graft.functions.{NfcExpr, SimhashExpr}
 
 /** Session extensions registering graft's native Catalyst expressions
   * with the SQL function registry, so they're callable from SQL text and
@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimhashExpr].getName, "simhash64"),
       (children: Seq[Expression]) => SimhashExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc"),
+      new ExpressionInfo(classOf[NfcExpr].getName, "nfc"),
+      (children: Seq[Expression]) => NfcExpr(children.head)))
   }
 }

@@ -441,6 +441,193 @@ object SparkEntry {
        |  FROM gbase)""".stripMargin
   }
 
+  /** The unrolled Turner log2 iteration (Lm.log2fix, Turner 2010) as SQL
+    * CTEs: consumes a prior CTE `vals(v)` of positive BIGINTs and ends at
+    * `lgt(v, lg)` — the Q16 log2 of every distinct input value, bit-
+    * identical to the engine's 16-step shift-and-square iteration. Shared
+    * by every oracle that replays a transcendental (LM score, DSIR,
+    * unigram entropy).
+    */
+  private lazy val log2Ctes: String = {
+    import graft.pipeline.Lm.{LogScaleBits, LogFracBits}
+    val two = 1L << (LogScaleBits + 1) // mantissa ≥ 2.0 in Q24
+    val steps = (1 to LogFracBits).map { i =>
+      s"""lg$i AS (
+         |  SELECT v, CASE WHEN y >= $two THEN y >> 1 ELSE y END AS x,
+         |    r * 2 + CASE WHEN y >= $two THEN 1 ELSE 0 END AS r
+         |  FROM (SELECT v, r, (x * x) >> $LogScaleBits AS y FROM lg${i - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""lg0 AS (
+       |  SELECT v,
+       |    (v << $LogScaleBits) >> (length(format('{:b}', v)) - 1) AS x,
+       |    CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS r
+       |  FROM vals),
+       |$steps,
+       |lgt AS (SELECT v, r AS lg FROM lg$LogFracBits)""".stripMargin
+  }
+
+  /** Unigram-entropy CTE chain (TextAnalysis.unigramEntropy in SQL): per-
+    * doc tf histogram, Q16 entropy = (dl·lg(dl) − Σ tf·lg(tf)) // dl with
+    * the logs from [[log2Ctes]]. Ends at `esc(doc_id, dl, n_types, e)` for
+    * every doc with ≥ 1 token.
+    */
+  private lazy val entropyCtes: String =
+    s"""ed AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS wl
+       |  FROM documents),
+       |etf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+       |        FROM (SELECT doc_id, unnest(wl) AS w FROM ed) GROUP BY 1, 2),
+       |eper AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl,
+       |           CAST(COUNT(*) AS BIGINT) AS n_types
+       |         FROM etf GROUP BY 1),
+       |vals AS (SELECT DISTINCT tf AS v FROM etf
+       |         UNION SELECT DISTINCT dl FROM eper),
+       |$log2Ctes,
+       |est AS (SELECT etf.doc_id, SUM(etf.tf * lgt.lg) AS s
+       |        FROM etf JOIN lgt ON lgt.v = etf.tf GROUP BY 1),
+       |esc AS (
+       |  SELECT eper.doc_id, eper.dl, eper.n_types,
+       |    CAST((eper.dl * l2.lg - est.s) // eper.dl AS BIGINT) AS e
+       |  FROM eper JOIN lgt l2 ON l2.v = eper.dl
+       |  JOIN est ON est.doc_id = eper.doc_id)""".stripMargin
+
+  /** Full standalone oracle SELECT for the integer-weighted ranker
+    * (Search.searchTopK) — shared verbatim by its own driver row and, as a
+    * derived-table subquery, by the search_ranker_eval audit.
+    */
+  private lazy val searchTopkSql: String = {
+    val vals = Search.Queries.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+    s"""WITH q(query_id, query) AS (VALUES $vals),
+       |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+       |         unnest(string_split(query, ' ')) AS w FROM q),
+       |tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS w
+       |  FROM documents),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+       |qw AS (SELECT qt.query_id, qt.w,
+       |         CAST(${Search.WeightScale} // dfq.df AS BIGINT) AS weight
+       |       FROM qt JOIN dfq ON dfq.w = qt.w),
+       |sc AS (SELECT qw.query_id, tf.doc_id,
+       |         CAST(SUM(tf.tf * qw.weight) AS BIGINT) AS score
+       |       FROM tf JOIN qw ON qw.w = tf.w GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, score FROM (
+       |  SELECT query_id, doc_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |WHERE rank <= ${Search.TopK}""".stripMargin
+  }
+
+  /** Full standalone oracle SELECT for Okapi BM25 (Search.bm25TopK) —
+    * shared by its driver row and the search_ranker_eval audit. Keeps its
+    * own inline Turner-log2 unroll because its vals feed idf specifically
+    * (2df+1, 2n+2) rather than the generic [[log2Ctes]] contract.
+    */
+  private lazy val bm25Sql: String = {
+    import graft.pipeline.Lm.{LogScaleBits, LogFracBits}
+    import Search.{Q16, Q16K1, Q16B}
+    val two = 1L << (LogScaleBits + 1)
+    val steps = (1 to LogFracBits).map { i =>
+      s"""lg$i AS (
+         |  SELECT v, CASE WHEN y >= $two THEN y >> 1 ELSE y END AS x,
+         |    r * 2 + CASE WHEN y >= $two THEN 1 ELSE 0 END AS r
+         |  FROM (SELECT v, r, (x * x) >> $LogScaleBits AS y FROM lg${i - 1}))""".stripMargin
+    }.mkString(",\n")
+    val qvals = Search.Queries.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS wl
+       |  FROM documents),
+       |dln AS (SELECT doc_id, CAST(len(wl) AS BIGINT) AS dl FROM d),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dln),
+       |q(query_id, query) AS (VALUES $qvals),
+       |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+       |         unnest(string_split(query, ' ')) AS w FROM q),
+       |tok AS (SELECT doc_id, unnest(wl) AS w FROM d),
+       |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       |       WHERE w IN (SELECT DISTINCT w FROM qt) GROUP BY 1, 2),
+       |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |vals AS (SELECT DISTINCT 2 * df + 1 AS v FROM dfq
+       |         UNION SELECT DISTINCT 2 * n + 2 FROM st),
+       |lg0 AS (
+       |  SELECT v,
+       |    (v << $LogScaleBits) >> (length(format('{:b}', v)) - 1) AS x,
+       |    CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS r
+       |  FROM vals),
+       |$steps,
+       |lgt AS (SELECT v, r AS lg FROM lg$LogFracBits),
+       |idf AS (SELECT dfq.w,
+       |    (SELECT lg FROM lgt WHERE v = (SELECT 2 * n + 2 FROM st)) - lgt.lg AS idf_q16
+       |  FROM dfq JOIN lgt ON lgt.v = 2 * dfq.df + 1),
+       |sc AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(SUM((idf.idf_q16 * ((tf.tf * ${Q16K1 + Q16} * $Q16) //
+       |      (tf.tf * $Q16 + $Q16K1 * (($Q16 - $Q16B)
+       |        + ($Q16B * dln.dl * st.n) // st.t)))) // $Q16) AS BIGINT) AS score_q16
+       |  FROM tf JOIN qt ON qt.w = tf.w JOIN idf ON idf.w = tf.w
+       |  JOIN dln ON dln.doc_id = tf.doc_id CROSS JOIN st
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, score_q16 FROM (
+       |  SELECT query_id, doc_id, score_q16,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_q16 DESC, doc_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |WHERE rank <= ${Search.TopK}""".stripMargin
+  }
+
+  /** Full standalone oracle SELECT for Dirichlet query likelihood
+    * (Search.qlDirichletTopK) — shared by its driver row and the
+    * search_ranker_eval audit.
+    */
+  private lazy val qlDirichletSql: String = {
+    val qvals = Search.Queries.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+    val mu = Search.QlMu
+    s"""WITH q(query_id, query) AS (VALUES $qvals),
+       |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+       |         unnest(string_split(query, ' ')) AS w FROM q),
+       |tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS w
+       |  FROM documents),
+       |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       |dld AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tok),
+       |cf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY 1),
+       |qp AS (SELECT qt.query_id, qt.w, cf.cf, $mu * cf.cf AS mucf
+       |       FROM qt JOIN cf ON cf.w = qt.w),
+       |cand AS (SELECT qp.query_id, tf.doc_id, dld.dl, qp.mucf,
+       |           tf.tf * (SELECT t FROM tot) + qp.mucf AS num
+       |         FROM tf JOIN qp ON qp.w = tf.w
+       |         JOIN dld ON dld.doc_id = tf.doc_id),
+       |vals AS (SELECT DISTINCT num AS v FROM cand
+       |         UNION SELECT DISTINCT mucf FROM qp
+       |         UNION SELECT DISTINCT dl + $mu FROM cand
+       |         UNION SELECT t FROM tot),
+       |$log2Ctes,
+       |pres AS (SELECT c.query_id, c.doc_id, MIN(c.dl) AS dl,
+       |           SUM(ln.lg - lm.lg) AS sp
+       |         FROM cand c JOIN lgt ln ON ln.v = c.num
+       |         JOIN lgt lm ON lm.v = c.mucf
+       |         GROUP BY 1, 2),
+       |qc AS (SELECT qp.query_id, SUM(lm.lg) AS cq, COUNT(*) AS nq
+       |       FROM qp JOIN lgt lm ON lm.v = qp.mucf GROUP BY 1),
+       |sc AS (SELECT p.query_id, p.doc_id,
+       |         CAST(p.sp + qc.cq
+       |           - qc.nq * (SELECT lg FROM lgt WHERE v = (SELECT t FROM tot))
+       |           - qc.nq * ld.lg AS BIGINT) AS score_q16
+       |       FROM pres p JOIN qc ON qc.query_id = p.query_id
+       |       JOIN lgt ld ON ld.v = p.dl + $mu)
+       |SELECT query_id, rank, doc_id, score_q16 FROM (
+       |  SELECT query_id, doc_id, score_q16,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_q16 DESC, doc_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |WHERE rank <= ${Search.TopK}""".stripMargin
+  }
+
   /** The stupid-backoff bigram LM score CTE chain (graft.pipeline.Lm
     * .lmScore in SQL): exact integer counts, log2 in Q16 fixed point via
     * the SAME 16-step shift-and-square integer iteration Lm.log2fix runs
@@ -450,14 +637,6 @@ object SparkEntry {
     * bucket column of dd_train_manifest.
     */
   private lazy val lmScoreCtes: String = {
-    import graft.pipeline.Lm.{LogScaleBits, LogFracBits}
-    val two = 1L << (LogScaleBits + 1) // mantissa ≥ 2.0 in Q24
-    val steps = (1 to LogFracBits).map { i =>
-      s"""lg$i AS (
-         |  SELECT v, CASE WHEN y >= $two THEN y >> 1 ELSE y END AS x,
-         |    r * 2 + CASE WHEN y >= $two THEN 1 ELSE 0 END AS r
-         |  FROM (SELECT v, r, (x * x) >> $LogScaleBits AS y FROM lg${i - 1}))""".stripMargin
-    }.mkString(",\n")
     s"""d AS (
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS wl
@@ -478,13 +657,7 @@ object SparkEntry {
        |  JOIN uni u1 ON u1.w = b.w1
        |  JOIN uni u2 ON u2.w = b.w2),
        |vals AS (SELECT DISTINCT num AS v FROM sp UNION SELECT DISTINCT den FROM sp),
-       |lg0 AS (
-       |  SELECT v,
-       |    (v << $LogScaleBits) >> (length(format('{:b}', v)) - 1) AS x,
-       |    CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS r
-       |  FROM vals),
-       |$steps,
-       |lgt AS (SELECT v, r AS lg FROM lg$LogFracBits),
+       |$log2Ctes,
        |agg AS (
        |  SELECT sp.doc_id, SUM(ln.lg - ld.lg) AS s, COUNT(*) AS n
        |  FROM sp JOIN lgt ln ON ln.v = sp.num JOIN lgt ld ON ld.v = sp.den
@@ -499,14 +672,6 @@ object SparkEntry {
     * dd_dsir_weights and dd_dsir_sample.
     */
   private lazy val dsirScoreCtes: String = {
-    import graft.pipeline.Lm.{LogScaleBits, LogFracBits}
-    val two = 1L << (LogScaleBits + 1)
-    val steps = (1 to LogFracBits).map { i =>
-      s"""lg$i AS (
-         |  SELECT v, CASE WHEN y >= $two THEN y >> 1 ELSE y END AS x,
-         |    r * 2 + CASE WHEN y >= $two THEN 1 ELSE 0 END AS r
-         |  FROM (SELECT v, r, (x * x) >> $LogScaleBits AS y FROM lg${i - 1}))""".stripMargin
-    }.mkString(",\n")
     val nb = graft.pipeline.Dsir.NumBuckets
     s"""d AS (
        |  SELECT doc_id, lang,
@@ -526,13 +691,7 @@ object SparkEntry {
        |                CAST((SELECT SUM(tc) FROM tgtc) + $nb AS BIGINT) AS tt),
        |vals AS (SELECT DISTINCT rc1 AS v FROM bk UNION SELECT DISTINCT tc1 FROM bk
        |         UNION SELECT rt FROM tots UNION SELECT tt FROM tots),
-       |lg0 AS (
-       |  SELECT v,
-       |    (v << $LogScaleBits) >> (length(format('{:b}', v)) - 1) AS x,
-       |    CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS r
-       |  FROM vals),
-       |$steps,
-       |lgt AS (SELECT v, r AS lg FROM lg$LogFracBits),
+       |$log2Ctes,
        |wt AS (
        |  SELECT bk.b,
        |    (lt.lg - (SELECT lg FROM lgt WHERE v = (SELECT tt FROM tots)))
@@ -979,6 +1138,8 @@ object SparkEntry {
     "crawl_meta_gated" -> ((s, d) => C.metaGatedCrawl(s, d)),
     "crawl_redirect_targets" -> ((s, d) => C.redirectTargets(s, d)),
     "crawl_redirect_gated" -> ((s, d) => C.redirectCrawl(s, d)),
+    "crawl_redirect_chains" -> ((s, d) => C.redirectChains(s, d)),
+    "crawl_url_scrub" -> ((s, d) => C.urlScrub(s, d)),
     "crawl_canonical_targets" -> ((s, d) => C.canonicalTargets(s, d)),
     "crawl_canonical_fold" -> ((s, d) => C.canonicalFold(s, d)),
     "crawl_full_gates" -> ((s, d) => C.fullGatesCrawl(s, d)),
@@ -1052,6 +1213,9 @@ object SparkEntry {
     "dd_lang_id_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
     "dd_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "dd_lm_score" -> ((s, d) => graft.pipeline.Lm.lmScore(s, d)),
+    "dd_unigram_entropy" ->
+      ((s, d) => graft.pipeline.TextAnalysis.unigramEntropy(s, d)),
+    "dd_text_nfc" -> ((s, d) => graft.pipeline.TextAnalysis.textNfc(s, d)),
     "dd_dsir_weights" -> ((s, d) => graft.pipeline.Dsir.dsirWeights(s, d)),
     "dd_dsir_sample" -> ((s, d) => graft.pipeline.Dsir.dsirSample(s, d)),
     "dd_nb_quality" -> ((s, d) => graft.pipeline.NbQuality.nbQuality(s, d)),
@@ -1070,6 +1234,10 @@ object SparkEntry {
     "search_postings" -> ((s, d) => Search.postings(s, d)),
     "search_topk" -> ((s, d) => Search.searchTopK(s, d)),
     "search_bm25" -> ((s, d) => Search.bm25TopK(s, d)),
+    "search_more_like_this" -> ((s, d) => Search.moreLikeThis(s, d)),
+    "search_postings_varbyte" -> ((s, d) => Search.postingsVarbyte(s, d)),
+    "search_ql_dirichlet" -> ((s, d) => Search.qlDirichletTopK(s, d)),
+    "search_ranker_eval" -> ((s, d) => Search.rankerEval(s, d)),
     "search_bm25f" -> ((s, d) =>
       Search.bm25fTopK(s, C.extractMarkdown(s, d), C.anchorText(s, d))),
     "search_phrase" -> ((s, d) => Search.phraseTopK(s, d)),
@@ -1255,6 +1423,43 @@ object SparkEntry {
          |  CAST(CASE WHEN m.empty_html = 0 AND m.redirect_to = ''
          |       THEN 1 ELSE 0 END AS BIGINT) AS saved
          |FROM rseen s LEFT JOIN ${gt("meta")} m ON m.url = s.url""".stripMargin,
+    // tracking-param scrub over the injected 3-variant view: the oracle
+    // states the scrubbed form by construction (tracking keys removed,
+    // survivors sorted), the engine re-derives it with the real parser
+    "crawl_url_scrub" ->
+      s"""WITH u AS (SELECT url, substr(md5(url), 1, 4) AS h FROM ${gt("meta")}),
+         |vars AS (
+         |  SELECT url AS vurl, url AS scrubbed FROM u
+         |  UNION ALL
+         |  SELECT url || '?z=9&utm_source=feed&id=' || h || '&a=1',
+         |         url || '?a=1&id=' || h || '&z=9' FROM u
+         |  UNION ALL
+         |  SELECT url || '?a=1&id=' || h || '&utm_medium=rss&z=9',
+         |         url || '?a=1&id=' || h || '&z=9' FROM u)
+         |SELECT vurl AS url, scrubbed FROM vars""".stripMargin,
+    // redirect-chain fold: walk each redirect source one hop per recursion
+    // step; the walk stops naturally when the cursor is not a redirect page
+    // (terminal) and is cut at R hops (a chain still walking after R hops
+    // revisited some node — it is cycle-trapped). Exactly the pointer-
+    // doubling semantics, derived independently.
+    "crawl_redirect_chains" ->
+      s"""WITH RECURSIVE r AS MATERIALIZED (
+         |  SELECT url, redirect_to FROM ${gt("meta")} WHERE redirect_to <> ''),
+         |walk(src, cur, hops) AS (
+         |  SELECT url AS src, redirect_to AS cur, CAST(1 AS BIGINT) AS hops
+         |  FROM r
+         |  UNION ALL
+         |  SELECT w.src, r2.redirect_to, w.hops + 1
+         |  FROM walk w JOIN r r2 ON r2.url = w.cur
+         |  WHERE w.hops <= (SELECT COUNT(*) FROM r)),
+         |term AS (
+         |  SELECT w.src, w.cur AS terminal, w.hops
+         |  FROM walk w LEFT JOIN r r3 ON r3.url = w.cur
+         |  WHERE r3.url IS NULL)
+         |SELECT s.url, COALESCE(t.terminal, '') AS terminal,
+         |  COALESCE(t.hops, CAST(-1 AS BIGINT)) AS hops,
+         |  CAST(CASE WHEN t.src IS NULL THEN 1 ELSE 0 END AS BIGINT) AS cycled
+         |FROM (SELECT url FROM r) s LEFT JOIN term t ON t.src = s.url""".stripMargin,
     // cuckoo seen-filter run: the pre-filter cannot change exact results,
     // so the oracle is the identical reachability CTE — any cuckoo false
     // negative would surface as duplicate rows / wrong depths here
@@ -2729,6 +2934,33 @@ object SparkEntry {
          |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
          |FROM pii""".stripMargin
     },
+    // NFC canonicalization over the injected mixed-composition view: the
+    // oracle's nfc_normalize is DuckDB's own UAX#15 implementation — two
+    // independent engines of the public standard must agree byte-for-byte
+    "dd_text_nfc" ->
+      s"""WITH v AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 2
+         |           THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+         |         WHEN doc_id % 4 = 3
+         |           THEN text || ' caf' || chr(233) || ' plain'
+         |         ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END AS BIGINT) AS changed,
+         |  CAST(length(t) AS BIGINT) AS n_chars_raw,
+         |  CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_nfc,
+         |  nfc_normalize(t) AS text_nfc
+         |FROM v""".stripMargin,
+    // unigram token entropy in Q16: (dl·lg(dl) − Σ tf·lg(tf)) // dl, logs
+    // replayed by the same unrolled Turner iteration as dd_lm_score
+    "dd_unigram_entropy" ->
+      s"""WITH $entropyCtes
+         |SELECT d2.doc_id,
+         |  CAST(COALESCE(esc.dl, 0) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(esc.n_types, 0) AS BIGINT) AS n_types,
+         |  CAST(COALESCE(esc.e, 0) AS BIGINT) AS entropy_q16
+         |FROM documents d2 LEFT JOIN esc ON esc.doc_id = d2.doc_id""".stripMargin,
     // stupid-backoff bigram LM quality score: exact integer counts, and
     // log2 in Q16 fixed point replayed by the SAME 16-step shift-and-square
     // integer iteration Lm.log2fix runs (Turner 2010) — a transcendental
@@ -2843,84 +3075,112 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
     // integer-weighted multi-term search: score = Σ tf(t,d) · (SCALE // df(t)),
     // top 10 per query by (score desc, doc_id) — mirrors Search.searchTopK
-    "search_topk" -> {
-      val vals = Search.Queries.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
-      s"""WITH q(query_id, query) AS (VALUES $vals),
-         |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id,
-         |         unnest(string_split(query, ' ')) AS w FROM q),
+    "search_topk" -> searchTopkSql,
+    // postings compression sizing: delta gaps per term (first gap = the
+    // doc_id itself), LEB128 byte cost as a threshold ladder — an
+    // independent restatement of the Varint encoder the spec pins
+    "search_postings_varbyte" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS w
+         |  FROM documents),
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |g AS (SELECT w, doc_id,
+         |        doc_id - COALESCE(LAG(doc_id) OVER (PARTITION BY w ORDER BY doc_id), 0) AS gap
+         |      FROM tf),
+         |b AS (SELECT w,
+         |        1 + ${(1 to 8).map(k => s"(CASE WHEN gap >= ${1L << (7 * k)} THEN 1 ELSE 0 END)").mkString(" + ")} AS vb
+         |      FROM g)
+         |SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS df,
+         |  CAST(SUM(vb) AS BIGINT) AS bytes_varint,
+         |  CAST(COUNT(*) * 8 AS BIGINT) AS bytes_fixed8
+         |FROM b GROUP BY 1""".stripMargin,
+    // more-like-this: each probe doc's 8 rarest terms (df asc, term asc)
+    // score the corpus by tf_probe·tf_doc·(scale div df); self excluded
+    "search_more_like_this" -> {
+      val vals = Search.MltDocs.map(id => s"($id)").mkString(", ")
+      s"""WITH q(qid) AS (VALUES $vals),
          |tok AS (
          |  SELECT doc_id,
          |    unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS w
          |  FROM documents),
          |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
          |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
-         |qw AS (SELECT qt.query_id, qt.w,
-         |         CAST(${Search.WeightScale} // dfq.df AS BIGINT) AS weight
-         |       FROM qt JOIN dfq ON dfq.w = qt.w),
-         |sc AS (SELECT qw.query_id, tf.doc_id,
-         |         CAST(SUM(tf.tf * qw.weight) AS BIGINT) AS score
-         |       FROM tf JOIN qw ON qw.w = tf.w GROUP BY 1, 2)
-         |SELECT query_id, rank, doc_id, score FROM (
-         |  SELECT query_id, doc_id, score,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |qtf AS (SELECT CAST(q.qid AS BIGINT) AS qid, tf.w, tf.tf AS tf_q
+         |        FROM q JOIN tf ON tf.doc_id = q.qid),
+         |qsel AS (
+         |  SELECT qid, w, tf_q,
+         |    CAST(${Search.WeightScale} // df AS BIGINT) AS weight
+         |  FROM (SELECT qtf.qid, qtf.w, qtf.tf_q, dfq.df,
+         |          ROW_NUMBER() OVER (PARTITION BY qtf.qid
+         |            ORDER BY dfq.df, qtf.w) AS rn
+         |        FROM qtf JOIN dfq ON dfq.w = qtf.w)
+         |  WHERE rn <= ${Search.MltTerms}),
+         |sc AS (SELECT qsel.qid, tf.doc_id,
+         |         CAST(SUM(tf.tf * qsel.tf_q * qsel.weight) AS BIGINT) AS score
+         |       FROM tf JOIN qsel ON qsel.w = tf.w
+         |       WHERE tf.doc_id <> qsel.qid GROUP BY 1, 2)
+         |SELECT qid AS query_doc, rank, doc_id, score FROM (
+         |  SELECT qid, doc_id, score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
          |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          |  FROM sc)
          |WHERE rank <= ${Search.TopK}""".stripMargin
     },
+    // cross-ranker retrieval audit: conjunctive-match relevance scored
+    // against each ranker's top-10 — the three ranker subqueries are the
+    // SAME oracle SELECTs their own driver rows use, verbatim
+    "search_ranker_eval" -> {
+      val qvals = Search.Queries.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+      val qids = Search.Queries.map { case (id, _) => s"($id)" }.mkString(", ")
+      s"""WITH qv(query_id) AS (VALUES $qids),
+         |qq(query_id, query) AS (VALUES $qvals),
+         |qt2 AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+         |          unnest(string_split(query, ' ')) AS w FROM qq),
+         |nq AS (SELECT query_id, COUNT(DISTINCT w) AS n_terms FROM qt2 GROUP BY 1),
+         |tok2 AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS w
+         |  FROM documents),
+         |mt AS (SELECT qt2.query_id, tok2.doc_id, COUNT(DISTINCT qt2.w) AS m
+         |       FROM tok2 JOIN qt2 ON qt2.w = tok2.w GROUP BY 1, 2),
+         |rel AS (SELECT mt.query_id, mt.doc_id FROM mt
+         |        JOIN nq ON nq.query_id = mt.query_id WHERE mt.m = nq.n_terms),
+         |relc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+         |         FROM rel GROUP BY 1),
+         |u AS (
+         |  SELECT 'tf' AS ranker, query_id, rank, doc_id FROM ($searchTopkSql)
+         |  UNION ALL
+         |  SELECT 'bm25' AS ranker, query_id, rank, doc_id FROM ($bm25Sql)
+         |  UNION ALL
+         |  SELECT 'ql' AS ranker, query_id, rank, doc_id FROM ($qlDirichletSql)),
+         |nret AS (SELECT ranker, query_id, CAST(COUNT(*) AS BIGINT) AS n_ret
+         |         FROM u GROUP BY 1, 2),
+         |h AS (SELECT u.ranker, u.query_id, CAST(COUNT(*) AS BIGINT) AS hits,
+         |        CAST(MIN(u.rank) AS BIGINT) AS fr
+         |      FROM u JOIN rel ON rel.query_id = u.query_id AND rel.doc_id = u.doc_id
+         |      GROUP BY 1, 2),
+         |grid AS (SELECT r.ranker, CAST(qv.query_id AS BIGINT) AS query_id
+         |         FROM (VALUES ('tf'), ('bm25'), ('ql')) r(ranker) CROSS JOIN qv)
+         |SELECT g.ranker, g.query_id,
+         |  CAST(COALESCE(relc.n_rel, 0) AS BIGINT) AS n_rel,
+         |  CAST(COALESCE(nret.n_ret, 0) AS BIGINT) AS n_ret,
+         |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits_at_10,
+         |  CAST(COALESCE(h.fr, 0) AS BIGINT) AS first_rel_rank,
+         |  CAST(CASE WHEN h.fr IS NULL THEN 0 ELSE 65536 // h.fr END AS BIGINT) AS rr_q16
+         |FROM grid g
+         |LEFT JOIN relc ON relc.query_id = g.query_id
+         |LEFT JOIN nret ON nret.ranker = g.ranker AND nret.query_id = g.query_id
+         |LEFT JOIN h ON h.ranker = g.ranker AND h.query_id = g.query_id""".stripMargin
+    },
+    // Dirichlet query likelihood: log2 p̂(t|d) summed over in-corpus query
+    // terms, every log from the same unrolled Turner iteration; candidates
+    // = docs containing ≥1 query term; OOV-only queries return nothing
+    "search_ql_dirichlet" -> qlDirichletSql,
     // Okapi BM25 in exact Q16 integers: idf = log2fix(2N+2) − log2fix(2df+1)
     // via the same unrolled Turner iteration as dd_lm_score; the tf
     // normalization is pure integer floor division — mirrors Search.bm25TopK
-    "search_bm25" -> {
-      import graft.pipeline.Lm.{LogScaleBits, LogFracBits}
-      import Search.{Q16, Q16K1, Q16B}
-      val two = 1L << (LogScaleBits + 1)
-      val steps = (1 to LogFracBits).map { i =>
-        s"""lg$i AS (
-           |  SELECT v, CASE WHEN y >= $two THEN y >> 1 ELSE y END AS x,
-           |    r * 2 + CASE WHEN y >= $two THEN 1 ELSE 0 END AS r
-           |  FROM (SELECT v, r, (x * x) >> $LogScaleBits AS y FROM lg${i - 1}))""".stripMargin
-      }.mkString(",\n")
-      val qvals = Search.Queries.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS wl
-         |  FROM documents),
-         |dln AS (SELECT doc_id, CAST(len(wl) AS BIGINT) AS dl FROM d),
-         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dln),
-         |q(query_id, query) AS (VALUES $qvals),
-         |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id,
-         |         unnest(string_split(query, ' ')) AS w FROM q),
-         |tok AS (SELECT doc_id, unnest(wl) AS w FROM d),
-         |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
-         |       WHERE w IN (SELECT DISTINCT w FROM qt) GROUP BY 1, 2),
-         |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |vals AS (SELECT DISTINCT 2 * df + 1 AS v FROM dfq
-         |         UNION SELECT DISTINCT 2 * n + 2 FROM st),
-         |lg0 AS (
-         |  SELECT v,
-         |    (v << $LogScaleBits) >> (length(format('{:b}', v)) - 1) AS x,
-         |    CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS r
-         |  FROM vals),
-         |$steps,
-         |lgt AS (SELECT v, r AS lg FROM lg$LogFracBits),
-         |idf AS (SELECT dfq.w,
-         |    (SELECT lg FROM lgt WHERE v = (SELECT 2 * n + 2 FROM st)) - lgt.lg AS idf_q16
-         |  FROM dfq JOIN lgt ON lgt.v = 2 * dfq.df + 1),
-         |sc AS (
-         |  SELECT qt.query_id, tf.doc_id,
-         |    CAST(SUM((idf.idf_q16 * ((tf.tf * ${Q16K1 + Q16} * $Q16) //
-         |      (tf.tf * $Q16 + $Q16K1 * (($Q16 - $Q16B)
-         |        + ($Q16B * dln.dl * st.n) // st.t)))) // $Q16) AS BIGINT) AS score_q16
-         |  FROM tf JOIN qt ON qt.w = tf.w JOIN idf ON idf.w = tf.w
-         |  JOIN dln ON dln.doc_id = tf.doc_id CROSS JOIN st
-         |  GROUP BY 1, 2)
-         |SELECT query_id, rank, doc_id, score_q16 FROM (
-         |  SELECT query_id, doc_id, score_q16,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY score_q16 DESC, doc_id) AS BIGINT) AS rank
-         |  FROM sc)
-         |WHERE rank <= ${Search.TopK}""".stripMargin
-    },
+    "search_bm25" -> bm25Sql,
     // BM25F over the crawl corpus: body field = ground-truth markdown (the
     // engine scores its OWN extraction — byte-parity pinned by
     // crawl_extract_markdown), anchor field = in-link anchor text from

@@ -113,6 +113,98 @@ object Search {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  // -------------------------------------------- postings compression sizing
+
+  /** Delta + LEB128-varint sizing of the inverted index — the storage
+    * decision an at-scale index makes per posting list (postings
+    * compression, Manning et al. IR ch. 5 — public). Per term: docs sorted
+    * by id, gap₁ = id₁ and gapᵢ = idᵢ − idᵢ₋₁, byte cost of a gap =
+    * max(1, ⌈bits/7⌉); returns (term, df, bytes_varint, bytes_fixed8) with
+    * bytes_fixed8 = 8·df the uncompressed Long-per-id cost. The byte count
+    * is computed columnar-side as a codegen'd threshold chain
+    * (1 + Σₖ [gap ≥ 2^{7k}]) and pinned by spec to the REAL
+    * [[graft.util.Varint]] encoder's output length, with a byte-exact
+    * decode round-trip — the report measures the actual format.
+    *
+    * Scale shape: one postings shuffle (the index build itself) + a
+    * per-term window ordered by doc_id — exactly the order an index writer
+    * produces anyway; no collect, no per-list materialization.
+    */
+  def postingsVarbyte(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    val gaps = postings(spark, sfDir)
+      .select(col("term"), col("doc_id"))
+      .withColumn("gap",
+        col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(0L)))
+    val vbytes = (1 to 8).map(k =>
+        when(col("gap") >= (1L << (7 * k)), 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    gaps.withColumn("vb", vbytes)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("vb")).as("bytes_varint"))
+      .withColumn("bytes_fixed8", col("df") * 8L)
+      .select(col("term"), col("df"), col("bytes_varint"), col("bytes_fixed8"))
+  }
+
+  // ------------------------------------------------- more-like-this (MLT)
+
+  /** Fixed more-like-this probe set — document ids whose nearest corpus
+    * neighbours are retrieved (the `documents` table carries ids 0..499 at
+    * every sf).
+    */
+  val MltDocs: Seq[Long] = Seq(3L, 47L, 128L, 311L)
+
+  /** Query-term budget per probe doc: only the [[MltTerms]] RAREST terms
+    * of the probe (df asc, term asc) participate — the standard
+    * more-like-this fan-out bound (Lucene's MoreLikeThis caps query terms
+    * the same way), and the reason the operator scales: a probe doc full
+    * of stopwords cannot drag the whole corpus into the score join.
+    */
+  val MltTerms = 8
+
+  /** More-like-this: for each probe document, the top-k corpus documents
+    * ranked by Σ_t tf(t, probe) · tf(t, d) · w(t) over the probe's
+    * [[MltTerms]] rarest terms, w(t) = WeightScale div df(t) — the
+    * related-documents / "find more training docs like these" primitive,
+    * document-to-document where [[searchTopK]] is string-to-document.
+    *
+    * Scale shape: the probe docs' term profiles are a handful of rows and
+    * ride broadcasts end to end; the token stream is pruned by the
+    * broadcast probe-term set BEFORE the tf aggregation, so (as with
+    * [[searchTopK]]) only Σ_t df(t) postings over probe terms are ever
+    * built or shuffled — and the rarest-M cut bounds that sum by
+    * construction. df for rarity is computed on the pruned postings, which
+    * is exactly global df for those terms (pruning is by term).
+    */
+  def moreLikeThis(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val q = MltDocs.toDF("qid")
+    val tok = tokens(spark, sfDir)
+    val qtf = tok.join(broadcast(q), tok("doc_id") === q("qid"))
+      .groupBy(col("qid"), col("w")).agg(count(lit(1)).as("tf_q"))
+      .localCheckpoint(true)
+    // pruned postings: only terms some probe doc mentions
+    val p = tok.join(broadcast(qtf.select("w").distinct()), "w")
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf_d"))
+      .localCheckpoint(true)
+    val dfq = p.groupBy("w").agg(count(lit(1)).as("df"))
+    val selWin = Window.partitionBy("qid").orderBy(col("df"), col("w"))
+    val qsel = qtf.join(dfq, "w")
+      .withColumn("rn", row_number().over(selWin))
+      .filter(col("rn") <= MltTerms)
+      .select(col("qid"), col("w"), col("tf_q"),
+        expr(s"CAST($WeightScale div df AS BIGINT)").as("weight"))
+    val scored = p.join(broadcast(qsel), "w")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("tf_d") * col("tf_q") * col("weight")).as("score"))
+    val win = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid").as("query_doc"), col("rank"), col("doc_id"), col("score"))
+  }
+
   // ------------------------------------------------------ integer BM25
 
   /** BM25 fixed-point constants (Q16): k1 = 1.2, b = 0.75 — the standard
@@ -178,6 +270,162 @@ object Search {
     scored.withColumn("rank", row_number().over(win).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_q16"))
+  }
+
+  // ------------------------------------- Dirichlet query likelihood (QL)
+
+  /** Dirichlet smoothing pseudo-count μ (Zhai & Lafferty 2004, "A Study of
+    * Smoothing Methods for Language Models Applied to Information
+    * Retrieval" — public; 2000 is the standard default).
+    */
+  val QlMu = 2000L
+
+  /** Query-likelihood ranking with Dirichlet smoothing, in exact Q16
+    * integer logs (the third retrieval family beside the vector-space
+    * [[searchTopK]] and probabilistic [[bm25TopK]]):
+    *
+    *   p̂(t|d)       = (tf·T + μ·cf(t)) / (T·(dl+μ))     (exact rationals)
+    *   score(q, d)  = Σ_{t∈q'} log2 p̂(t|d) in Q16
+    *                = Σ_{t present} [lg(tf·T + μ·cf) − lg(μ·cf)]
+    *                  + C_q − |q'|·lg(T) − |q'|·lg(dl+μ)
+    *
+    * where q' = query terms with corpus frequency cf > 0 (OOV terms are
+    * dropped — their smoothed probability is 0 for every doc alike),
+    * C_q = Σ_{t∈q'} lg(μ·cf) is a per-query constant, and lg =
+    * [[Lm.log2fix]] so the DuckDB oracle bit-replays every log. The
+    * rewrite works because an ABSENT term's contribution lg(μ·cf) −
+    * lg(T) − lg(dl+μ) differs from a present term's only in the first
+    * log — so only postings rows are ever summed. Candidates (and the
+    * returned ranking) are docs containing ≥ 1 q' term, the standard
+    * index-driven candidate set. Scores are negative Q16 log-probs; higher
+    * = more likely.
+    *
+    * Scale shape = [[bm25TopK]]: broadcast query terms prune the token
+    * stream before any tf aggregation, cf comes from the pruned stream
+    * (pruning is per-term, so the count is the global collection
+    * frequency), and log2fix runs only over DISTINCT argument values via a
+    * broadcast table. Overflow: tf·T needs the [[bm25TopK]] reorder note
+    * past ~2^63/T docs; at sandbox scales tf·T ≤ 10^4·10^6.
+    */
+  def qlDirichletTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = docs(spark, sfDir).select(col("doc_id"),
+      filter(split(lower(col("text")), "\\W+"), w => w =!= "").as("wl"))
+    val totTok = d.agg(coalesce(sum(size(col("wl")).cast("long")), lit(0L)))
+      .as[Long].head()
+    val qt = Queries.toDF("query_id", "query")
+      .select(col("query_id"), explode(split(col("query"), " ")).as("w"))
+    val tok = d.select(col("doc_id"), size(col("wl")).cast("long").as("dl"),
+        explode(col("wl")).as("w"))
+      .join(broadcast(qt.select("w").distinct()), "w")
+      .localCheckpoint(true)
+    val tfq = tok.groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    // global collection frequency of each query term (pruned stream = the
+    // term's full stream); q' = query terms that exist in the corpus
+    val cfq = tok.groupBy("w").agg(count(lit(1)).as("cf"))
+    val qp = qt.join(cfq, "w")
+      .select(col("query_id"), col("w"), col("cf"),
+        (lit(QlMu) * col("cf")).as("mucf"))
+      .localCheckpoint(true)
+    val cand = tfq.join(broadcast(qp), "w")
+      .select(col("query_id"), col("doc_id"), col("dl"), col("mucf"),
+        (col("tf") * totTok + col("mucf")).as("num"))
+      .localCheckpoint(true)
+    // Q16 logs over DISTINCT argument values only, broadcast back
+    val vals = cand.select(col("num").as("v"))
+      .union(qp.select(col("mucf").as("v")))
+      .union(cand.select((col("dl") + QlMu).as("v")))
+      .union(Seq(totTok).toDF("v"))
+      .distinct()
+    val lgtab = vals.as[Long].map(v => (v, Lm.log2fix(v))).toDF("v", "lg")
+      .localCheckpoint(true)
+    val lgT = Lm.log2fix(totTok)
+    val present = cand
+      .join(broadcast(lgtab.toDF("nv", "lgn")), col("num") === col("nv"))
+      .join(broadcast(lgtab.toDF("mv", "lgm")), col("mucf") === col("mv"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("lgn") - col("lgm")).as("sp"), first(col("dl")).as("dl"))
+    val qc = qp.join(broadcast(lgtab.toDF("mv", "lgm")), col("mucf") === col("mv"))
+      .groupBy("query_id")
+      .agg(sum(col("lgm")).as("cq"), count(lit(1)).as("nq"))
+    val scored = present
+      .join(broadcast(qc), "query_id")
+      .join(broadcast(lgtab.toDF("dv", "lgd")), (col("dl") + QlMu) === col("dv"))
+      .select(col("query_id"), col("doc_id"),
+        (col("sp") + col("cq") - col("nq") * lgT - col("nq") * col("lgd"))
+          .as("score_q16"))
+    val win = Window.partitionBy("query_id").orderBy(col("score_q16").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_q16"))
+  }
+
+  // ---------------------------------------------- cross-ranker evaluation
+
+  /** Retrieval-quality audit across the three ranking families (the
+    * [[graft.pipeline.Similarity]] `ann_recall` pattern applied to text
+    * retrieval): relevance is defined mechanically as conjunctive match —
+    * a doc is relevant to a query iff it contains EVERY query term — and
+    * each ranker's top-10 is scored against it. Per (ranker, query):
+    * n_rel (relevant docs in the corpus), n_ret (rows the ranker
+    * returned, ≤ 10), hits_at_10, first_rel_rank (0 when no relevant doc
+    * is retrieved) and rr_q16 = 2^16 div first_rel_rank — the reciprocal
+    * rank in Q16, so MRR is a mean of exact integers. The fully-OOV query
+    * scores n_rel = n_ret = 0 on every ranker, pinning the zero-hit path.
+    *
+    * The audit makes ranker differences measurable rather than asserted:
+    * conjunctive relevance favors rankers that balance all query terms
+    * (QL's length normalization vs raw tf weighting), and any future
+    * ranker lands one `Seq` entry away from the same measurement.
+    *
+    * Scale shape: the three ranker plans are the proven broadcast-pruned
+    * pipelines; relevance adds one more broadcast-pruned (query_id,
+    * doc_id) aggregation; everything downstream of the top-10s is
+    * driver-size (24 grid rows).
+    */
+  def rankerEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val ret = Seq(
+      ("tf", searchTopK(spark, sfDir)),
+      ("bm25", bm25TopK(spark, sfDir)),
+      ("ql", qlDirichletTopK(spark, sfDir)))
+      .map { case (n, df) =>
+        df.select(lit(n).as("ranker"), col("query_id"), col("rank"), col("doc_id"))
+      }.reduce(_ unionByName _)
+      .localCheckpoint(true)
+    val qt = Queries.toDF("query_id", "query")
+      .select(col("query_id"), explode(split(col("query"), " ")).as("w"))
+    val nq = qt.groupBy("query_id").agg(countDistinct(col("w")).as("n_terms"))
+    // conjunctive relevance: distinct matched terms per (query, doc) must
+    // cover the whole query
+    val matched = tokens(spark, sfDir)
+      .join(broadcast(qt), "w")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("w")).as("m"))
+    val rel = matched.join(broadcast(nq), "query_id")
+      .filter(col("m") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"))
+      .localCheckpoint(true)
+    val relCount = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val nret = ret.groupBy("ranker", "query_id").agg(count(lit(1)).as("n_ret"))
+    val hits = ret.join(rel, Seq("query_id", "doc_id"))
+      .groupBy("ranker", "query_id")
+      .agg(count(lit(1)).as("hits_at_10"), min(col("rank")).as("fr"))
+    val grid = Seq("tf", "bm25", "ql").toDF("ranker")
+      .crossJoin(Queries.map(_._1).toDF("query_id"))
+    grid.join(relCount, Seq("query_id"), "left")
+      .join(nret, Seq("ranker", "query_id"), "left")
+      .join(hits, Seq("ranker", "query_id"), "left")
+      .select(col("ranker"), col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+        coalesce(col("hits_at_10"), lit(0L)).as("hits_at_10"),
+        coalesce(col("fr"), lit(0L)).cast("long").as("first_rel_rank"),
+        when(col("fr").isNotNull, expr(s"CAST(${Q16} div fr AS BIGINT)"))
+          .otherwise(lit(0L)).as("rr_q16"))
   }
 
   // ------------------------------------------------ integer BM25F (fields)

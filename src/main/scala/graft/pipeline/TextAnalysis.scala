@@ -416,6 +416,84 @@ object TextAnalysis {
     * the DuckDB oracle agrees byte-for-byte. One narrow codegen'd map — a
     * pure scan-rate operator at 100 TB, like [[qualityGopher]].
     */
+  /** Unicode NFC canonicalization over a deterministic injected view (the
+    * piiScrub idiom — the base corpus is ASCII, so the mixed-composition
+    * reality of multilingual web text is injected identically in both
+    * engines): doc_id % 4 == 2 docs gain a DECOMPOSED suffix (e + U+0301,
+    * i + U+0308 — combining marks), doc_id % 4 == 3 docs gain an already-
+    * PRECOMPOSED suffix (U+00E9), the rest stay raw ASCII. The engine
+    * normalizes with the codegen'd native [[graft.functions.NfcExpr]]
+    * (UAX #15 via java.text.Normalizer); the oracle uses DuckDB's own
+    * independent `nfc_normalize` — two implementations of the public
+    * standard agreeing byte-for-byte. Returns (doc_id, changed,
+    * n_chars_raw, n_chars_nfc, text_nfc): only the decomposed class may
+    * change, and its codepoint count must SHRINK (marks compose away).
+    * Scan-rate at any scale — one narrow codegen'd map, no shuffle.
+    */
+  def textNfc(spark: SparkSession, sfDir: String): DataFrame = {
+    val injected = docs(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 4 === 2,
+        concat(col("text"), lit(" cafe\u0301 nai\u0308ve")))
+        .when(col("doc_id") % 4 === 3,
+          concat(col("text"), lit(" caf\u00e9 plain")))
+        .otherwise(col("text")).as("t"))
+    injected.select(col("doc_id"),
+        col("t"), graft.functions.NfcExpr.nfcCol(col("t")).as("n"))
+      .select(col("doc_id"),
+        when(col("n") =!= col("t"), 1L).otherwise(0L).as("changed"),
+        length(col("t")).cast("long").as("n_chars_raw"),
+        length(col("n")).cast("long").as("n_chars_nfc"),
+        col("n").as("text_nfc"))
+  }
+
+  /** Exact-integer unigram token entropy per document — the classic
+    * low-diversity / template-page quality signal (a page repeating one
+    * token scores 0; maximal-diversity text scores log2(n_tokens)):
+    *
+    *   H_q16(d) = (Σ_w tf_w · (log2fix(dl) − log2fix(tf_w))) div dl
+    *
+    * which is Σ (tf/dl)·log2(dl/tf) carried in Q16 with one final floor —
+    * every intermediate a Long, so the DuckDB oracle bit-replays the
+    * transcendental via the same unrolled Turner iteration as dd_lm_score.
+    * Overflow audit: tf ≤ dl ≤ 2^36 keeps tf·lg ≤ 2^36·(36·2^16) < 2^58.
+    *
+    * Scale shape: one (doc_id, term) map-side-combined aggregation then a
+    * per-doc agg; log2fix runs only over DISTINCT (tf and dl) values via a
+    * broadcast lookup table (the [[Lm.lmScore]] discipline) — the token
+    * stream shuffles once and no transcendental touches the wide path.
+    */
+  def unigramEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val tf = docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\W+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val per = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"), count(lit(1)).as("n_types"))
+      .localCheckpoint(true)
+    // log2fix over distinct tf and dl values only — a tiny broadcast table
+    val lgtab = tf.select(col("tf").as("v")).union(per.select(col("dl").as("v")))
+      .distinct().as[Long].map(v => (v, Lm.log2fix(v))).toDF("v", "lg")
+    val sumTf = tf
+      .join(broadcast(lgtab.withColumnRenamed("v", "tv").withColumnRenamed("lg", "lgt")),
+        col("tf") === col("tv"))
+      .groupBy(col("doc_id")).agg(sum(col("tf") * col("lgt")).as("s_tf_lg"))
+    val scored = per
+      .join(broadcast(lgtab.withColumnRenamed("v", "dv").withColumnRenamed("lg", "lgd")),
+        col("dl") === col("dv"))
+      .join(sumTf, Seq("doc_id"))
+      .select(col("doc_id"), col("dl").as("n_tokens"), col("n_types"),
+        expr("CAST((dl * lgd - s_tf_lg) div dl AS BIGINT)").as("entropy_q16"))
+    docs(spark, sfDir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("entropy_q16"), lit(0L)).as("entropy_q16"))
+  }
+
   def qualityC4(spark: SparkSession, sfDir: String): DataFrame = {
     val t = col("text")
     def bytes(c: Column): Column = octet_length(c).cast("long")

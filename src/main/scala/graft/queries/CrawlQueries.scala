@@ -463,6 +463,105 @@ object CrawlQueries {
       .select(col("url"), col("rep"), col("group_size"))
   }
 
+  /** Tracking-param URL scrubbing over a deterministic injected view
+    * (the dd_pii_scrub idiom): every corpus url expands to three advertised
+    * variants — the bare url, and two spellings carrying utm_ and click-id
+    * tracking params around the same real params (`a`, `id`) in DIFFERENT
+    * orders. [[graft.url.UrlScrub.scrub]] must strip exactly the tracking
+    * keys, keep the real ones, and sort — so both tracked spellings fold to
+    * one canonical url while the bare url (no query) stays itself. Returns
+    * (url, scrubbed); the encode side (and the oracle) states the expected
+    * scrubbed form by construction, the engine re-derives it with the real
+    * parser. A narrow map — scan-rate at any scale.
+    */
+  def urlScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    CorpusGen.pages(spark, dir).select(col("url")).as[String]
+      .flatMap { url =>
+        val h = graft.pipeline.TextAnalysis.hexOf(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(url.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          .take(4)
+        Seq(url,
+          s"$url?z=9&utm_source=feed&id=$h&a=1",
+          s"$url?a=1&id=$h&utm_medium=rss&z=9")
+          .map(v => (v, graft.url.UrlScrub.scrub(v)))
+      }.toDF("url", "scrubbed")
+  }
+
+  /** Redirect-CHAIN folding: every redirecting page resolved to the
+    * terminal (non-redirect) page its meta-refresh walk lands on, with the
+    * exact hop count — or flagged as trapped in a redirect cycle
+    * (terminal = '', hops = −1). The corpus's redirect targets are random
+    * same-host pages, so multi-hop chains and the occasional cycle occur
+    * naturally; an index or recrawl scheduler folds chains ONCE rather than
+    * re-walking them per consumer (and a cycle is a crawler trap to flag,
+    * not to follow).
+    *
+    * Implementation is pointer doubling with exact step accumulation over
+    * the jump function g(u) = (redirect_to(u), 1) for redirect pages and
+    * the absorbing identity (u, 0) elsewhere: after k rounds the composed
+    * jump covers 2^k hops, so ⌈log2(R+1)⌉ rounds (R = redirect count)
+    * terminate every acyclic chain; rows whose cursor is still a redirect
+    * page after that are exactly the cycle-trapped ones. The domain is
+    * redirect sources ∪ targets — the corpus never enters the loop — and
+    * each round is one self-join on that bounded set, eagerly checkpointed
+    * (the [[graft.pipeline.Dedup.hashMinComponents]] discipline). At 10^10
+    * urls with ~1% redirects this is ~34 rounds over a 10^8-row relation
+    * keyed by url — logarithmic depth, shuffle bounded by the redirect set,
+    * never the corpus.
+    */
+  def redirectChains(spark: SparkSession, sfDir: String): DataFrame =
+    foldRedirectMap(redirectTargets(spark, sfDir)
+      .filter(col("redirect_to") =!= "")
+      .select(col("url").as("src"), col("redirect_to").as("dst")))
+
+  /** The pointer-doubling fold behind [[redirectChains]], over an arbitrary
+    * (src, dst) redirect map — factored out so cycles can be pinned on
+    * constructed graphs independent of what a given corpus size happens to
+    * contain.
+    */
+  def foldRedirectMap(edges: DataFrame): DataFrame = {
+    val rt = edges.localCheckpoint(true)
+    val nRedirects = rt.count()
+    // jump domain: sources ∪ targets; non-redirect members absorb (nxt=self,
+    // 0 steps). Closed under composition: every nxt is itself in the domain.
+    val dom = rt.select(col("src").as("n"))
+      .union(rt.select(col("dst").as("n"))).distinct()
+    var jump = dom.join(rt, dom("n") === rt("src"), "left")
+      .select(col("n"), coalesce(col("dst"), col("n")).as("nxt"),
+        when(col("dst").isNotNull, 1L).otherwise(0L).as("steps"))
+      .localCheckpoint(true)
+    // 2^rounds must reach the longest possible acyclic chain (≤ R hops)
+    val rounds = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(nRedirects))
+    val srcSet = rt.select(col("src").as("r_src")).localCheckpoint(true)
+    var r = 0
+    var active = 1L
+    while (r < rounds && active > 0) {
+      val j2 = jump.select(col("n").as("m"), col("nxt").as("nxt2"),
+        col("steps").as("steps2"))
+      jump = jump.join(j2, jump("nxt") === j2("m"))
+        .select(col("n"), col("nxt2").as("nxt"),
+          (col("steps") + col("steps2")).as("steps"))
+        .localCheckpoint(true)
+      // early exit once every cursor sits on a non-redirect page (chains in
+      // a cycle keep this positive, so cyclic inputs just run the full
+      // logarithmic budget)
+      active = jump.join(srcSet, jump("nxt") === col("r_src")).count()
+      r += 1
+    }
+    val ans = rt.select(col("src").as("url"))
+      .join(jump, col("url") === jump("n"))
+      .join(srcSet, jump("nxt") === col("r_src"), "left")
+    ans.select(col("url"),
+      when(col("r_src").isNull, col("nxt")).otherwise(lit("")).as("terminal"),
+      when(col("r_src").isNull, col("steps")).otherwise(lit(-1L))
+        .cast("long").as("hops"),
+      when(col("r_src").isNull, 0L).otherwise(1L).cast("long").as("cycled"))
+  }
+
   /** Full host0 BFS following meta-refresh redirects
     * (CrawlConfig.followRedirects): a redirecting page is seen but never
     * saved, and its only outgoing edge is the refresh target. Same

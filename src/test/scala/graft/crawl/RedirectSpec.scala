@@ -91,4 +91,58 @@ class RedirectSpec extends AnyFunSuite {
     // the gate engages: some seen-but-unsaved redirect pages
     assert(got.values.exists(_._2 == 0L))
   }
+
+  /** Local replay of the chain fold: walk each redirect source through the
+    * ground-truth map with a visited set; terminal/hops when the walk exits
+    * the map, cycled when it revisits a node.
+    */
+  private def replayChains(redirect: Map[String, String])
+      : Map[String, (String, Long, Long)] =
+    redirect.collect { case (src, dst) if dst.nonEmpty =>
+      var cur = dst
+      var hops = 1L
+      val seen = scala.collection.mutable.HashSet(src)
+      while (redirect.getOrElse(cur, "").nonEmpty && !seen.contains(cur)) {
+        seen += cur
+        cur = redirect(cur)
+        hops += 1
+      }
+      if (redirect.getOrElse(cur, "").nonEmpty) src -> (("", -1L, 1L))
+      else src -> ((cur, hops, 0L))
+    }
+
+  test("redirect-chain fold equals a local walk replay and has multi-hop chains") {
+    val spark = graft.SparkTestBase.spark
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.CrawlQueries.redirectChains(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+    val spec = CorpusGen.specFor(sf)
+    val redirect = (for (h <- 0 until spec.nHosts; i <- 0 until spec.hostSizes(h))
+      yield CorpusGen.pageUrl(h, i) -> CorpusGen.redirectTargetOf(spec, h, i)).toMap
+    val expected = replayChains(redirect)
+    assert(got == expected)
+    // the fold is non-trivial at this size: multi-hop chains exist
+    assert(got.values.exists(_._2 >= 2L), "no multi-hop chain in corpus")
+  }
+
+  test("redirect-chain fold flags cycles on a constructed graph") {
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    // a→b→c→d (terminal), e→f→g→e (3-cycle), x→e (trapped feeder), s→s (self)
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "e" -> "f",
+      "f" -> "g", "g" -> "e", "x" -> "e", "s" -> "s").toDF("src", "dst")
+    val got = graft.queries.CrawlQueries.foldRedirectMap(edges).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val expected = replayChains(
+      Seq("a" -> "b", "b" -> "c", "c" -> "d", "e" -> "f", "f" -> "g",
+        "g" -> "e", "x" -> "e", "s" -> "s").toMap.withDefaultValue(""))
+    assert(got == expected)
+    assert(got("a") == (("d", 3L, 0L)))
+    assert(got("e") == (("", -1L, 1L)))
+    assert(got("x") == (("", -1L, 1L)))
+    assert(got("s") == (("", -1L, 1L)))
+  }
 }

@@ -544,6 +544,137 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected.toSeq)
   }
 
+  test("ranker eval: full grid, OOV zeros, metrics equal a local recount over each ranker's output") {
+    val rows = Search.rankerEval(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("query_id")) ->
+        ((r.getAs[Long]("n_rel"), r.getAs[Long]("n_ret"),
+          r.getAs[Long]("hits_at_10"), r.getAs[Long]("first_rel_rank"),
+          r.getAs[Long]("rr_q16")))).toMap
+    assert(rows.size == 3 * Search.Queries.length)
+    // the fully-OOV query is all-zero on every ranker
+    for (rk <- Seq("tf", "bm25", "ql"))
+      assert(rows((rk, 4L)) == ((0L, 0L, 0L, 0L, 0L)))
+    // local relevance: docs containing every query term
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\W+").filter(_.nonEmpty).toSet)
+    val rel = Search.Queries.map { case (qid, q) =>
+      qid -> docs.filter { case (_, ws) => q.split(" ").forall(ws.contains) }
+        .map(_._1).toSet
+    }.toMap
+    val outs = Map(
+      "tf" -> Search.searchTopK(spark, sf),
+      "bm25" -> Search.bm25TopK(spark, sf),
+      "ql" -> Search.qlDirichletTopK(spark, sf))
+      .map { case (n, df) =>
+        n -> df.collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
+      }
+    for ((rk, out) <- outs; (qid, _) <- Search.Queries) {
+      val ret = out.filter(_._1 == qid)
+      val hitRanks = ret.filter(t => rel(qid).contains(t._3)).map(_._2)
+      val fr = if (hitRanks.isEmpty) 0L else hitRanks.min
+      val expect = (rel(qid).size.toLong, ret.length.toLong,
+        hitRanks.length.toLong, fr, if (fr == 0L) 0L else 65536L / fr)
+      assert(rows((rk, qid)) == expect, s"$rk q$qid")
+    }
+    // the audit discriminates: some ranker/query pair retrieves a relevant
+    // doc, and at least one pair misses one it could have had
+    assert(rows.values.exists(_._3 > 0L))
+  }
+
+  test("dirichlet QL: scores equal a direct local replay (validates the present/absent rewrite)") {
+    val rows = Search.qlDirichletTopK(spark, sf).collect()
+    // the fully-OOV query has no in-corpus terms, hence no candidates
+    assert(!rows.exists(_.getAs[Long]("query_id") == 4L))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\W+").filter(_.nonEmpty))
+    val bigT = docs.map(_._2.length.toLong).sum
+    val cf = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, g) => w -> g.length.toLong }
+    for (qid <- Seq(1L, 5L, 7L)) {
+      val terms = Search.Queries.toMap.apply(qid).split(" ").filter(cf.contains)
+      val exp = docs.filter { case (_, ws) => terms.exists(ws.contains) }
+        .map { case (id, ws) =>
+          val dl = ws.length.toLong
+          // the DIRECT per-term log-prob sum, not the engine's rewrite
+          val s = terms.map { t =>
+            val tf = ws.count(_ == t).toLong
+            Lm.log2fix(tf * bigT + Search.QlMu * cf(t)) -
+              Lm.log2fix(bigT) - Lm.log2fix(dl + Search.QlMu)
+          }.sum
+          (id, s)
+        }.sortBy { case (id, s) => (-s, id) }.take(Search.TopK)
+        .zipWithIndex.map { case ((id, s), i) => (i + 1L, id, s) }
+      val got = rows.filter(_.getAs[Long]("query_id") == qid)
+        .sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("score_q16"))).toSeq
+      assert(got == exp.toSeq, s"query $qid")
+      assert(got.forall(_._3 < 0L)) // log-probs are negative
+    }
+  }
+
+  test("unigram entropy: Q16 values equal a local log2fix replay, bounds hold") {
+    val rows = TextAnalysis.unigramEntropy(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\W+").filter(_.nonEmpty))
+    val expected = docs.map { case (id, ws) =>
+      if (ws.isEmpty) id -> ((0L, 0L, 0L))
+      else {
+        val tf = ws.groupBy(identity).values.map(_.length.toLong)
+        val dl = ws.length.toLong
+        val s = tf.map(t => t * (Lm.log2fix(dl) - Lm.log2fix(t))).sum
+        id -> ((dl, tf.size.toLong, s / dl))
+      }
+    }.toMap
+    val got = rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // 0 ≤ H ≤ log2(n_tokens), and the corpus spans non-degenerate values
+    assert(got.values.forall { case (dl, _, e) =>
+      e >= 0L && (dl == 0L || e <= Lm.log2fix(dl)) })
+    assert(got.values.exists(_._3 > 0L))
+  }
+
+  test("more-like-this: rarest-term selection + scores equal a full local replay") {
+    val rows = Search.moreLikeThis(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\W+").filter(_.nonEmpty))
+    val tf = docs.map { case (id, ws) =>
+      id -> ws.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    }.toMap
+    val df_ = docs.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (w, g) => w -> g.length.toLong }
+    val expected = Search.MltDocs.flatMap { qid =>
+      val sel = tf(qid).toSeq
+        .map { case (w, tq) => (df_(w), w, tq) }.sorted.take(Search.MltTerms)
+      docs.flatMap { case (id, _) =>
+        if (id == qid) None
+        else {
+          val s = sel.map { case (dfw, w, tq) =>
+            tf(id).getOrElse(w, 0L) * tq * (Search.WeightScale / dfw)
+          }.sum
+          if (s > 0) Some((qid, id, s)) else None
+        }
+      }.sortBy { case (_, id, s) => (-s, id) }.take(Search.TopK)
+        .zipWithIndex.map { case ((q, id, s), i) => (q, i + 1L, id, s) }
+    }.toSet
+    val got = rows.map(r => (r.getAs[Long]("query_doc"), r.getAs[Long]("rank"),
+      r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSet
+    assert(got == expected)
+    // every probe retrieves a full page of neighbours at this corpus size
+    assert(Search.MltDocs.forall(q => got.count(_._1 == q) == Search.TopK))
+  }
+
+  test("more-like-this: broadcast probe-term prune reaches the plan before the tf agg") {
+    val plan = Search.moreLikeThis(spark, sf).queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast prune:\n$plan")
+  }
+
   test("search: the broadcast query-term prune reaches the plan before the tf aggregation") {
     val plan = Search.searchTopK(spark, sf).queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast prune:\n$plan")
