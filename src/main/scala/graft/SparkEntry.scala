@@ -1238,6 +1238,7 @@ object SparkEntry {
     "search_postings_varbyte" -> ((s, d) => Search.postingsVarbyte(s, d)),
     "search_ql_dirichlet" -> ((s, d) => Search.qlDirichletTopK(s, d)),
     "search_ranker_eval" -> ((s, d) => Search.rankerEval(s, d)),
+    "search_snippets" -> ((s, d) => Search.searchSnippets(s, d)),
     "search_bm25f" -> ((s, d) =>
       Search.bm25fTopK(s, C.extractMarkdown(s, d), C.anchorText(s, d))),
     "search_phrase" -> ((s, d) => Search.phraseTopK(s, d)),
@@ -3126,6 +3127,31 @@ object SparkEntry {
          |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          |  FROM sc)
          |WHERE rank <= ${Search.TopK}""".stripMargin
+    },
+    // KWIC snippets for the topk result pages: pos = first query-term hit
+    // (1-based), snippet = the ±3-token window, clamped at both ends;
+    // the topk subquery is the ranker's own oracle SELECT verbatim
+    "search_snippets" -> {
+      val qvals = Search.Queries.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+      val r = Search.SnippetRadius
+      s"""WITH qq(query_id, query) AS (VALUES $qvals),
+         |qt2 AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+         |          unnest(string_split(query, ' ')) AS w FROM qq),
+         |d2 AS (SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS wl
+         |       FROM documents),
+         |tp AS (SELECT doc_id, CAST(p[2] AS BIGINT) AS pos, p[1] AS w
+         |       FROM (SELECT doc_id,
+         |               unnest(list_zip(wl, generate_series(1, len(wl)))) AS p
+         |             FROM d2)),
+         |hit AS (SELECT qt2.query_id, tp.doc_id, MIN(tp.pos) AS pos
+         |        FROM tp JOIN qt2 ON qt2.w = tp.w GROUP BY 1, 2)
+         |SELECT tk.query_id, tk.rank, tk.doc_id,
+         |  CAST(h.pos AS BIGINT) AS pos,
+         |  array_to_string(d2.wl[greatest(1, h.pos - $r):(h.pos + $r)], ' ') AS snippet
+         |FROM ($searchTopkSql) tk
+         |JOIN hit h ON h.query_id = tk.query_id AND h.doc_id = tk.doc_id
+         |JOIN d2 ON d2.doc_id = tk.doc_id""".stripMargin
     },
     // cross-ranker retrieval audit: conjunctive-match relevance scored
     // against each ranker's top-10 — the three ranker subqueries are the

@@ -362,6 +362,48 @@ object Search {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_q16"))
   }
 
+  // -------------------------------------------------- KWIC result snippets
+
+  /** Context window radius: snippet = tokens [pos−3 .. pos+3] around the
+    * first query-term hit.
+    */
+  val SnippetRadius = 3
+
+  /** Keyword-in-context snippets for the [[searchTopK]] result pages — the
+    * result-presentation step of the search stack: for each (query, hit
+    * doc), pos = the FIRST token position (1-based) holding any query
+    * term, snippet = the ±[[SnippetRadius]]-token window joined with
+    * spaces (clamped at both document ends). Deterministic string math —
+    * the DuckDB oracle recomputes it from the same topk SELECT.
+    *
+    * Scale shape: positions come from the same broadcast-pruned token
+    * stream as the ranker (only query-term hits carry positions into the
+    * min-agg); document text is re-read ONLY for winner docs via a
+    * broadcast semi-join of the ≤ K·|queries| result keys — the corpus
+    * text never shuffles.
+    */
+  def searchSnippets(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val top = searchTopK(spark, sfDir).select("query_id", "rank", "doc_id")
+    val qt = Queries.toDF("query_id", "query")
+      .select(col("query_id"), explode(split(col("query"), " ")).as("w"))
+    val d = docs(spark, sfDir).select(col("doc_id"),
+      filter(split(lower(col("text")), "\\W+"), w => w =!= "").as("wl"))
+    val hitPos = d.select(col("doc_id"), posexplode(col("wl")).as(Seq("p0", "w")))
+      .join(broadcast(qt), "w")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("p0") + 1).as("pos"))
+    val keys = top.join(hitPos, Seq("query_id", "doc_id"))
+    d.join(broadcast(keys), "doc_id")
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("pos").cast("long").as("pos"),
+        concat_ws(" ", expr(
+          s"slice(wl, greatest(1, pos - $SnippetRadius), " +
+            s"pos + $SnippetRadius - greatest(1, pos - $SnippetRadius) + 1)"))
+          .as("snippet"))
+  }
+
   // ---------------------------------------------- cross-ranker evaluation
 
   /** Retrieval-quality audit across the three ranking families (the

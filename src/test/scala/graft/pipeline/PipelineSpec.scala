@@ -544,6 +544,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected.toSeq)
   }
 
+  test("search snippets: first-hit positions and windows equal a local recompute") {
+    val rows = Search.searchSnippets(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        ((r.getAs[Long]("rank"), r.getAs[Long]("pos"), r.getAs[String]("snippet"))))
+      .toMap
+    val top = Search.searchTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
+    assert(rows.size == top.length) // one snippet per result row
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\W+").filter(_.nonEmpty))
+      .toMap
+    for ((qid, rank, did) <- top) {
+      val terms = Search.Queries.toMap.apply(qid).split(" ").toSet
+      val wl = docs(did)
+      val pos = wl.indexWhere(terms.contains) + 1 // 1-based; must exist
+      assert(pos >= 1, s"q$qid d$did")
+      val lo = math.max(1, pos - Search.SnippetRadius)
+      val hi = math.min(wl.length, pos + Search.SnippetRadius)
+      val snippet = wl.slice(lo - 1, hi).mkString(" ")
+      assert(rows((qid, did)) == ((rank, pos.toLong, snippet)), s"q$qid d$did")
+    }
+    // clamping engages somewhere: some window is shorter than 2r+1 tokens
+    assert(rows.values.exists(_._3.split(" ").length < 2 * Search.SnippetRadius + 1) ||
+      rows.values.forall(_._2 > Search.SnippetRadius))
+  }
+
   test("ranker eval: full grid, OOV zeros, metrics equal a local recount over each ranker's output") {
     val rows = Search.rankerEval(spark, sf).collect()
       .map(r => (r.getString(0), r.getAs[Long]("query_id")) ->
