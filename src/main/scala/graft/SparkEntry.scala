@@ -1238,6 +1238,7 @@ object SparkEntry {
     "search_postings_varbyte" -> ((s, d) => Search.postingsVarbyte(s, d)),
     "search_ql_dirichlet" -> ((s, d) => Search.qlDirichletTopK(s, d)),
     "search_ranker_eval" -> ((s, d) => Search.rankerEval(s, d)),
+    "search_rrf" -> ((s, d) => Search.rrfTopK(s, d)),
     "search_snippets" -> ((s, d) => Search.searchSnippets(s, d)),
     "search_bm25f" -> ((s, d) =>
       Search.bm25fTopK(s, C.extractMarkdown(s, d), C.anchorText(s, d))),
@@ -1283,6 +1284,8 @@ object SparkEntry {
     "crawl_sitemap_due" -> ((s, d) => C.sitemapDue(s, d)),
     "crawl_refresh_budget" -> ((s, d) => C.refreshBudget(s, d)),
     "graph_host_pagerank" -> ((s, d) => graft.pipeline.HostGraph.hostPageRank(s, d)),
+    "graph_host_ppr" ->
+      ((s, d) => graft.pipeline.HostGraph.hostPersonalizedPr(s, d)),
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
     "mm_blob_features" -> ((s, d) => Multimodal.blobFeatures(s, d)),
     "mm_blob_transform" -> ((s, d) => Multimodal.blobTransforms(s, d)),
@@ -2641,6 +2644,39 @@ object SparkEntry {
     "graph_host_pagerank" ->
       s"""WITH $pagerankCteBody
          |SELECT h AS host, pr FROM p${graft.pipeline.HostGraph.PageRankIters}""".stripMargin,
+    // personalized PageRank: the whole teleport mass and the dangling mass
+    // land on the seed host; iterations unrolled in exact integers
+    "graph_host_ppr" -> {
+      val iters = graft.pipeline.HostGraph.PageRankIters
+      val scale = graft.pipeline.HostGraph.PrScale
+      val seed = graft.pipeline.HostGraph.PprSeedHost
+      val head =
+        s"""x AS (SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS s,
+           |  regexp_extract(dst_url, '^https?://([^/]+)', 1) AS d FROM ${gt("xlinks")}),
+           |e AS (SELECT s, d, COUNT(*) AS w FROM x GROUP BY 1, 2),
+           |hosts AS (SELECT DISTINCT h FROM (SELECT s AS h FROM e UNION SELECT d FROM e)),
+           |outw AS (SELECT s, SUM(w) AS ow FROM e GROUP BY s),
+           |nh AS (SELECT COUNT(*) AS n FROM hosts),
+           |pp0 AS (SELECT h, CAST($scale AS BIGINT) AS pr FROM hosts)""".stripMargin
+      val steps = (1 to iters).map { k =>
+        s"""cp$k AS (
+           |  SELECT e.d, SUM((p.pr * e.w) // o.ow) AS m
+           |  FROM e JOIN pp${k - 1} p ON p.h = e.s JOIN outw o ON o.s = e.s GROUP BY e.d),
+           |dmp$k AS (
+           |  SELECT COALESCE(SUM(pr), 0) AS dm FROM pp${k - 1}
+           |  WHERE h NOT IN (SELECT s FROM outw)),
+           |pp$k AS (
+           |  SELECT h.h, CAST(
+           |      (CASE WHEN h.h = '$seed' THEN ${15L * scale / 100} * nh.n ELSE 0 END)
+           |      + (85 * (COALESCE(c.m, 0)
+           |          + CASE WHEN h.h = '$seed' THEN dm.dm ELSE 0 END)) // 100
+           |    AS BIGINT) AS pr
+           |  FROM hosts h LEFT JOIN cp$k c ON c.d = h.h
+           |  CROSS JOIN dmp$k dm CROSS JOIN nh)""".stripMargin
+      }
+      s"""WITH ${(head +: steps).mkString(",\n")}
+         |SELECT h AS host, pr FROM pp$iters""".stripMargin
+    },
     // best-first frontier scheduling: priorities from the pagerank CTEs,
     // rounds unrolled — pop top-P by (pr desc, url), enqueue-time seen
     "crawl_priority_frontier" -> {
@@ -3128,6 +3164,25 @@ object SparkEntry {
          |  FROM sc)
          |WHERE rank <= ${Search.TopK}""".stripMargin
     },
+    // reciprocal-rank fusion of the three rankers' top-10s: rank-only
+    // combination, 2^16 // (60 + rank) per list, ties by doc_id
+    "search_rrf" ->
+      s"""WITH u AS (
+         |  SELECT query_id, rank, doc_id FROM ($searchTopkSql)
+         |  UNION ALL
+         |  SELECT query_id, rank, doc_id FROM ($bm25Sql)
+         |  UNION ALL
+         |  SELECT query_id, rank, doc_id FROM ($qlDirichletSql)),
+         |f AS (SELECT query_id, doc_id,
+         |        CAST(SUM(65536 // (${Search.RrfK} + rank)) AS BIGINT) AS rrf_q16,
+         |        CAST(COUNT(*) AS BIGINT) AS n_lists
+         |      FROM u GROUP BY 1, 2)
+         |SELECT query_id, rank, doc_id, rrf_q16, n_lists FROM (
+         |  SELECT query_id, doc_id, rrf_q16, n_lists,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_q16 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM f)
+         |WHERE rank <= ${Search.TopK}""".stripMargin,
     // KWIC snippets for the topk result pages: pos = first query-term hit
     // (1-based), snippet = the ±3-token window, clamped at both ends;
     // the topk subquery is the ranker's own oracle SELECT verbatim

@@ -125,6 +125,59 @@ object HostGraph {
     pr.select(col("h").as("host"), col("pr"))
   }
 
+  /** Teleport target of [[hostPersonalizedPr]] — the crawl's seed host. */
+  val PprSeedHost = "host0.test"
+
+  /** Personalized PageRank (the focused-crawl / crawl-frontier variant of
+    * X8: teleportation returns to the SEED host instead of spreading
+    * uniformly, so scores measure proximity-to-seed rather than global
+    * importance — the signal a focused crawler prioritizes by; Page et al.
+    * 1999 §6 "personalized" vector, public). Same exact-integer fixed
+    * point as [[hostPageRankFromEdges]]:
+    *
+    *   pr'(h) = [h = seed]·(15·Scale·N div 100)
+    *            + (85·(Σ_in (pr·w) div ow + [h = seed]·dm)) div 100
+    *
+    * — the whole 0.15 teleport mass and the dangling mass dm land on the
+    * seed. Uniform Scale start, [[PageRankIters]] synchronous iterations,
+    * every division an integer floor the oracle replays. Host-bounded
+    * joins; scales exactly like X8.
+    */
+  def hostPersonalizedPr(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = hostEdges(spark, sfDir)
+      .withColumnRenamed("src_host", "s").withColumnRenamed("dst_host", "d")
+      .withColumnRenamed("n_links", "w")
+      .localCheckpoint(true)
+    val hosts = edges.select(col("s").as("h"))
+      .unionByName(edges.select(col("d").as("h"))).distinct().localCheckpoint(true)
+    val outw = edges.groupBy(col("s")).agg(sum(col("w")).as("ow"))
+    val dangling = hosts
+      .join(outw.select(col("s").as("h")), Seq("h"), "left_anti")
+      .localCheckpoint(true)
+    val nHosts = hosts.count()
+    val teleport = 15L * PrScale / 100 * nHosts
+
+    var pr = hosts.select(col("h"), lit(PrScale).as("pr"))
+    for (_ <- 1 to PageRankIters) {
+      val contrib = edges
+        .join(pr, edges("s") === pr("h"))
+        .join(outw, Seq("s"))
+        .select(col("d"), expr("(pr * w) div ow").as("c"))
+        .groupBy(col("d")).agg(sum(col("c")).as("m"))
+      val dmass = pr.join(dangling, Seq("h"), "left_semi")
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dm"))
+      pr = hosts
+        .join(contrib, hosts("h") === contrib("d"), "left")
+        .crossJoin(broadcast(dmass))
+        .select(col("h"),
+          (when(col("h") === PprSeedHost, lit(teleport)).otherwise(lit(0L)) +
+            expr(s"(85 * (coalesce(m, 0L) + " +
+              s"CASE WHEN h = '$PprSeedHost' THEN dm ELSE 0L END)) div 100"))
+            .as("pr"))
+    }
+    pr.select(col("h").as("host"), col("pr"))
+  }
+
   // ----------------------------------------------- HITS hubs/authorities
 
   val HitsIters = 5

@@ -404,6 +404,40 @@ object Search {
           .as("snippet"))
   }
 
+  // ---------------------------------------------- reciprocal-rank fusion
+
+  /** RRF smoothing constant (Cormack, Clarke & Buettcher 2009, "Reciprocal
+    * rank fusion outperforms Condorcet and individual rank learning
+    * methods" — public; 60 is the paper's default).
+    */
+  val RrfK = 60L
+
+  /** Reciprocal-rank fusion of the three ranking families' top-10 lists:
+    * rrf(q, d) = Σ_r 2^16 div (60 + rank_r(q, d)) over the lists that
+    * retrieved d, in exact Q16 integers — rank fusion needs NO score
+    * calibration across families (tf weights, BM25 Q16 and QL log-probs
+    * are incomparable; ranks always are), which is exactly why production
+    * search stacks fuse this way. Returns the fused top-10 per query with
+    * the fused score and how many lists agreed. Downstream of three
+    * already-bounded top-10s, everything here is driver-scale.
+    */
+  def rrfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val ret = Seq(searchTopK(spark, sfDir), bm25TopK(spark, sfDir),
+      qlDirichletTopK(spark, sfDir))
+      .map(_.select(col("query_id"), col("rank"), col("doc_id")))
+      .reduce(_ unionByName _)
+    val fused = ret.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr(s"${Q16} div ($RrfK + rank)")).as("rrf_q16"),
+        count(lit(1)).as("n_lists"))
+    val win = Window.partitionBy("query_id").orderBy(col("rrf_q16").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_q16"), col("n_lists"))
+  }
+
   // ---------------------------------------------- cross-ranker evaluation
 
   /** Retrieval-quality audit across the three ranking families (the

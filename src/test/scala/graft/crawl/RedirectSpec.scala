@@ -127,6 +127,37 @@ class RedirectSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 >= 2L), "no multi-hop chain in corpus")
   }
 
+  test("redirect-chain fold equals the walk replay over random functional graphs") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    // random partial function node → node: chains, trees into chains,
+    // cycles of every length, self-loops, dangling targets all arise
+    val gen = for {
+      n <- Gen.choose(2, 24)
+      picks <- Gen.listOfN(n, Gen.option(Gen.choose(0, n + 1))) // n, n+1 dangle
+    } yield picks.zipWithIndex.collect {
+      case (Some(t), i) => s"u$i" -> s"u$t"
+    }
+    val prop = forAll(gen) { edges =>
+      edges.isEmpty || {
+        val got = graft.queries.CrawlQueries
+          .foldRedirectMap(edges.toDF("src", "dst")).collect()
+          .map(r => r.getString(0) ->
+            ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+        val expected = replayChains(edges.toMap.withDefaultValue(""))
+        val ok = got == expected
+        if (!ok) println(s"COUNTEREXAMPLE edges=$edges\n got=$got\n exp=$expected")
+        ok
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(12)
+      .withInitialSeed(org.scalacheck.rng.Seed(11L)), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("redirect-chain fold flags cycles on a constructed graph") {
     val spark = graft.SparkTestBase.spark
     import spark.implicits._

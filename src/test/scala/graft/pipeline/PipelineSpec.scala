@@ -261,6 +261,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == pr)
   }
 
+  test("personalized pagerank: exact local replay, seed host dominates") {
+    val got = HostGraph.hostPersonalizedPr(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val edges = HostGraph.hostEdges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val hosts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val outw = edges.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+    val n = hosts.length
+    var pr = hosts.map(_ -> HostGraph.PrScale).toMap
+    for (_ <- 1 to HostGraph.PageRankIters) {
+      val m = scala.collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      for ((s, d, w) <- edges) m(d) += pr(s) * w / outw(s)
+      val dm = hosts.filterNot(outw.contains).map(pr).sum
+      pr = hosts.map { h =>
+        val tel = if (h == HostGraph.PprSeedHost) 15L * HostGraph.PrScale / 100 * n else 0L
+        val dmh = if (h == HostGraph.PprSeedHost) dm else 0L
+        h -> (tel + 85L * (m(h) + dmh) / 100)
+      }.toMap
+    }
+    assert(got == pr)
+    // the whole teleport mass lands on the seed: it must rank first
+    assert(got.maxBy(_._2)._1 == HostGraph.PprSeedHost)
+    // non-seed hosts still hold flow-through mass (graph is connected)
+    assert(got.filterNot(_._1 == HostGraph.PprSeedHost).values.exists(_ > 0L))
+  }
+
   test("cap-drop audit: zero at live caps, non-zero on a degenerate bucket") {
     import spark.implicits._
     val live = Dedup.capDropStats(spark, sf)
@@ -542,6 +568,29 @@ class PipelineSpec extends AnyFunSuite {
     val got = rows.filter(_.getAs[Long]("query_id") == 5L).sortBy(_.getAs[Long]("rank"))
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toSeq
     assert(got == expected.toSeq)
+  }
+
+  test("rrf fusion: scores equal a local fold over the three rankers' outputs") {
+    val outs = Seq(Search.searchTopK(spark, sf), Search.bm25TopK(spark, sf),
+      Search.qlDirichletTopK(spark, sf))
+      .map(_.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("rank"), r.getAs[Long]("doc_id"))))
+    val fusedLocal = outs.flatten
+      .groupBy(t => (t._1, t._3))
+      .map { case ((q, d), g) =>
+        (q, d, g.map(t => 65536L / (Search.RrfK + t._2)).sum, g.length.toLong)
+      }
+    val expected = fusedLocal.groupBy(_._1).flatMap { case (q, g) =>
+      g.toSeq.sortBy(t => (-t._3, t._2)).take(Search.TopK)
+        .zipWithIndex.map { case ((_, d, s, n), i) => (q, i + 1L, d, s, n) }
+    }.toSet
+    val got = Search.rrfTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_q16"),
+        r.getAs[Long]("n_lists"))).toSet
+    assert(got == expected)
+    // fusion is non-trivial: some doc is retrieved by more than one list
+    assert(got.exists(_._5 >= 2L))
   }
 
   test("search snippets: first-hit positions and windows equal a local recompute") {

@@ -31,6 +31,42 @@ class UrlScrubSpec extends AnyFunSuite {
     assert(UrlScrub.scrub("ht tp://bad url") == "ht tp://bad url")
   }
 
+  test("properties: idempotent, param-order invariant, tracking-only ≡ bare") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val key = Gen.oneOf(Gen.identifier.map(_.take(5)),
+      Gen.oneOf("utm_source", "utm_campaign", "fbclid", "gclid", "ref", "a", "id", "z"))
+    val param = for { k <- key; v <- Gen.alphaNumStr.map(_.take(6)) } yield s"$k=$v"
+    val gen = for {
+      host <- Gen.oneOf("h.test", "x.example", "y.test:8080")
+      segs <- Gen.listOfN(2, Gen.identifier.map(_.take(4)))
+      ps <- Gen.listOf(param).map(_.take(8))
+    } yield (s"http://$host/${segs.mkString("/")}", ps)
+    val prop = forAll(gen) { case (base, ps) =>
+      def u(params: Seq[String]) =
+        if (params.isEmpty) base else s"$base?${params.mkString("&")}"
+      val s1 = UrlScrub.scrub(u(ps))
+      // idempotent
+      val idem = UrlScrub.scrub(s1) == s1
+      // param order never matters
+      val orderInv = UrlScrub.scrub(u(ps.reverse)) == s1
+      // adding ONLY tracking params changes nothing vs the scrubbed base
+      val tracked = ps.filter(p => UrlScrub.isTracking(p.takeWhile(_ != '=')))
+      val trackOnly = UrlScrub.scrub(u(tracked)) == UrlScrub.scrub(u(Nil))
+      // the kept multiset survives exactly
+      val kept = ps.filterNot(p => UrlScrub.isTracking(p.takeWhile(_ != '='))).sorted
+      val got = s1.split("\\?", 2) match {
+        case Array(_, q) => q.split("&").toSeq.sorted
+        case _           => Seq.empty
+      }
+      idem && orderInv && trackOnly && (got == kept)
+    }
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(200)
+      .withInitialSeed(org.scalacheck.rng.Seed(7L)), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("injected-view query: tracked variants fold, bare urls stay; engine matches construction") {
     val spark = graft.SparkTestBase.spark
     val rows = graft.queries.CrawlQueries.urlScrub(spark, "/root/testdata/sf0.001")
