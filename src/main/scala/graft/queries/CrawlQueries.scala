@@ -479,15 +479,18 @@ object CrawlQueries {
     import spark2.implicits._
     val dir = CorpusGen.ensureFor(spark, sfDir)
     CorpusGen.pages(spark, dir).select(col("url")).as[String]
-      .flatMap { url =>
-        val h = graft.pipeline.TextAnalysis.hexOf(
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(url.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-          .take(4)
-        Seq(url,
-          s"$url?z=9&utm_source=feed&id=$h&a=1",
-          s"$url?a=1&id=$h&utm_medium=rss&z=9")
-          .map(v => (v, graft.url.UrlScrub.scrub(v)))
+      .mapPartitions { it =>
+        // one digest per task, reset by digest() — not one per row
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { url =>
+          val h = graft.pipeline.TextAnalysis.hexOf(
+            md5.digest(url.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            .take(4)
+          Seq(url,
+            s"$url?z=9&utm_source=feed&id=$h&a=1",
+            s"$url?a=1&id=$h&utm_medium=rss&z=9")
+            .map(v => (v, graft.url.UrlScrub.scrub(v)))
+        }
       }.toDF("url", "scrubbed")
   }
 
