@@ -1140,6 +1140,7 @@ object SparkEntry {
     "crawl_redirect_gated" -> ((s, d) => C.redirectCrawl(s, d)),
     "crawl_redirect_chains" -> ((s, d) => C.redirectChains(s, d)),
     "crawl_url_scrub" -> ((s, d) => C.urlScrub(s, d)),
+    "crawl_index_fold" -> ((s, d) => C.indexFold(s, d)),
     "crawl_canonical_targets" -> ((s, d) => C.canonicalTargets(s, d)),
     "crawl_canonical_fold" -> ((s, d) => C.canonicalFold(s, d)),
     "crawl_full_gates" -> ((s, d) => C.fullGatesCrawl(s, d)),
@@ -1464,6 +1465,44 @@ object SparkEntry {
          |  COALESCE(t.hops, CAST(-1 AS BIGINT)) AS hops,
          |  CAST(CASE WHEN t.src IS NULL THEN 1 ELSE 0 END AS BIGINT) AS cycled
          |FROM (SELECT url FROM r) s LEFT JOIN term t ON t.src = s.url""".stripMargin,
+    // representative-url index fold: X68 × X51 composed — redirect sources
+    // fold to the canonical-or-self of their chain terminal, cycles get no
+    // representative, everything else folds canonical-or-self
+    "crawl_index_fold" ->
+      s"""WITH RECURSIVE r AS MATERIALIZED (
+         |  SELECT url, redirect_to FROM ${gt("meta")} WHERE redirect_to <> ''),
+         |walk(src, cur, hops) AS (
+         |  SELECT url AS src, redirect_to AS cur, CAST(1 AS BIGINT) AS hops
+         |  FROM r
+         |  UNION ALL
+         |  SELECT w.src, r2.redirect_to, w.hops + 1
+         |  FROM walk w JOIN r r2 ON r2.url = w.cur
+         |  WHERE w.hops <= (SELECT COUNT(*) FROM r)),
+         |term AS (
+         |  SELECT w.src, w.cur AS terminal
+         |  FROM walk w LEFT JOIN r r3 ON r3.url = w.cur
+         |  WHERE r3.url IS NULL),
+         |chains AS (
+         |  SELECT s.url, COALESCE(t.terminal, '') AS terminal,
+         |    CASE WHEN t.src IS NULL THEN 1 ELSE 0 END AS cycled
+         |  FROM (SELECT url FROM r) s LEFT JOIN term t ON t.src = s.url),
+         |c AS (SELECT url, canonical_to FROM ${gt("meta")} WHERE empty_html = 0),
+         |crep AS (SELECT url AS cu,
+         |           CASE WHEN canonical_to <> '' THEN canonical_to ELSE url END AS crep
+         |         FROM c)
+         |SELECT c.url,
+         |  CASE WHEN c.canonical_to <> '' THEN c.canonical_to ELSE c.url END AS rep,
+         |  CASE WHEN c.canonical_to <> '' THEN 'canonical' ELSE 'self' END AS via
+         |FROM c WHERE c.url NOT IN (SELECT url FROM r)
+         |UNION ALL
+         |SELECT ch.url,
+         |  CASE WHEN ch.cycled = 1 THEN ''
+         |       ELSE COALESCE(cr.crep, ch.terminal) END AS rep,
+         |  CASE WHEN ch.cycled = 1 THEN 'cycle'
+         |       WHEN cr.crep IS NOT NULL AND cr.crep <> ch.terminal
+         |         THEN 'redirect+canonical'
+         |       ELSE 'redirect' END AS via
+         |FROM chains ch LEFT JOIN crep cr ON cr.cu = ch.terminal""".stripMargin,
     // cuckoo seen-filter run: the pre-filter cannot change exact results,
     // so the oracle is the identical reachability CTE — any cuckoo false
     // negative would surface as duplicate rows / wrong depths here

@@ -565,6 +565,42 @@ object CrawlQueries {
       when(col("r_src").isNull, 0L).otherwise(1L).cast("long").as("cycled"))
   }
 
+  /** The indexer's representative-url fold — X68 × X51 composed: which
+    * single url stands for each page's content once redirects AND
+    * canonical declarations are honored. Non-redirect pages fold to their
+    * declared canonical (self when none); redirect sources fold to the
+    * canonical-or-self of their chain TERMINAL (possibly an empty page,
+    * which declares nothing); cycle-trapped sources get no representative
+    * (rep = '', via = 'cycle' — a trap to flag, not to index). `via`
+    * records which rule fired: self / canonical / redirect /
+    * redirect+canonical. Two proven folds plus two url-keyed joins — at
+    * scale the chain fold dominates and everything else is linear.
+    */
+  def indexFold(spark: SparkSession, sfDir: String): DataFrame = {
+    val canon = canonicalTargets(spark, sfDir).localCheckpoint(true)
+    val chains = redirectChains(spark, sfDir)
+    val repOf = canon.select(col("url").as("cu"),
+      when(col("canonical_to") =!= "", col("canonical_to"))
+        .otherwise(col("url")).as("crep"))
+    val base = canon
+      .join(chains.select(col("url").as("ru")), col("url") === col("ru"), "left_anti")
+      .select(col("url"),
+        when(col("canonical_to") =!= "", col("canonical_to"))
+          .otherwise(col("url")).as("rep"),
+        when(col("canonical_to") =!= "", lit("canonical"))
+          .otherwise(lit("self")).as("via"))
+    val red = chains
+      .join(repOf, chains("terminal") === repOf("cu"), "left")
+      .select(chains("url"),
+        when(col("cycled") === 1L, lit(""))
+          .otherwise(coalesce(col("crep"), col("terminal"))).as("rep"),
+        when(col("cycled") === 1L, lit("cycle"))
+          .when(col("crep").isNotNull && col("crep") =!= col("terminal"),
+            lit("redirect+canonical"))
+          .otherwise(lit("redirect")).as("via"))
+    base.unionByName(red)
+  }
+
   /** Full host0 BFS following meta-refresh redirects
     * (CrawlConfig.followRedirects): a redirecting page is seen but never
     * saved, and its only outgoing edge is the refresh target. Same

@@ -158,6 +158,40 @@ class RedirectSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("index fold: redirect terminals composed with canonical declarations") {
+    val spark = graft.SparkTestBase.spark
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.CrawlQueries.indexFold(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val spec = CorpusGen.specFor(sf)
+    val all = for (h <- 0 until spec.nHosts; i <- 0 until spec.hostSizes(h))
+      yield (h, i)
+    val redirect = all.map { case (h, i) =>
+      CorpusGen.pageUrl(h, i) -> CorpusGen.redirectTargetOf(spec, h, i) }.toMap
+    val canonical = all.map { case (h, i) =>
+      CorpusGen.pageUrl(h, i) -> CorpusGen.canonicalTargetOf(spec, h, i) }.toMap
+    val empty = all.map { case (h, i) =>
+      CorpusGen.pageUrl(h, i) -> CorpusGen.isEmptyPage(spec, h, i) }.toMap
+    val chains = replayChains(redirect)
+    val expected = redirect.collect { case (u, r) if !empty(u) =>
+      if (r.isEmpty) {
+        val c = canonical(u)
+        u -> (if (c.nonEmpty) (c, "canonical") else (u, "self"))
+      } else chains(u) match {
+        case ("", _, _) => u -> (("", "cycle"))
+        case (t, _, _) =>
+          val cr =
+            if (empty.getOrElse(t, true)) t
+            else { val c = canonical(t); if (c.nonEmpty) c else t }
+          u -> (if (cr != t) (cr, "redirect+canonical") else (t, "redirect"))
+      }
+    }
+    assert(got == expected)
+    // all three primary rules fire at this corpus size
+    for (via <- Seq("self", "canonical", "redirect"))
+      assert(got.values.exists(_._2 == via), s"no $via row")
+  }
+
   test("redirect-chain fold flags cycles on a constructed graph") {
     val spark = graft.SparkTestBase.spark
     import spark.implicits._
