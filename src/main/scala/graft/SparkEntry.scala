@@ -1194,6 +1194,7 @@ object SparkEntry {
     "dd_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "dd_cluster_residual" -> ((s, d) => Dedup.clusterConvergence(s, d)),
     "dd_dup_keep" -> ((s, d) => Dedup.dedupedDocs(s, d)),
+    "dd_dup_rate_by_source" -> ((s, d) => Dedup.dupRateBySource(s, d)),
     "dd_train_manifest" -> ((s, d) => Dedup.trainManifest(s, d)),
     "dd_data_mix" -> ((s, d) => Dedup.dataMix(s, d)),
     "dd_mix_budget" -> ((s, d) => Dedup.mixBudget(s, d)),
@@ -2141,6 +2142,26 @@ object SparkEntry {
       (dupClusterCtes +
         s"""\nSELECT doc_id FROM dup_docs WHERE doc_id NOT IN (
            |  SELECT doc_id FROM l${Dedup.ClusterIters} WHERE doc_id <> lbl)""".stripMargin),
+    // per-source dedup-loss report: injected ids map to their base doc's
+    // source by the +1M/+2M offsets; loss rate in exact Q16
+    "dd_dup_rate_by_source" ->
+      (dupClusterCtes +
+        s""",
+           |srcs AS (SELECT doc_id AS bid, source FROM documents),
+           |dd2 AS (SELECT doc_id,
+           |          CASE WHEN doc_id >= 2000000 THEN doc_id - 2000000
+           |               WHEN doc_id >= 1000000 THEN doc_id - 1000000
+           |               ELSE doc_id END AS bid
+           |        FROM dup_docs),
+           |losers AS (SELECT doc_id FROM l${Dedup.ClusterIters} WHERE doc_id <> lbl)
+           |SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN lo.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_dup_losers,
+           |  CAST((SUM(CASE WHEN lo.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 65536)
+           |    // COUNT(*) AS BIGINT) AS loser_rate_q16
+           |FROM dd2 JOIN srcs s ON s.bid = dd2.bid
+           |LEFT JOIN losers lo ON lo.doc_id = dd2.doc_id
+           |GROUP BY 1""".stripMargin),
     // convergence audit: every pair edge must have both endpoints on one
     // label after the fixed round budget (graft.pipeline.Dedup
     // .clusterConvergence) — residual measured, not assumed

@@ -462,6 +462,33 @@ object Dedup {
       .join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Per-source dedup-loss report — the "which sources are mirror-heavy"
+    * dashboard a curation run reads before deciding source weights: for
+    * every source, how many docs of the dup-injected view it contributed
+    * and how many fell as dup-cluster losers, with the loss rate in exact
+    * Q16 ((losers·2^16) div docs — no float ratios). Injected dup ids map
+    * back to their base doc's source by the documented +1M/+2M offsets.
+    * One cluster job (already bounded) + two hash joins + one agg; scales
+    * with the cluster output, not the corpus.
+    */
+  def dupRateBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val losers = dupClusters(spark, sfDir)
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id"), lit(1L).as("is_loser"))
+    val srcOf = docs(spark, sfDir).select(col("doc_id").as("bid"), col("source"))
+    docsWithDups(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") >= 2000000L, col("doc_id") - 2000000L)
+          .when(col("doc_id") >= 1000000L, col("doc_id") - 1000000L)
+          .otherwise(col("doc_id")).as("bid"))
+      .join(srcOf, "bid")
+      .join(losers, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_loser"), lit(0L))).as("n_dup_losers"))
+      .withColumn("loser_rate_q16", expr("(n_dup_losers * 65536) div n_docs"))
+  }
+
   /** The end-to-end training-data manifest — what the whole pipeline exists
     * to produce: base documents that (a) pass every Gopher quality gate and
     * (b) are not non-keeper members of a dup cluster, with their token

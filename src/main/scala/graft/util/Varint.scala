@@ -40,7 +40,8 @@ object Varint {
     var i = 0
     while (i < sortedIds.length) {
       val id = sortedIds(i)
-      require(id >= prev || i == 0, s"unsorted posting $id after $prev")
+      require(if (i == 0) id >= 0L else id >= prev,
+        s"posting $id after $prev (ids must be non-negative and sorted)")
       put(out, if (i == 0) id else id - prev)
       prev = id
       i += 1

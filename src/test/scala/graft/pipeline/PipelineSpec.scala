@@ -261,6 +261,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == pr)
   }
 
+  test("dup rate by source: totals and rates consistent with the cluster output") {
+    val rows = Dedup.dupRateBySource(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_losers"),
+          r.getAs[Long]("loser_rate_q16")))).toMap
+    val nDocs = Dedup.docsWithDups(spark, sf).count()
+    val losers = Dedup.dupClusters(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") =!=
+        org.apache.spark.sql.functions.col("keeper_id")).count()
+    assert(rows.values.map(_._1).sum == nDocs)
+    assert(rows.values.map(_._2).sum == losers)
+    rows.foreach { case (src, (n, l, q)) =>
+      assert(l <= n && q == l * 65536L / n, src)
+    }
+    // dedup losses actually land in the report
+    assert(rows.values.exists(_._2 > 0L))
+    // every source of the base table appears
+    val srcs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.keySet == srcs)
+  }
+
   test("personalized pagerank: exact local replay, seed host dominates") {
     val got = HostGraph.hostPersonalizedPr(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
