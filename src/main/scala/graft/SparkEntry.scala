@@ -628,6 +628,45 @@ object SparkEntry {
        |WHERE rank <= ${Search.TopK}""".stripMargin
   }
 
+  /** Manifest + temperature-flattened mix-budget CTE chain (Dedup
+    * .mixBudget in SQL): the gated manifest `mani(doc_id, lang, n_tokens,
+    * bucket)` and the largest-remainder apportionment ending at
+    * `mixr`/`mixl` — shared by dd_mix_budget and dd_corpus_assembly so the
+    * allocation arithmetic cannot drift between them.
+    */
+  private def mixBudgetCtes(budget: Long): String =
+    dupClusterCtes + ",\n" +
+      s"""$gopherCtes,
+         |$lmScoreCtes,
+         |$lmBucketCtes,
+         |mani AS (
+         |  SELECT c.doc_id, d.lang,
+         |    CASE WHEN trim(d.text) = '' THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+         |    END AS n_tokens,
+         |    COALESCE(
+         |      CASE WHEN r.lang_rank * 3 <= r.n_lang THEN 'head'
+         |           WHEN r.lang_rank * 3 <= r.n_lang * 2 THEN 'middle'
+         |           WHEN r.lang_rank IS NOT NULL THEN 'tail' END,
+         |      'tail') AS bucket
+         |  FROM gcnt c JOIN documents d ON d.doc_id = c.doc_id
+         |  LEFT JOIN rk r ON r.doc_id = c.doc_id
+         |  WHERE ($gopherPassCond)
+         |    AND c.doc_id NOT IN (
+         |      SELECT doc_id FROM l${Dedup.ClusterIters} WHERE doc_id <> lbl)),
+         |mixw AS (
+         |  SELECT lang, bucket, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS BIGINT))) AS BIGINT) AS weight
+         |  FROM mani GROUP BY 1, 2),
+         |mixt AS (SELECT SUM(weight) AS w_total FROM mixw),
+         |mixq AS (SELECT lang, bucket, total_tokens, weight,
+         |           ($budget * weight) // w_total AS base,
+         |           ($budget * weight) % w_total AS rem
+         |         FROM mixw CROSS JOIN mixt),
+         |mixl AS (SELECT $budget - SUM(base) AS leftover FROM mixq),
+         |mixr AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang, bucket) AS rk
+         |         FROM mixq)""".stripMargin
+
   /** The stupid-backoff bigram LM score CTE chain (graft.pipeline.Lm
     * .lmScore in SQL): exact integer counts, log2 in Q16 fixed point via
     * the SAME 16-step shift-and-square integer iteration Lm.log2fix runs
@@ -1198,6 +1237,7 @@ object SparkEntry {
     "dd_train_manifest" -> ((s, d) => Dedup.trainManifest(s, d)),
     "dd_data_mix" -> ((s, d) => Dedup.dataMix(s, d)),
     "dd_mix_budget" -> ((s, d) => Dedup.mixBudget(s, d)),
+    "dd_corpus_assembly" -> ((s, d) => Dedup.corpusAssembly(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dd_repeated_ngrams" -> ((s, d) => Dedup.repeatedNgrams(s, d)),
     "dd_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
@@ -2885,41 +2925,33 @@ object SparkEntry {
     // total_tokens)) (alpha=0.5), the token budget apportioned by largest
     // remainder — sum(alloc_tokens) == K exactly
     "dd_mix_budget" ->
-      (dupClusterCtes + ",\n" +
-        s"""$gopherCtes,
-           |$lmScoreCtes,
-           |$lmBucketCtes,
-           |mani AS (
-           |  SELECT c.doc_id, d.lang,
-           |    CASE WHEN trim(d.text) = '' THEN CAST(0 AS BIGINT)
-           |         ELSE CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
-           |    END AS n_tokens,
-           |    COALESCE(
-           |      CASE WHEN r.lang_rank * 3 <= r.n_lang THEN 'head'
-           |           WHEN r.lang_rank * 3 <= r.n_lang * 2 THEN 'middle'
-           |           WHEN r.lang_rank IS NOT NULL THEN 'tail' END,
-           |      'tail') AS bucket
-           |  FROM gcnt c JOIN documents d ON d.doc_id = c.doc_id
-           |  LEFT JOIN rk r ON r.doc_id = c.doc_id
-           |  WHERE ($gopherPassCond)
-           |    AND c.doc_id NOT IN (
-           |      SELECT doc_id FROM l${Dedup.ClusterIters} WHERE doc_id <> lbl)),
-           |mixw AS (
-           |  SELECT lang, bucket, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           |    CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS BIGINT))) AS BIGINT) AS weight
-           |  FROM mani GROUP BY 1, 2),
-           |mixt AS (SELECT SUM(weight) AS w_total FROM mixw),
-           |mixq AS (SELECT lang, bucket, total_tokens, weight,
-           |           (${Dedup.MixBudgetTokens} * weight) // w_total AS base,
-           |           (${Dedup.MixBudgetTokens} * weight) % w_total AS rem
-           |         FROM mixw CROSS JOIN mixt),
-           |mixl AS (SELECT ${Dedup.MixBudgetTokens} - SUM(base) AS leftover FROM mixq),
-           |mixr AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang, bucket) AS rk
-           |         FROM mixq)
+      (mixBudgetCtes(Dedup.MixBudgetTokens) +
+        s"""
            |SELECT lang, bucket, total_tokens, weight,
            |  CAST(base + CASE WHEN rk <= (SELECT leftover FROM mixl) THEN 1 ELSE 0 END
            |       AS BIGINT) AS alloc_tokens
            |FROM mixr""".stripMargin),
+    // corpus assembly: each (lang, bucket) stratum filled to its
+    // largest-remainder allocation in md5(doc_id) order — running total of
+    // PRECEDING picks under the allocation, first overshooting doc kept
+    "dd_corpus_assembly" ->
+      (mixBudgetCtes(Dedup.AssemblyBudgetTokens) +
+        s""",
+           |alloc AS (
+           |  SELECT lang, bucket,
+           |    base + CASE WHEN rk <= (SELECT leftover FROM mixl) THEN 1 ELSE 0 END
+           |      AS alloc_tokens
+           |  FROM mixr),
+           |pick AS (
+           |  SELECT m.doc_id, m.lang, m.bucket, m.n_tokens,
+           |    COALESCE(SUM(m.n_tokens) OVER (
+           |      PARTITION BY m.lang, m.bucket
+           |      ORDER BY md5(CAST(m.doc_id AS VARCHAR)), m.doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+           |  FROM mani m)
+           |SELECT p.doc_id, p.lang, p.bucket, CAST(p.n_tokens AS BIGINT) AS n_tokens
+           |FROM pick p JOIN alloc a ON a.lang = p.lang AND a.bucket = p.bucket
+           |WHERE p.prior < a.alloc_tokens""".stripMargin),
     // C4 cleaning heuristics (Raffel et al. 2020 §2.2) over the
     // deterministic five-variant injected view (TextAnalysis.c4Docs) —
     // line filter, sentence-count gate, lorem-ipsum / brace page drops

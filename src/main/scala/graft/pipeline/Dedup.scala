@@ -611,6 +611,56 @@ object Dedup {
       .select(col("lang"), col("bucket"), col("total_tokens"),
         col("weight"), col("alloc").as("alloc_tokens"))
 
+  /** The corpus-assembly capstone — X67 × the manifest × the stratified
+    * cut composed: the FINAL pick of training documents under the
+    * temperature-flattened token budget. Each (lang, bucket) stratum of
+    * the manifest receives its largest-remainder allocation
+    * ([[mixBudget]]'s arithmetic, recomputed over the same manifest); docs
+    * within a stratum are ordered by md5(doc_id) (the deterministic
+    * shuffle of [[TextAnalysis.stratifiedSample]]) and taken while the
+    * running token total of PRECEDING picks is under the stratum's
+    * allocation — first overshooting doc included, zero-alloc strata
+    * excluded entirely. Returns (doc_id, lang, bucket, n_tokens): the
+    * assembled corpus, a pure function of the input tables.
+    *
+    * Scale shape: the manifest is already gated/deduped; the per-stratum
+    * window is the single-window SPEC of the cut — at 100 TB the same
+    * semantics run as [[TextAnalysis.stratifiedSampleScalable]]'s two-pass
+    * per-partition quotas with (lang, bucket) strata.
+    */
+  /** Token budget for [[corpusAssembly]] — deliberately far below the
+    * manifest's total tokens at every sandbox sf, so the stratified cut
+    * actually engages (X67's reporting budget exceeds the small corpora
+    * and would select everything — a trivial pick proves nothing).
+    */
+  val AssemblyBudgetTokens = 5000L
+
+  def corpusAssembly(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = docs(spark, sfDir).select(col("doc_id"), col("lang"))
+    val mani = trainManifest(spark, sfDir)
+      .join(langs, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("n_tokens"))
+      .localCheckpoint(true)
+    val mix = mani.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("weight",
+        expr("CAST(FLOOR(SQRT(total_tokens)) AS BIGINT)"))
+    val alloc = Apportion.largestRemainder(
+      mix.select(col("lang"), col("bucket"), col("total_tokens"), col("weight")),
+      AssemblyBudgetTokens, Seq("lang", "bucket"))
+      .select(col("lang"), col("bucket"), col("alloc").as("alloc_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    mani
+      .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(broadcast(alloc), Seq("lang", "bucket"))
+      .filter(col("prior") < col("alloc_tokens"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("n_tokens"))
+  }
+
   /** Benchmark decontamination: which documents share a [[GramW]]-token
     * window with the benchmark set — the check every training corpus runs
     * against its eval suites before release. The benchmark here is the

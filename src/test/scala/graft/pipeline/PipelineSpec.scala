@@ -261,6 +261,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == pr)
   }
 
+  test("corpus assembly: exact local replay of the per-stratum budget cut") {
+    val got = Dedup.corpusAssembly(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val langOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mani = Dedup.trainManifest(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("bucket")))
+    // local largest-remainder replay of the per-stratum allocations
+    val budget = Dedup.AssemblyBudgetTokens
+    val totals = mani.map { case (id, n, b) => ((langOf(id), b), n) }
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    val weights = totals.map { case (s, t) => s -> math.sqrt(t.toDouble).toLong }
+    val wTotal = weights.values.sum
+    val base = weights.map { case (s, w) => s -> budget * w / wTotal }
+    val leftover = budget - base.values.sum
+    val ranked = weights.toSeq
+      .sortBy { case ((l, b), w) => (-(budget * w % wTotal), l, b) }
+      .map(_._1).zipWithIndex.toMap
+    val alloc = base.map { case (s, v) =>
+      s -> (v + (if (ranked(s) < leftover) 1L else 0L))
+    }
+    assert(alloc.values.sum == budget) // Σalloc ≡ K
+    def h(id: Long) = TextAnalysis.hexOf(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val expected = mani.map { case (id, n, b) => (id, langOf(id), b, n) }
+      .groupBy(t => (t._2, t._3)).toSeq.flatMap { case (s, g) =>
+        val a = alloc.getOrElse(s, 0L)
+        var prior = 0L
+        g.sortBy(t => (h(t._1), t._1)).takeWhile { t =>
+          val in = prior < a; prior += t._4; in
+        }.toSeq
+      }.toSet
+    assert(got == expected)
+    // the cut engages: some stratum holds more tokens than its allocation
+    val stratumTotals = mani.map { case (id, n, b) => ((langOf(id), b), n) }
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    assert(stratumTotals.exists { case (s, t) => t > alloc.getOrElse(s, 0L) })
+    assert(got.nonEmpty && got.size < mani.length)
+  }
+
   test("dup rate by source: totals and rates consistent with the cluster output") {
     val rows = Dedup.dupRateBySource(spark, sf).collect()
       .map(r => r.getString(0) ->
