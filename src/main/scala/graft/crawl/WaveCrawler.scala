@@ -297,12 +297,31 @@ object WaveCrawler {
     math.max(1, math.min(spark.sparkContext.defaultParallelism.toLong,
       rows / RowsPerPartition + 1)).toInt
 
+  /** Cached-corpus rows per partition: extraction runs ~0.3 ms/page, so
+    * ~2000 rows bounds a full-partition extract task near half a second
+    * while cutting the per-wave task count ~4× on small host slices.
+    */
+  val CacheRowsPerPartition = 2000L
+
+  private def cachePartsFor(spark: SparkSession, rows: Long): Int =
+    math.max(1, math.min(spark.sparkContext.defaultParallelism.toLong,
+      rows / CacheRowsPerPartition + 1)).toInt
+
   /** Assign a 0-based dense global index by sort order without a
     * single-reducer window: range-repartition on the sort key, sort within
     * partitions, then add per-partition offsets (zipWithIndex).
+    *
+    * Partitioning is sized from the input's ACTUAL row count (one cheap
+    * column-pruned pass), not a core-count constant: a small input takes the
+    * single-partition path — no range-sampling pass, no zipWithIndex
+    * offsets job, one sort task — while a large one range-partitions up to
+    * defaultParallelism exactly as before (the count pass replaces the
+    * range partitioner's own sampling pass, so scale cost is unchanged).
+    * Index VALUES are partitioning-independent (guide §2.5: derive
+    * partitioning from input size, never from the local core count).
     */
   def withGlobalIndex(df: DataFrame, idxName: String, sortCols: Column*): DataFrame =
-    withGlobalIndexN(df, idxName, df.sparkSession.sparkContext.defaultParallelism, sortCols: _*)
+    withGlobalIndexN(df, idxName, nParts(df.sparkSession, df.count()), sortCols: _*)
 
   def withGlobalIndexN(df: DataFrame, idxName: String, numParts: Int, sortCols: Column*): DataFrame = {
     val spark = df.sparkSession
@@ -433,6 +452,7 @@ object WaveCrawler {
     config.matchPatterns.foreach(Glob.compileOrThrow)
     config.followPatterns.foreach(Glob.compileOrThrow)
 
+    var dedupTmp: DataFrame = null // list-mode dedup checkpoint, released below
     val frontier0: DataFrame =
       if (config.isUrlListMode) {
         // A3: order-kept first-wins dedup of the url file (reference
@@ -447,10 +467,16 @@ object WaveCrawler {
           spark.sparkContext.parallelize(seq, nParts(spark, seq.size)).toDF("url_raw", "line_no")
         }
         val normUdf = udf((s: String) => UrlNorm.normalize(s).toOption.orNull)
+        // checkpoint the dedup output so the global index's sizing count and
+        // its sort pass both read the materialized rows instead of re-running
+        // the normalize UDF + groupBy shuffle (the headline's timed region
+        // pays this chain once per crawl)
         val df = lines
           .select(normUdf($"url_raw").as("url"), $"line_no")
           .filter($"url".isNotNull)
           .groupBy($"url").agg(min($"line_no").as("first_line"))
+          .localCheckpoint(false)
+        dedupTmp = df
         withGlobalIndex(df, "seq", $"first_line".asc)
           .select($"url",
             udf((u: String) => UrlNorm.hostnameOf(u)).apply($"url").as("host"),
@@ -462,6 +488,7 @@ object WaveCrawler {
     // lazy checkpoint + count = ONE materialization job (eager + count = two)
     val frontier = frontier0.localCheckpoint(false)
     val n0 = frontier.count()
+    if (dedupTmp != null) dedupTmp.unpersist() // frontier is materialized
 
     val state0 = State(frontier, n0, Vector(frontier), Vector.empty,
       savedTotal = 0L, maxSeq = n0 - 1, wave = 0, depth = 0)
@@ -610,14 +637,22 @@ object WaveCrawler {
       // multi-host crawls can reach any host — no host prune
       val pruned =
         if (!listMode && sameHostOnly) slim.filter(hostPrunePredicate(startHost)) else slim
-      // coalesce the cached corpus down to the core count: the parquet scan
-      // may carry hundreds of splits, and EVERY wave's J1+extract job
-      // schedules one task per cached partition — at ~3-5 ms/task the empty
-      // tasks, not the work, dominate small-wave latency. coalesce (not
-      // repartition) keeps it shuffle-free; on a cluster the same knob is
-      // partitions ≈ total executor cores.
+      // coalesce the cached corpus to a partition count derived from its
+      // ACTUAL row count (one url-only count — parquet prunes the html
+      // column and keeps the host PushedFilters): EVERY wave's J1+extract
+      // job (and every job re-reading the wave's persisted `processed`,
+      // which inherits this partitioning) schedules one task per cached
+      // partition, and at ~3-5 ms/task the empty tasks, not the work,
+      // dominate small-wave latency — a small host slice wants ~4-8
+      // partitions, not one per core. Capped at defaultParallelism so a
+      // large corpus keeps full scan parallelism (guide §2.5: size from
+      // the data, not the local core count). coalesce (not repartition)
+      // keeps it shuffle-free.
       val sized =
-        if (doCachePages) pruned.coalesce(spark.sparkContext.defaultParallelism) else pruned
+        if (doCachePages) {
+          val rows = pruned.select($"url").count()
+          pruned.coalesce(cachePartsFor(spark, rows))
+        } else pruned
       if (doCachePages) sized.persist(StorageLevel.MEMORY_AND_DISK) else sized
     }
 

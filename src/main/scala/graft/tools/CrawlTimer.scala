@@ -23,21 +23,52 @@ object CrawlTimer {
     val dir = CorpusGen.ensureFor(spark, sfDir)
     val pages = CorpusGen.pages(spark, dir)
 
+    // job/task counters: deterministic per-crawl overhead evidence immune to
+    // ambient host load (the wall-clock A/B's ±40% noise)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        tasks.incrementAndGet(): Unit
+    })
+
     def runN(label: String, cfg: CrawlConfig, n: Int): Unit = {
       var best = Double.MaxValue
       var saved = 0L
+      var lastJobs = 0L
+      var lastTasks = 0L
       (1 to n).foreach { _ =>
+        val (j0, t0n) = (jobs.get(), tasks.get())
         val t0 = System.nanoTime()
         saved = WaveCrawler.crawl(spark, pages, cfg).saved.count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         if (dt < best) best = dt
+        lastJobs = jobs.get() - j0; lastTasks = tasks.get() - t0n
       }
-      println(f"$label%-28s best=$best%6.2f s  saved=$saved")
+      println(f"$label%-28s best=$best%6.2f s  saved=$saved  jobs=$lastJobs  tasks=$lastTasks")
     }
     def run(label: String, cfg: CrawlConfig): Unit = runN(label, cfg, repeats)
 
     val seed = "http://host0.test/"
+    // SPARK_GRAFT_TIMER=list times ONLY the headline list-mode crawl (the
+    // bench's measured phase) — repeats until stable, for kernel A/Bs
+    if (sys.env.get("SPARK_GRAFT_TIMER").contains("list")) {
+      val allUrls = graft.queries.CrawlQueries.urlLines(spark, dir)
+      (1 to repeats).foreach { _ =>
+        val (j0, t0n) = (jobs.get(), tasks.get())
+        val t0 = System.nanoTime()
+        val n = WaveCrawler.crawl(spark, pages,
+          CrawlConfig(urlListDf = Some(allUrls), isUrlListMode = true)).saved.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        println(f"list_extract_all $dt%6.3f s  saved=$n  jobs=${jobs.get() - j0}  tasks=${tasks.get() - t0n}")
+      }
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_TIMER=aqe runs only the AQE A/B in a STRICT A,B,A,B…
     // interleave of single runs (same JVM, shared JIT/cache) — each printed
     // line is one crawl, so ambient-load drifts hit both sides evenly
