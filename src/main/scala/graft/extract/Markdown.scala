@@ -22,15 +22,80 @@ object Markdown {
 
   // precompiled: String.replaceAll re-compiles its pattern on EVERY call,
   // and these run per block / per table cell in the extraction hot path
-  private val WsOnlyLine = java.util.regex.Pattern.compile("(?m)^[ \\t]+$")
-  private val NewlineRun3 = java.util.regex.Pattern.compile("\\n{3,}")
   private val NewlineRun = java.util.regex.Pattern.compile("\\n+")
   private val TrailingWs = java.util.regex.Pattern.compile("\\s+$")
 
-  /** Blank out whitespace-only lines, then collapse 3+ newlines to 2. */
-  private def collapse(s: String): String =
-    NewlineRun3.matcher(WsOnlyLine.matcher(s).replaceAll(""))
-      .replaceAll("\n\n")
+  /** `NewlineRun.replaceAll(" ")` with a no-newline fast path (headings and
+    * every table cell run this; their inline text almost never holds '\n').
+    */
+  @inline private def newlinesToSpace(s: String): String =
+    if (s.indexOf('\n') < 0) s else NewlineRun.matcher(s).replaceAll(" ")
+
+  // Java multiline line terminators (Pattern MULTILINE, no UNIX_LINES)
+  @inline private def isLineTerm(c: Char): Boolean =
+    c == '\n' || c == '\r' || c == '\u0085' || c == '\u2028' || c == '\u2029'
+
+  /** Blank out whitespace-only lines, then collapse 3+ newlines to 2 —
+    * exactly `"(?m)^[ \t]+$" → ""` followed by `"\n{3,}" → "\n\n"` without
+    * the two regex passes (this runs per list item / blockquote / table
+    * cell AND once over the whole page; CollapseEquivalenceSpec pins it
+    * against the regex formulation on adversarial inputs). One prescan
+    * decides whether anything rewrites — the common small-call case then
+    * returns the input with zero allocation.
+    */
+  private[extract] def collapse(s: String): String = {
+    val n = s.length
+    // prescan: a whitespace-only line, or a run of 3+ '\n'?
+    var i = 0
+    var rewrite = false
+    while (i < n && !rewrite) {
+      val ls = i
+      var wsOnly = true
+      while (i < n && !isLineTerm(s.charAt(i))) {
+        val c = s.charAt(i)
+        if (c != ' ' && c != '\t') wsOnly = false
+        i += 1
+      }
+      if (i > ls && wsOnly) rewrite = true
+      else if (i < n) {
+        if (s.charAt(i) == '\n' && i + 2 < n &&
+          s.charAt(i + 1) == '\n' && s.charAt(i + 2) == '\n') rewrite = true
+        i += 1
+      }
+    }
+    if (!rewrite) return s
+    // fused rewrite: drop [ \t]-only line contents, then cap every emitted
+    // '\n' run at 2 (line contents contain no terminators, so only the
+    // terminator emission affects the run count)
+    val sb = new java.lang.StringBuilder(n)
+    var nlRun = 0
+    i = 0
+    while (i < n) {
+      val ls = i
+      var wsOnly = true
+      while (i < n && !isLineTerm(s.charAt(i))) {
+        val c = s.charAt(i)
+        if (c != ' ' && c != '\t') wsOnly = false
+        i += 1
+      }
+      if (i > ls && !wsOnly) {
+        sb.append(s, ls, i)
+        nlRun = 0
+      }
+      if (i < n) {
+        val t = s.charAt(i)
+        if (t == '\n') {
+          nlRun += 1
+          if (nlRun <= 2) sb.append(t)
+        } else {
+          nlRun = 0
+          sb.append(t)
+        }
+        i += 1
+      }
+    }
+    sb.toString
+  }
 
   private val blockTags = Set("p", "div", "section", "article", "main", "aside",
     "header", "footer", "nav", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol",
@@ -58,7 +123,7 @@ object Markdown {
     case "html" | "body" => renderBlocks(e)
     case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
       val level = e.tag.charAt(1) - '0'
-      val text = NewlineRun.matcher(inline(e).trim).replaceAll(" ")
+      val text = newlinesToSpace(inline(e).trim)
       if (text.isEmpty) "" else "\n\n" + ("#" * level) + " " + text + "\n\n"
     case "p" =>
       val content = inline(e).trim
@@ -150,7 +215,7 @@ object Markdown {
     def cells(tr: HElement): Vector[(String, String)] =
       tr.children.collect {
         case c: HElement if c.tag == "td" || c.tag == "th" =>
-          (c.tag, NewlineRun.matcher(inline(c).trim).replaceAll(" ").replace("|", "\\|"))
+          (c.tag, newlinesToSpace(inline(c).trim).replace("|", "\\|"))
       }.toVector
     val allRows = rows.map(cells).filter(_.nonEmpty)
     if (allRows.isEmpty) return ""

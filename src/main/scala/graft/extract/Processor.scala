@@ -151,30 +151,40 @@ object Processor {
       case Left(e)  => return Left(s"failed to parse page URL $pageUrl: $e")
     }
 
-    // (htmlToProcess, tree-of-it-or-null): the tree feeds readability's first
-    // attempt directly; the string remains the retry source, so retry
-    // semantics are byte-identical to the serialize→re-parse formulation.
-    val chosen: (String, graft.html.HDocument) =
+    // (htmlToProcess, tree-or-null, retry-reparse-or-null): the tree feeds
+    // readability's first attempt directly; retries re-parse the string —
+    // or, for the accepted pre-filtered tree, RE-DERIVE it (parse raw +
+    // removeTags + mergeAdjacentText, which is byte-equivalent to parsing
+    // its serialization — the serializer/parser round-trip property pinned
+    // by SerializerLengthSpec), so the modified document's full string is
+    // never built: its serialized LENGTH alone decides acceptance.
+    val chosen: (String, graft.html.HDocument, () => graft.html.HDocument) =
       if (contentSelector.nonEmpty) {
         doc.findFirst(contentSelector) match {
-          case Some(sel) => (sel.outerHtml, null) // sliced fragment: re-parse
-          case None      => (rawHtml, doc) // selector miss → full raw, no pre-filter
+          case Some(sel) => (sel.outerHtml, null, null) // sliced fragment: re-parse
+          case None      => (rawHtml, doc, null) // selector miss → full raw, no pre-filter
         }
       } else {
         // one fused traversal instead of five selector passes
         val removed = doc.removeTags(preFilterTags)
         if (removed > 0) doc.mergeAdjacentText() // = serialize→re-parse text adjacency
-        val modified = doc.outerHtml
-        if (rawHtml.length != modified.length && removed > 0) (modified, doc)
-        else if (removed == 0) (rawHtml, doc) // doc is still the pristine tree
-        else (rawHtml, null) // mutated but rejected (length tie) → re-parse raw
+        if (removed == 0) (rawHtml, doc, null) // doc is still the pristine tree
+        else if (rawHtml.length != doc.outerHtmlLength)
+          (rawHtml, doc, () => {
+            val d2 = HtmlParser.parse(rawHtml)
+            val r2 = d2.removeTags(preFilterTags)
+            if (r2 > 0) d2.mergeAdjacentText()
+            d2
+          })
+        else (rawHtml, null, null) // mutated but rejected (length tie) → re-parse raw
       }
 
     val htmlToProcess = chosen._1
     val preparsed = chosen._2
     val (article, resultEl) =
       if (preparsed != null)
-        Readability.parseToDom(htmlToProcess, parsedUrl, preparsed, needContent = needArticleHtml)
+        Readability.parseToDom(htmlToProcess, parsedUrl, preparsed,
+          needContent = needArticleHtml, reparse = chosen._3)
       else Readability.parseToDom(htmlToProcess, parsedUrl, needContent = needArticleHtml)
     // consume the readability DOM directly — no serialize→re-parse round trip
     val markdown =

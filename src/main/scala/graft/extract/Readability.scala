@@ -68,12 +68,28 @@ object Readability {
     *                     keepArticleHtml=false): one full article serialize
     *                     and one text walk per page saved.
     */
+  /** @param reparse optional factory for the retry attempts' fresh tree —
+    *                  must produce a tree ≡ HtmlParser.parse(rawHtml). The
+    *                  crawl path passes a re-derivation of the pre-filtered
+    *                  tree (parse raw + removeTags + mergeAdjacentText) so
+    *                  the pre-filtered document never needs serializing at
+    *                  all; null ⇒ parse rawHtml (unchanged behavior).
+    */
   def parseToDom(rawHtml: String, pageUrl: GoUrl,
-      preparsed: HDocument = null, needContent: Boolean = true): (Article, HElement) = {
-    // metadata title is read from the pristine document
+      preparsed: HDocument = null, needContent: Boolean = true,
+      reparse: () => HDocument = null): (Article, HElement) = {
+    // metadata title is read from the pristine document — metas and the
+    // first <title> collected in ONE walk (was two-three full find() walks)
     val metaDoc = if (preparsed != null) preparsed else HtmlParser.parse(rawHtml)
-    val metaTitle = getArticleMetadataTitle(metaDoc)
-    val articleTitle = if (metaTitle.nonEmpty) metaTitle else getArticleTitle(metaDoc)
+    val metasB = Vector.newBuilder[HElement]
+    var titleEl: HElement = null
+    metaDoc.root.foreachElement { e =>
+      if (e.tag == "meta") metasB += e
+      else if (titleEl == null && e.tag == "title") titleEl = e
+    }
+    val metaTitle = getArticleMetadataTitle(metasB.result())
+    val articleTitle =
+      if (metaTitle.nonEmpty) metaTitle else getArticleTitle(metaDoc, titleEl)
 
     var flags = FlagStripUnlikelys | FlagWeightClasses | FlagCleanConditionally
     val attempts = mutable.ArrayBuffer[(HElement, Int)]()
@@ -86,7 +102,10 @@ object Readability {
     while (!done) {
       // the first attempt reuses the (read-only-so-far) metadata tree; later
       // attempts re-parse because grabArticle mutates the document
-      val doc = if (firstAttempt) metaDoc else HtmlParser.parse(rawHtml)
+      val doc =
+        if (firstAttempt) metaDoc
+        else if (reparse != null) reparse()
+        else HtmlParser.parse(rawHtml)
       firstAttempt = false
       prepDocument(doc)
       val content = grabArticle(doc, flags, articleTitle, byline)
@@ -124,8 +143,7 @@ object Readability {
 
   private def wordCount(s: String): Int = s.split("\\s+").count(_.nonEmpty)
 
-  private def getArticleMetadataTitle(doc: HDocument): String = {
-    val metas = doc.find("meta")
+  private def getArticleMetadataTitle(metas: Vector[HElement]): String = {
     def metaVal(keys: Set[String]): Option[String] =
       metas.iterator.flatMap { m =>
         val key = m.attr("property").orElse(m.attr("name")).getOrElse("").toLowerCase.trim
@@ -135,8 +153,11 @@ object Readability {
       "weibo:webpage:title", "title")).getOrElse("")
   }
 
-  private[extract] def getArticleTitle(doc: HDocument): String = {
-    val origTitle = doc.findFirst("title").map(t => normSpace(t.text)).getOrElse("")
+  private[extract] def getArticleTitle(doc: HDocument): String =
+    getArticleTitle(doc, doc.findFirst("title").orNull)
+
+  private def getArticleTitle(doc: HDocument, titleEl: HElement): String = {
+    val origTitle = if (titleEl == null) "" else normSpace(titleEl.text)
     var curTitle = origTitle
     var titleHadHierarchicalSeparators = false
 
@@ -174,14 +195,17 @@ object Readability {
 
   // ---- prep ----
 
+  private val ScriptNoscriptStyle = Set("script", "noscript", "style")
+
   private def prepDocument(doc: HDocument): Unit = {
     // Readability.js order: _unwrapNoscriptImages runs BEFORE _removeScripts
     // (which also drops noscript), so a lazy-load <img><noscript><img></noscript>
     // pair resolves to the noscript's (full-quality) image
     unwrapNoscriptImages(doc)
-    doc.removeAll("script")
-    doc.removeAll("noscript")
-    doc.removeAll("style")
+    // one traversal ≡ sequential removeAll("script"/"noscript"/"style")
+    // (disjoint tag sets; nested hits detach with their ancestors either way
+    // — the removeTags equivalence documented in Dom)
+    doc.removeTags(ScriptNoscriptStyle): Unit
     replaceBrs(doc)
     doc.find("font").foreach(_.replaceWithTag("span"))
   }
@@ -226,14 +250,25 @@ object Readability {
     * new image, renamed `data-old-*` on conflict.
     */
   private def unwrapNoscriptImages(doc: HDocument): Unit = {
-    doc.find("img").toVector.foreach { img =>
+    // collect imgs and noscripts in ONE document-order walk (two full find()
+    // walks otherwise; both loops below mutate, so snapshots are required
+    // anyway)
+    val imgs = Vector.newBuilder[HElement]
+    val noscripts = Vector.newBuilder[HElement]
+    if (doc.root.tag == "img") imgs += doc.root
+    else if (doc.root.tag == "noscript") noscripts += doc.root
+    doc.root.foreachElement { e =>
+      if (e.tag == "img") imgs += e
+      else if (e.tag == "noscript") noscripts += e
+    }
+    imgs.result().foreach { img =>
       val keep = img.attrs.exists { case (k, v) =>
         k == "src" || k == "srcset" || k == "data-src" || k == "data-srcset" ||
           rxImgExt.findFirstIn(v).isDefined
       }
       if (!keep) img.remove()
     }
-    doc.find("noscript").toVector.foreach { ns =>
+    noscripts.result().foreach { ns =>
       // noscript content is a raw-text node (scripting-enabled parse, like
       // x/net/html); parse it the way the reference re-parses the string
       val tmp = HtmlParser.parse(ns.text)
@@ -392,37 +427,56 @@ object Readability {
     var cnt = 0
     var pendingSpace = false
     var started = false
-    def walk(n: HNode): Unit = n match {
-      case t: HText =>
-        val s = t.data
-        var i = 0
-        while (i < s.length) {
-          val c = s.charAt(i)
-          if (isJavaWs(c)) { if (started) pendingSpace = true }
-          else {
-            if (pendingSpace) { cnt += 1; pendingSpace = false }
-            cnt += 1
-            started = true
-          }
-          i += 1
+    def walk(el: HElement): Unit = {
+      var j = 0
+      val cs = el.children
+      while (j < cs.length) {
+        cs(j) match {
+          case t: HText =>
+            val s = t.data
+            var i = 0
+            while (i < s.length) {
+              val c = s.charAt(i)
+              if (isJavaWs(c)) { if (started) pendingSpace = true }
+              else {
+                if (pendingSpace) { cnt += 1; pendingSpace = false }
+                cnt += 1
+                started = true
+              }
+              i += 1
+            }
+          case c: HElement => walk(c)
+          case _           =>
         }
-      case el: HElement => el.children.foreach(walk)
-      case _            =>
+        j += 1
+      }
     }
     walk(e)
     cnt
   }
 
+  /** class + " " + id without Option allocations (runs per element in the
+    * walk and share scans; both attrs absent — the common case — returns a
+    * shared literal).
+    */
+  @inline private def classIdString(e: HElement): String = {
+    val cn = e.attrOrNull("class")
+    val id = e.attrOrNull("id")
+    if (cn == null) { if (id == null) " " else " " + id }
+    else if (id == null) cn + " "
+    else cn + " " + id
+  }
+
   private def classWeight(e: HElement, flags: Int): Double = {
     if ((flags & FlagWeightClasses) == 0) return 0
     var weight = 0.0
-    val cls = e.className
-    if (cls.nonEmpty) {
+    val cls = e.attrOrNull("class")
+    if (cls != null && cls.nonEmpty) {
       if (rxNegative.findFirstIn(cls).isDefined) weight -= 25
       if (rxPositive.findFirstIn(cls).isDefined) weight += 25
     }
-    val id = e.id
-    if (id.nonEmpty) {
+    val id = e.attrOrNull("id")
+    if (id != null && id.nonEmpty) {
       if (rxNegative.findFirstIn(id).isDefined) weight -= 25
       if (rxPositive.findFirstIn(id).isDefined) weight += 25
     }
@@ -444,10 +498,13 @@ object Readability {
     val textLen = normTextLen(e)
     if (textLen == 0) return 0
     var linkLen = 0.0
-    e.selfAndDescendants.filter(_.tag == "a").foreach { a =>
-      val coeff = if (a.attr("href").exists(_.startsWith("#"))) 0.3 else 1.0
+    @inline def addA(a: HElement): Unit = {
+      val href = a.attrOrNull("href")
+      val coeff = if (href != null && href.startsWith("#")) 0.3 else 1.0
       linkLen += normTextLen(a) * coeff
     }
+    if (e.tag == "a") addA(e)
+    e.foreachElement(el => if (el.tag == "a") addA(el))
     linkLen / textLen
   }
 
@@ -463,18 +520,29 @@ object Readability {
   }
 
   private def isVisible(e: HElement): Boolean = {
-    val style = e.attr("style").getOrElse("").toLowerCase
-    !(style.replace(" ", "").contains("display:none") ||
-      style.replace(" ", "").contains("visibility:hidden")) &&
-      e.attr("hidden").isEmpty &&
-      !e.attr("aria-hidden").contains("true")
+    // allocation-free on the common no-style path (runs per element per walk)
+    val style0 = e.attrOrNull("style")
+    val styleOk = style0 == null || {
+      val style = style0.toLowerCase.replace(" ", "")
+      !(style.contains("display:none") || style.contains("visibility:hidden"))
+    }
+    styleOk && e.attrOrNull("hidden") == null &&
+      e.attrOrNull("aria-hidden") != "true"
   }
 
-  private def hasChildBlockElement(e: HElement): Boolean =
-    e.children.exists {
-      case c: HElement => DivToPElems.contains(c.tag) || hasChildBlockElement(c)
-      case _           => false
+  private def hasChildBlockElement(e: HElement): Boolean = {
+    var i = 0
+    val cs = e.children
+    while (i < cs.length) {
+      cs(i) match {
+        case c: HElement =>
+          if (DivToPElems.contains(c.tag) || hasChildBlockElement(c)) return true
+        case _ =>
+      }
+      i += 1
     }
+    false
+  }
 
   private def hasSingleTagInside(e: HElement, tag: String): Boolean = {
     val elems = e.children.collect { case c: HElement => c }
@@ -517,9 +585,11 @@ object Readability {
       if (byline.found) return false
       val rel = e.attrOrNull("rel")
       val itemprop = e.attrOrNull("itemprop")
+      // matchString == " " (no class, no id — the common case) cannot match
+      // rxByline (every alternative needs word chars): skip the Matcher
       val matches = (rel != null && rel == "author") ||
         (itemprop != null && itemprop.contains("author")) ||
-        rxByline.findFirstIn(matchString).isDefined
+        (matchString.length > 1 && rxByline.findFirstIn(matchString).isDefined)
       if (matches && isValidByline(e.text)) {
         byline.found = true
         byline.text = e.text.trim
@@ -530,13 +600,16 @@ object Readability {
 
     def walk(node: HElement): Unit = {
       // iterate over a snapshot: children may be removed/replaced
-      val snapshot = node.children.toVector
-      snapshot.foreach {
+      // (toArray: one arraycopy, vs Vector.from's per-node tree build)
+      val snapshot = node.children.toArray
+      var si = 0
+      while (si < snapshot.length) {
+        snapshot(si) match {
         case e: HElement =>
-          val matchString = e.className + " " + e.id
+          val matchString = classIdString(e)
           if (!isVisible(e)) e.remove()
           else if (checkByline(e, matchString)) ()
-          else if (stripUnlikely &&
+          else if (stripUnlikely && matchString.length > 1 &&
             rxUnlikelyCandidates.findFirstIn(matchString).isDefined &&
             rxOkMaybeCandidate.findFirstIn(matchString).isEmpty &&
             !hasAncestorTag(e, "table") && !hasAncestorTag(e, "code") &&
@@ -567,6 +640,8 @@ object Readability {
             } else walk(e)
           }
         case _ =>
+        }
+        si += 1
       }
     }
     walk(body)
@@ -577,8 +652,11 @@ object Readability {
 
     elementsToScore.foreach { el =>
       if (el.parent != null) {
-        val innerText = innerTextNorm(el)
-        if (innerText.length >= 25) {
+        // length gate first via the allocation-free walk: elements under 25
+        // normalized chars (most of them) never build the text string
+        val textLen = normTextLen(el)
+        if (textLen >= 25) {
+          val innerText = innerTextNorm(el)
           var contentScore = 1.0
           contentScore += innerText.split(",").length - 1
           contentScore += math.min(math.floor(innerText.length / 100.0), 3.0)
@@ -694,8 +772,12 @@ object Readability {
   // ---- prepArticle ----
 
   private def prepArticle(article: HElement, flags: Int): Unit = {
-    // strip inline styles
-    article.selfAndDescendants.foreach { e =>
+    // strip inline styles (attr-only mutation: foreachElement is safe and
+    // allocation-free where the lazy descendants iterator is not)
+    article.removeAttr("style")
+    article.removeAttr("align")
+    article.removeAttr("bgcolor")
+    article.foreachElement { e =>
       e.removeAttr("style")
       e.removeAttr("align")
       e.removeAttr("bgcolor")
@@ -719,8 +801,9 @@ object Readability {
       case top: HElement =>
         top.selfAndDescendants.toVector.foreach { e =>
           if (!(e eq top)) {
-            val ms = e.className + " " + e.id
-            if (rxShare.findFirstIn(ms).isDefined && e.text.length < CharThreshold) e.remove()
+            val ms = classIdString(e)
+            if (ms.length > 1 && rxShare.findFirstIn(ms).isDefined &&
+              e.text.length < CharThreshold) e.remove()
           }
         }
       case _ =>

@@ -61,8 +61,12 @@ final class HElement(val tag: String) extends HNode {
   }
 
   def removeAttr(name: String): Unit = {
-    val i = attrs.indexWhere(_._1 == name)
-    if (i >= 0) attrs.remove(i)
+    var i = 0
+    val a = attrs
+    while (i < a.length) {
+      if (a(i)._1 == name) { a.remove(i): Unit; return }
+      i += 1
+    }
   }
 
   def id: String = attr("id").getOrElse("")
@@ -125,10 +129,17 @@ final class HElement(val tag: String) extends HNode {
   /** Concatenated text content (no normalization). */
   def text: String = {
     val sb = new StringBuilder
-    def walk(n: HNode): Unit = n match {
-      case t: HText    => sb.append(t.data)
-      case e: HElement => e.children.foreach(walk)
-      case _           =>
+    def walk(e: HElement): Unit = {
+      var i = 0
+      val cs = e.children
+      while (i < cs.length) {
+        cs(i) match {
+          case t: HText     => sb.append(t.data): Unit
+          case c: HElement  => walk(c)
+          case _            =>
+        }
+        i += 1
+      }
     }
     walk(this)
     sb.toString
@@ -219,6 +230,16 @@ final class HDocument(val preamble: Vector[HNode], val root: HElement) {
     HtmlSerializer.render(root, sb)
     sb.toString
   }
+  /** Exactly `outerHtml.length` in one allocation-free walk — the pre-filter
+    * acceptance test compares serialized length against the raw html, and
+    * building the full string for a length compare is the single largest
+    * per-page allocation in the extraction kernel.
+    */
+  def outerHtmlLength: Long = {
+    var n = 0L
+    preamble.foreach(p => n += HtmlSerializer.renderLength(p))
+    n + HtmlSerializer.renderLength(root)
+  }
 }
 
 object HtmlSerializer {
@@ -268,6 +289,49 @@ object HtmlSerializer {
     ()
   }
 
+  /** Length `escapeInto(s, sb)` would append, without appending. */
+  def escapeLength(s: String): Long = {
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      n += (s.charAt(i) match {
+        case '&' | '\'' | '"' => 5 // &amp; &#39; &#34;
+        case '<' | '>'        => 4 // &lt; &gt;
+        case _                => 1
+      })
+      i += 1
+    }
+    n
+  }
+
+  /** Length [[render]] would append, without building the string — must
+    * mirror render branch for branch (pinned by SerializerLengthSpec over
+    * every corpus page and golden fixture).
+    */
+  def renderLength(n: HNode): Long = n match {
+    case t: HText =>
+      if (t.parent != null && rawTextElements.contains(t.parent.tag)) t.data.length.toLong
+      else escapeLength(t.data)
+    case c: HComment => 7L + c.data.length // <!-- -->
+    case d: HDoctype => 11L + d.data.length // <!DOCTYPE >
+    case e: HElement =>
+      var len = 2L + e.tag.length // < >
+      var i = 0
+      val as = e.attrs
+      while (i < as.length) {
+        val (k, v) = as(i)
+        len += 4L + k.length + escapeLength(v) // space k =" v "
+        i += 1
+      }
+      if (!voidElements.contains(e.tag)) {
+        var j = 0
+        val cs = e.children
+        while (j < cs.length) { len += renderLength(cs(j)); j += 1 }
+        len += 3L + e.tag.length // </ tag >
+      }
+      len
+  }
+
   def render(n: HNode, sb: StringBuilder): Unit = n match {
     case t: HText =>
       if (t.parent != null && rawTextElements.contains(t.parent.tag))
@@ -279,14 +343,20 @@ object HtmlSerializer {
       sb.append("<!DOCTYPE ").append(d.data).append(">")
     case e: HElement =>
       sb.append('<').append(e.tag)
-      e.attrs.foreach { case (k, v) =>
-        sb.append(' ').append(k).append("=\"")
-        escapeInto(v, sb)
+      var i = 0
+      val as = e.attrs
+      while (i < as.length) {
+        val kv = as(i)
+        sb.append(' ').append(kv._1).append("=\"")
+        escapeInto(kv._2, sb)
         sb.append('"')
+        i += 1
       }
       sb.append('>')
       if (!voidElements.contains(e.tag)) {
-        e.children.foreach(c => render(c, sb))
+        var j = 0
+        val cs = e.children
+        while (j < cs.length) { render(cs(j), sb); j += 1 }
         sb.append("</").append(e.tag).append('>')
       }
   }

@@ -65,6 +65,13 @@ object Selector {
     // Char on every access, and chainMatches runs per element per scan
     private[Selector] val partArr: Array[Simple] = parts.map(_._1).toArray
     private[Selector] val combArr: Array[Char] = parts.map(_._2).toArray
+    // non-null iff the chain is a single bare tag name — readability's
+    // dominant selector shape (find("img"), find("p"), …); the scan then
+    // reduces to one string compare per element
+    private[Selector] val bareTag: String = parts match {
+      case Vector((Simple(Some(t), None, Vector(), Vector()), _)) => t
+      case _                                                      => null
+    }
   }
 
   // the selector universe is a small static set (readability internals + the
@@ -225,10 +232,15 @@ object Selector {
     parseGroups(selector) match {
       case Left(_) => Vector.empty // goquery: invalid selector panics; ref guards earlier
       case Right(chains) =>
-        val arr = chains.toArray
         val out = Vector.newBuilder[HElement]
-        root.foreachElement { e =>
-          if (anyChainMatches(arr, e)) out += e
+        if (chains.length == 1 && chains.head.bareTag != null) {
+          val t = chains.head.bareTag
+          root.foreachElement(e => if (e.tag == t) out += e)
+        } else {
+          val arr = chains.toArray
+          root.foreachElement { e =>
+            if (anyChainMatches(arr, e)) out += e
+          }
         }
         out.result()
     }
@@ -238,11 +250,17 @@ object Selector {
     parseGroups(selector) match {
       case Left(_) => Vector.empty
       case Right(chains) =>
-        val arr = chains.toArray
         val out = Vector.newBuilder[HElement]
-        if (anyChainMatches(arr, root)) out += root
-        root.foreachElement { e =>
-          if (anyChainMatches(arr, e)) out += e
+        if (chains.length == 1 && chains.head.bareTag != null) {
+          val t = chains.head.bareTag
+          if (root.tag == t) out += root
+          root.foreachElement(e => if (e.tag == t) out += e)
+        } else {
+          val arr = chains.toArray
+          if (anyChainMatches(arr, root)) out += root
+          root.foreachElement { e =>
+            if (anyChainMatches(arr, e)) out += e
+          }
         }
         out.result()
     }
