@@ -137,7 +137,7 @@ object LinkExtractor {
     pageUrl.parseRef(href) match {
       case Left(_) => null // unparseable href → skipped (crawler.go:503)
       case Right(abs) =>
-        UrlNorm.normalizeParsed(abs.toUrlString) match {
+        UrlNorm.normalizeResolved(abs) match {
           case Left(_) => null // normalize error → skipped (crawler.go:509)
           case Right(resolved) =>
             val ok =

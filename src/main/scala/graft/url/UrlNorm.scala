@@ -78,6 +78,36 @@ object UrlNorm {
     }
   }
 
+  @inline private def isGoSpace(c: Char): Boolean =
+    Character.isWhitespace(c) || c == '\u0085' || c == '\u00A0' ||
+      c == '\u2007' || c == '\u202F'
+
+  /** [[normalizeParsed]] over an ALREADY-PARSED absolute url — the link
+    * extractor's per-href hot path (resolve → normalize → predicates). The
+    * string formulation `normalizeParsed(u.toUrlString)` serializes and
+    * fully re-parses every href; that round trip is the identity except
+    * where `goTrimSpace` could bite (a raw query/opaque tail ending in Go
+    * whitespace — everything else serializes escaped) or where the
+    * scheme-less repair branches could fire, so those cases fall back to
+    * the string path and everything else applies the normalize steps
+    * directly to the parsed form. Pinned ≡ the string path over the
+    * adversarial href grid by NormalizeResolvedSpec.
+    */
+  def normalizeResolved(u: GoUrl): Either[String, GoUrl] = {
+    val fastSafe = u.scheme.nonEmpty && u.host.nonEmpty && u.opaque.isEmpty &&
+      (u.path.isEmpty || u.path.charAt(0) == '/') &&
+      (u.fragment.nonEmpty || u.rawQuery.isEmpty ||
+        !isGoSpace(u.rawQuery.charAt(u.rawQuery.length - 1)))
+    if (!fastSafe) normalizeParsed(u.toUrlString)
+    else {
+      var parsed = u.copy(fragment = "", rawFragment = "")
+      if (parsed.path.isEmpty) parsed = parsed.copy(path = "/")
+      if (parsed.path.length > 1 && parsed.path.endsWith("/"))
+        parsed = parsed.copy(path = parsed.path.dropRight(1))
+      Right(parsed)
+    }
+  }
+
   /** Path canonicalization used by --match / --follow-match predicates
     * (/root/reference/crawler.go:470-475, :522-527): "" → "/", force a
     * leading "/".
