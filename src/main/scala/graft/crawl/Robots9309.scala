@@ -147,6 +147,25 @@ object Robots9309 {
       }.collect().toMap
   }
 
+  /** Per-host politeness-cap TABLE derived from parsed crawl-delays:
+    * (host, hcap = max(1, budget div delaySeconds)) rows, hosts without a
+    * delay absent. The scale shape of [[hostDelays]] — the caps never
+    * transit the driver; the wave engine joins this table per wave
+    * ([[graft.crawl.CrawlConfig.hostWaveCapsDf]]).
+    */
+  def hostDelayCapsDf(spark: SparkSession, sfDir: String, budget: Long,
+      ua: String = RobotsParser.Ua): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = CorpusGen.ensureFor(spark, sfDir)
+    spark.read.parquet(s"$dir/robots_txt.parquet")
+      .select(col("host"), col("body")).as[(String, String)]
+      .flatMap { case (host, body) =>
+        RobotsParser.crawlDelay(body, ua).map(d =>
+          (host, math.max(1L, budget / d).toInt))
+      }.toDF("host", "hcap")
+  }
+
   /** Raw path of a url string (everything from the first `/` after the
     * authority) — RFC 9309 matches the percent-ENCODED path, so the gate
     * must not decode.

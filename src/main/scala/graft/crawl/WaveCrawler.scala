@@ -83,6 +83,16 @@ final case class CrawlConfig(
       * is the small-rule-set fast path.
       */
     robots9309Rules: Map[String, Vector[(String, String)]] = Map.empty,
+    /** Per-host RFC 9309 rules as a TABLE — (host, rule_id, verdict,
+      * pattern) rows, the [[Robots9309.parsedRules]] output. The scale
+      * shape of [[robots9309Rules]]: rules never transit the driver; the
+      * gate runs as a host-keyed join of discovered-link winners against
+      * the per-host aggregated rules (broadcast-hinted only while the
+      * table is ≤ [[WaveCrawler.RobotsBroadcastMaxRows]] rows, a shuffled
+      * join above — the robotsAntiJoin discipline). When set, it REPLACES
+      * the in-kernel gate ([[robots9309]]'s map/constant path is ignored).
+      */
+    robots9309RulesDf: Option[DataFrame] = None,
     /** Honor page-level `<meta name="robots">` directives (the publicly
       * documented REP meta extension; off = reference parity, which has no
       * such concept): a `noindex` page is crawled and expanded but never
@@ -185,6 +195,14 @@ final case class CrawlConfig(
       * Host-bounded — rides the wave as a broadcast join.
       */
     hostWaveCaps: Map[String, Int] = Map.empty,
+    /** Per-host politeness caps as a TABLE — (host, hcap) rows. Scale
+      * shape of [[hostWaveCaps]]: caps ride the existing per-wave join
+      * unchanged, but sourced from a DataFrame (e.g. derived from parsed
+      * robots crawl-delays without any driver collect) and
+      * broadcast-hinted only under the row threshold. Takes precedence
+      * over [[hostWaveCaps]] when set.
+      */
+    hostWaveCapsDf: Option[DataFrame] = None,
     /** Crawler-trap template blocklist (host → digit-collapsed path
       * templates, [[graft.url.UrlNorm.templateOf]]): a discovered link
       * whose (host, template) is listed is DROPPED at extraction — it never
@@ -195,6 +213,14 @@ final case class CrawlConfig(
       * flagged-template table (robotsAntiJoin's shape).
       */
     trapTemplates: Map[String, Set[String]] = Map.empty,
+    /** Trap blocklist as a TABLE — (host, template) rows. Scale shape of
+      * [[trapTemplates]]: the gate is a host+template anti-join of
+      * discovered-link winners against the blocklist (template derived
+      * natively by the documented SQL recipe, byte-identical to
+      * [[graft.url.UrlNorm.templateOf]]), broadcast-hinted only under the
+      * row threshold. When set, the in-kernel map gate is bypassed.
+      */
+    trapTemplatesDf: Option[DataFrame] = None,
     /** Best-first frontier scheduling (X27 composed into the wave engine;
       * OPIC / harvest-rank shape — public): per-url priority is the fixed-
       * point integer rank of the url's HOST in this (host, pr) table
@@ -581,8 +607,40 @@ object WaveCrawler {
     val bc9309 = spark.sparkContext.broadcast(
       config.robots9309Rules.map { case (h, rs) => h -> Robots9309.compile(rs) })
     val bcStartHost = spark.sparkContext.broadcast(startHost)
-    val bcTrap = spark.sparkContext.broadcast(config.trapTemplates)
+    // table-gated crawls bypass the kernel map gate entirely
+    val bcTrap = spark.sparkContext.broadcast(
+      if (config.trapTemplatesDf.isDefined) Map.empty[String, Set[String]]
+      else config.trapTemplates)
     val sameHostOnly = config.sameHostOnly
+
+    // ---- host-keyed gate TABLES (the robotsAntiJoin discipline for every
+    // per-host gate: rules flow as DataFrames, broadcast-hinted only while
+    // genuinely small, shuffled joins above the threshold — no driver-side
+    // host map at any host count). Each table is persisted once per crawl
+    // (every wave re-probes it) and sized by one cheap count. ----
+    def sizedGate(df: DataFrame): (DataFrame, Long) = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      (p, p.count())
+    }
+    val (trapGateDf, trapGateRows) = config.trapTemplatesDf match {
+      case Some(df) => sizedGate(df.select($"host", $"template"))
+      case None     => (null: DataFrame, 0L)
+    }
+    // per-host ordered rule arrays, aggregated ONCE (rule sets are a few
+    // rows per host; the aggregate keys the join by host)
+    val (rules9309GateDf, rules9309GateRows) = config.robots9309RulesDf match {
+      case Some(df) =>
+        sizedGate(df
+          .groupBy($"host")
+          .agg(sort_array(collect_list(struct($"rule_id", $"verdict", $"pattern")))
+            .as("rules")))
+      case None => (null: DataFrame, 0L)
+    }
+    val (capsGateDf, capsGateRows) = config.hostWaveCapsDf match {
+      case Some(df) => sizedGate(df.select($"host", $"hcap"))
+      case None     => (null: DataFrame, 0L)
+    }
+
 
     var frontier = state0.frontier
     var popped = state0.frontierRows
@@ -739,12 +797,18 @@ object WaveCrawler {
             .select($"url", $"host", $"depth", $"seq").localCheckpoint(false)
           val n = pop.count()
           (pop, defer, n)
-        } else if (config.hostWaveCap > 0 || config.hostWaveCaps.nonEmpty) {
-          // per-host overrides (parsed crawl-delays) ride a broadcast join;
-          // hosts without one use the global default (∞ when that is 0)
+        } else if (config.hostWaveCap > 0 || config.hostWaveCaps.nonEmpty ||
+          capsGateDf != null) {
+          // per-host overrides (parsed crawl-delays) ride a host-keyed join
+          // — a caps TABLE when provided (broadcast-hinted only under the
+          // row threshold), the small programmatic Map otherwise; hosts
+          // without one use the global default (∞ when that is 0)
           val defCap = if (config.hostWaveCap > 0) config.hostWaveCap else Int.MaxValue
           val based =
-            if (config.hostWaveCaps.isEmpty) frontier.withColumn("hcap", lit(defCap))
+            if (capsGateDf != null)
+              frontier.join(gateHint(capsGateDf, capsGateRows), Seq("host"), "left")
+                .withColumn("hcap", coalesce($"hcap", lit(defCap)))
+            else if (config.hostWaveCaps.isEmpty) frontier.withColumn("hcap", lit(defCap))
             else {
               val capsDf = {
                 val spark2 = spark; import spark2.implicits._
@@ -783,8 +847,10 @@ object WaveCrawler {
       val joined = frontierForJoin.join(pagesSlim, Seq("url"), "inner")
 
       // plain Booleans hoisted out of the closure: capturing `config` itself
-      // would drag its DataFrame/function fields into task serialization
-      val use9309 = config.robots9309
+      // would drag its DataFrame/function fields into task serialization.
+      // A provided gate TABLE replaces the corresponding in-kernel gate
+      // (the join runs on the winners below).
+      val use9309 = config.robots9309 && rules9309GateDf == null
       val useMetaRobots = config.metaRobots
       val useRedirects = config.followRedirects
       val processedPlan = joined
@@ -987,8 +1053,19 @@ object WaveCrawler {
       // J3 multi-host: robots filtering as a broadcast ANTI-join against the
       // rules table — a blocked url never enters seen/frontier. (Same-host
       // mode filters inside extraction via the seed host's tiny rule set.)
-      val winners =
+      // The table-form trap and RFC 9309 gates chain here in the same
+      // shape; all three are dst-keyed, so gating winners ≡ gating the raw
+      // links (every discoverer of a blocked url drops together — depths
+      // and the seen set are unchanged vs the kernel gate).
+      val winners0 =
         if (robotsDf != null) robotsAntiJoin(winnersAll, robotsDf, robotsRows) else winnersAll
+      val winners1 =
+        if (trapGateDf != null) trapAntiJoin(winners0, trapGateDf, trapGateRows)
+        else winners0
+      val winners =
+        if (rules9309GateDf != null)
+          robots9309GateJoin(winners1, rules9309GateDf, rules9309GateRows)
+        else winners1
 
       // J2 with sharded Bloom pre-filter: links cogroup with the segment
       // table on url-hash bucket (each task deserializes its one segment);
@@ -1011,7 +1088,8 @@ object WaveCrawler {
       val newFrontier = (if (takeLinksPath) {
         val ordered = withGlobalIndexN(fresh, "idx", nParts(spark, linksHint),
           $"parent_seq".asc, $"pos".asc)
-        if (config.hostWaveCap > 0 || config.hostWaveCaps.nonEmpty || priorityMode)
+        if (config.hostWaveCap > 0 || config.hostWaveCaps.nonEmpty ||
+          capsGateDf != null || priorityMode)
           // capped/priority waves pop mixed depths, so a new url's depth is
           // its FIRST discoverer's depth + 1 (the discoverer owning the min
           // (parent_seq, pos) — joined back from the popped wave, which is
@@ -1154,6 +1232,9 @@ object WaveCrawler {
 
     if (doCachePages) pagesSlim.unpersist()
     if (robotsDf != null) robotsDf.unpersist()
+    if (trapGateDf != null) trapGateDf.unpersist()
+    if (rules9309GateDf != null) rules9309GateDf.unpersist()
+    if (capsGateDf != null) capsGateDf.unpersist()
     if (bloomSegs != null) bloomSegs.unpersist()
     val savedAll = unionParts(spark, savedParts, emptySaved(spark))
     val seenAll = unionParts(spark, seenParts, frontier) // frontier ∈ seenParts
@@ -1218,6 +1299,62 @@ object WaveCrawler {
     * dropped and Spark/AQE picks the shuffled LeftAnti — same plan shape,
     * no forced driver materialization.
     */
+  /** Broadcast-hint a host-keyed gate table only while it is genuinely
+    * small — the robotsAntiJoin discipline shared by every gate TABLE
+    * (trap blocklist, parsed 9309 rules, politeness caps): a forced hint
+    * on a 10^8-host table would pin tens of GB into the driver; above the
+    * threshold Spark/AQE picks the shuffled join, same plan shape.
+    */
+  private[crawl] def gateHint(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= RobotsBroadcastMaxRows) broadcast(df) else df
+
+  /** Trap gate, table form: drop links whose (host, digit-collapsed
+    * template) is blocklisted — the template derived natively by the
+    * documented SQL recipe (byte-identical to UrlNorm.templateOf, per its
+    * scaladoc contract), so the gate is a codegen'd hash anti-join on
+    * host with the template equality as post-condition.
+    */
+  private[crawl] def trapAntiJoin(links: DataFrame, trapDf: DataFrame,
+      trapRows: Long = 0L): DataFrame = {
+    val t = gateHint(trapDf, trapRows)
+    links.join(t,
+      links("host") === t("host") &&
+        regexp_replace(
+          regexp_extract(links("url"), "^https?://[^/]+(.*)$", 1),
+          "[0-9]+", "N") === t("template"),
+      "left_anti")
+  }
+
+  /** RFC 9309 gate, table form: links left-join the per-host aggregated
+    * rule arrays (hash join on host; see the aggregation at crawl start),
+    * then the SAME matcher the kernel gate runs evaluates longest-match
+    * per link — rules compiled once per distinct host per task via a
+    * small cache, never per row. A host with no rules is allowed (left
+    * join null ⇒ keep). Input/output: (url, host, parent_seq, pos).
+    */
+  private[crawl] def robots9309GateJoin(links: DataFrame, rulesByHost: DataFrame,
+      rulesRows: Long = 0L): DataFrame = {
+    val spark = links.sparkSession
+    import spark.implicits._
+    links
+      .join(gateHint(rulesByHost, rulesRows), Seq("host"), "left")
+      .select($"url", $"host", $"parent_seq", $"pos", $"rules")
+      .as[(String, String, Long, Int, Seq[(Long, String, String)])]
+      .mapPartitions { it =>
+        val cache = new java.util.HashMap[String, Array[Robots9309.CompiledRule]]()
+        it.filter { case (url, host, _, _, rules) =>
+          rules == null || rules.isEmpty || {
+            var compiled = cache.get(host)
+            if (compiled == null) {
+              compiled = Robots9309.compile(rules.map(r => (r._2, r._3)))
+              cache.put(host, compiled)
+            }
+            Robots9309.allowed(compiled, Robots9309.rawPathOf(url))
+          }
+        }.map(t => (t._1, t._2, t._3, t._4))
+      }.toDF("url", "host", "parent_seq", "pos")
+  }
+
   private[crawl] def robotsAntiJoin(links: DataFrame, robotsDf: DataFrame,
       rulesRows: Long = 0L): DataFrame = {
     val rules =

@@ -72,9 +72,11 @@ object CrawlQueries {
     */
   def robots9309Crawl(spark: SparkSession, sfDir: String): CrawlOutput =
     cached(spark, sfDir, "robots9309") { dir =>
+      // parsed rules flow as a host-keyed TABLE through the engine's join
+      // gate (scale shape — rules never transit the driver)
       WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
         CrawlConfig(startUrl = Seed, robots9309 = true,
-          robots9309Rules = graft.crawl.Robots9309.hostRules(spark, sfDir)))
+          robots9309RulesDf = Some(graft.crawl.Robots9309.parsedRules(spark, sfDir))))
     }
 
   /** Multi-host crawl gated by per-host PARSED RFC 9309 rules: hosts carry
@@ -87,7 +89,7 @@ object CrawlQueries {
     cached(spark, sfDir, "multihost9309") { dir =>
       WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
         CrawlConfig(startUrl = Seed, sameHostOnly = false, robots9309 = true,
-          robots9309Rules = graft.crawl.Robots9309.hostRules(spark, sfDir),
+          robots9309RulesDf = Some(graft.crawl.Robots9309.parsedRules(spark, sfDir)),
           extractContent = false))
     }
 
@@ -850,23 +852,22 @@ object CrawlQueries {
     * [[urlTemplates]] audit's worst offender). Host-bounded collect
     * (1 row/host).
     */
-  private def minedTrapBlocklist(spark: SparkSession,
-      sfDir: String): Map[String, Set[String]] = {
+  private def minedTrapBlocklistDf(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("dst_host")).orderBy(col("n_urls").desc, col("path_template"))
     urlTemplates(spark, sfDir)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("dst_host"), col("path_template")).collect()
-      .groupBy(_.getString(0)).map { case (h, rs) =>
-        h -> rs.map(_.getString(1)).toSet
-      }
+      .select(col("dst_host").as("host"), col("path_template").as("template"))
   }
 
   def trapGatedSeen(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "trapbfs") { dir =>
+      // blocklist flows as a host-keyed TABLE through the engine's
+      // anti-join gate — never a driver-side map (scale shape; the join is
+      // broadcast-hinted while the table is genuinely small)
       WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
         CrawlConfig(startUrl = Seed, extractContent = false,
-          trapTemplates = minedTrapBlocklist(spark, sfDir)))
+          trapTemplatesDf = Some(minedTrapBlocklistDf(spark, sfDir))))
     }.seen.select(col("url"), col("depth").cast("long").as("depth"))
 
   /** EVERY production gate composed into one wave-engine run: per-host
@@ -883,8 +884,8 @@ object CrawlQueries {
       WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
         CrawlConfig(startUrl = Seed, extractContent = false,
           robots9309 = true,
-          robots9309Rules = graft.crawl.Robots9309.hostRules(spark, sfDir),
-          trapTemplates = minedTrapBlocklist(spark, sfDir),
+          robots9309RulesDf = Some(graft.crawl.Robots9309.parsedRules(spark, sfDir)),
+          trapTemplatesDf = Some(minedTrapBlocklistDf(spark, sfDir)),
           metaRobots = true,
           followRedirects = true))
     }
@@ -1033,12 +1034,12 @@ object CrawlQueries {
   def politenessDelay(spark: SparkSession, sfDir: String,
       budget: Int, defCap: Int): DataFrame =
     cached(spark, sfDir, s"delaycap${budget}_$defCap") { dir =>
-      val caps = graft.crawl.Robots9309.hostDelays(spark, sfDir).map {
-        case (h, d) => h -> math.max(1L, budget / d).toInt
-      }
+      // caps derived from the parsed crawl-delays as a host-keyed TABLE —
+      // no driver collect anywhere in the delay→cap→schedule chain
+      val capsDf = graft.crawl.Robots9309.hostDelayCapsDf(spark, sfDir, budget.toLong)
       WaveCrawler.crawl(spark, CorpusGen.pages(spark, dir),
         CrawlConfig(startUrl = Seed, sameHostOnly = false, extractContent = false,
-          hostWaveCap = defCap, hostWaveCaps = caps))
+          hostWaveCap = defCap, hostWaveCapsDf = Some(capsDf)))
     }.saved.select(col("url"), col("depth").cast("long").as("depth"),
       col("wave").cast("long").as("wave"))
 
