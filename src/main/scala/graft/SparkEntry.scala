@@ -1471,7 +1471,11 @@ object SparkEntry {
          |FROM rseen s LEFT JOIN ${gt("meta")} m ON m.url = s.url""".stripMargin,
     // tracking-param scrub over the injected 3-variant view: the oracle
     // states the scrubbed form by construction (tracking keys removed,
-    // survivors sorted), the engine re-derives it with the real parser
+    // survivors sorted), the engine re-derives it with the real parser.
+    // NOTE (ADVICE r5): the string concatenation below is only correct
+    // because corpus base urls are query- and '?'-free (CorpusGen page
+    // urls carry no query string); a CorpusGen change adding query-bearing
+    // urls would make this row fail — by construction, not by engine drift.
     "crawl_url_scrub" ->
       s"""WITH u AS (SELECT url, substr(md5(url), 1, 4) AS h FROM ${gt("meta")}),
          |vars AS (

@@ -59,10 +59,21 @@ object Varint {
       var v = 0L
       var shift = 0
       var b = 0
-      while ({ b = bytes(i) & 0xff; i += 1; (b & 0x80) != 0 }) {
+      while ({
+        if (i >= bytes.length)
+          throw new IllegalArgumentException(
+            s"truncated varint: continuation bit set on final byte (offset $i)")
+        if (shift > 63)
+          throw new IllegalArgumentException(
+            s"malformed varint: more than 10 bytes at offset $i")
+        b = bytes(i) & 0xff; i += 1; (b & 0x80) != 0
+      }) {
         v |= (b & 0x7fL) << shift
         shift += 7
       }
+      if (shift > 63)
+        throw new IllegalArgumentException(
+          s"malformed varint: more than 10 bytes at offset $i")
       v |= b.toLong << shift
       prev = if (first) v else prev + v
       first = false

@@ -42,6 +42,20 @@ class VarintSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed input raises a descriptive error, never AIOOBE or a wrong value") {
+    // truncated mid-varint: continuation bit set on the final byte
+    val truncated = Array(0x80.toByte)
+    val e1 = intercept[IllegalArgumentException](Varint.decodeGaps(truncated))
+    assert(e1.getMessage.contains("truncated"))
+    // over-long varint: 11 continuation bytes would shift past bit 63
+    val overlong = Array.fill(11)(0x81.toByte) :+ 0x01.toByte
+    val e2 = intercept[IllegalArgumentException](Varint.decodeGaps(overlong))
+    assert(e2.getMessage.contains("malformed"))
+    // a valid max-width varint still decodes (Long.MaxValue = 9 bytes)
+    val max = Varint.encodeGaps(Array(Long.MaxValue))
+    assert(Varint.decodeGaps(max).toSeq == Seq(Long.MaxValue))
+  }
+
   test("the sizing query's threshold ladder equals the encoder length") {
     // the columnar formula: 1 + Σ_k [gap >= 2^(7k)]
     def ladder(gap: Long): Long =
