@@ -351,9 +351,13 @@ object WaveCrawler {
 
   def withGlobalIndexN(df: DataFrame, idxName: String, numParts: Int, sortCols: Column*): DataFrame = {
     val spark = df.sparkSession
+    // single-partition path goes through a SHUFFLE (repartitionByRange(1)
+    // skips range sampling), not coalesce(1): coalesce would fuse the whole
+    // upstream — scans, UDFs — into the one sort task, serializing work
+    // that should run wide (guide §2.4's accidental-coalesce pitfall)
     val sorted =
-      if (numParts <= 1) df.coalesce(1).sortWithinPartitions(sortCols: _*)
-      else df.repartitionByRange(numParts, sortCols: _*).sortWithinPartitions(sortCols: _*)
+      df.repartitionByRange(math.max(1, numParts), sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema
     val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ idx)
@@ -493,11 +497,19 @@ object WaveCrawler {
           spark.sparkContext.parallelize(seq, nParts(spark, seq.size)).toDF("url_raw", "line_no")
         }
         val normUdf = udf((s: String) => UrlNorm.normalize(s).toOption.orNull)
+        // the line source may arrive in fewer partitions than cores (e.g. a
+        // globally-indexed list ends in one sort partition): spread the
+        // normalize UDF across the machine before it runs — one tiny
+        // shuffle of raw url strings; a no-op at scale, where the list
+        // already has ≥ cores partitions
+        val cores = spark.sparkContext.defaultParallelism
+        val linesWide =
+          if (lines.rdd.getNumPartitions < cores) lines.repartition(cores) else lines
         // checkpoint the dedup output so the global index's sizing count and
         // its sort pass both read the materialized rows instead of re-running
         // the normalize UDF + groupBy shuffle (the headline's timed region
         // pays this chain once per crawl)
-        val df = lines
+        val df = linesWide
           .select(normUdf($"url_raw").as("url"), $"line_no")
           .filter($"url".isNotNull)
           .groupBy($"url").agg(min($"line_no").as("first_line"))

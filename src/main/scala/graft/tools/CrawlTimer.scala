@@ -27,11 +27,33 @@ object CrawlTimer {
     // ambient host load (the wall-clock A/B's ±40% noise)
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val tasks = new java.util.concurrent.atomic.AtomicLong
+    // per-job detail (SPARK_GRAFT_TIMER=listdetail): job wall + task count
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobTasks = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+    val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    val detail = sys.env.get("SPARK_GRAFT_TIMER").contains("listdetail")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet(): Unit
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        tasks.incrementAndGet(): Unit
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (detail) {
+          jobStarts.put(j.jobId, System.nanoTime())
+          jobTasks.put(j.jobId, new java.util.concurrent.atomic.AtomicLong)
+          j.stageIds.foreach(s => stageToJob.put(s, j.jobId))
+        }
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (detail) {
+          val t0 = jobStarts.getOrDefault(j.jobId, 0L)
+          val n = Option(jobTasks.get(j.jobId)).map(_.get()).getOrElse(0L)
+          System.err.println(f"[job ${j.jobId}%3d] ${(System.nanoTime() - t0) / 1e6}%8.1f ms  tasks=$n")
+        }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (detail) {
+          val jid = stageToJob.getOrDefault(t.stageId, -1)
+          Option(jobTasks.get(jid)).foreach(_.incrementAndGet())
+        }
+      }
     })
 
     def runN(label: String, cfg: CrawlConfig, n: Int): Unit = {
@@ -55,7 +77,7 @@ object CrawlTimer {
     val seed = "http://host0.test/"
     // SPARK_GRAFT_TIMER=list times ONLY the headline list-mode crawl (the
     // bench's measured phase) — repeats until stable, for kernel A/Bs
-    if (sys.env.get("SPARK_GRAFT_TIMER").contains("list")) {
+    if (sys.env.get("SPARK_GRAFT_TIMER").exists(_.startsWith("list"))) {
       val allUrls = graft.queries.CrawlQueries.urlLines(spark, dir)
       (1 to repeats).foreach { _ =>
         val (j0, t0n) = (jobs.get(), tasks.get())
