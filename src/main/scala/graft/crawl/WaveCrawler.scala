@@ -163,18 +163,23 @@ final case class CrawlConfig(
       */
     broadcastFrontierMax: Long = 1000000L,
     cachePages: Boolean = true, // re-partition + cache the corpus once per crawl
-    /** EXPERIMENTAL wave-size AQE gate: when > 0, waves with fewer frontier
-      * rows run with spark.sql.adaptive.enabled=false (AQE's per-shuffle
-      * re-planning is pure overhead when every shuffle is tiny) and larger
-      * waves re-enable it (skew-join splitting, partition coalescing); the
-      * caller's session setting is restored on exit. Default 0 = never
-      * touch the session conf: measured A/B (CrawlTimer SPARK_GRAFT_TIMER=
-      * aqe, interleaved same-JVM pairs) shows AQE-off winning ~30% at
-      * sf0.01 but LOSING ~10-25% at sf0.1 on this VM — the crossover is
-      * inside ambient noise, so the engine ships with Spark's default and
-      * leaves the knob for cluster-specific tuning.
+    /** Wave-size AQE gate: waves with fewer frontier rows than this run
+      * with spark.sql.adaptive.enabled=false (AQE materializes every
+      * exchange as its own job, and that per-shuffle re-planning is pure
+      * scheduling latency when every shuffle is tiny) and larger waves
+      * re-enable it (skew-join splitting, partition coalescing — exactly
+      * what a 10^8-row wave wants); the caller's session setting is
+      * restored on exit. The default matches [[WaveCrawler.RowsPerPartition]]
+      * — "small" means the whole wave fits one partition's worth of rows,
+      * a data-size bound, not a core-count constant. Round-4 measurements
+      * had this off (crossover inside noise); round-6's row-count-derived
+      * partitioning removed the coalescing AQE was providing, and the
+      * interleaved same-JVM A/B (CrawlTimer SPARK_GRAFT_TIMER=aqe, sf0.1)
+      * now shows gate-on winning ~10% with 189 → 65 Spark jobs per crawl.
+      * 0 = never touch the session conf (callers running concurrent
+      * queries on one session should pass 0).
       */
-    aqeMinWaveRows: Long = 0L,
+    aqeMinWaveRows: Long = WaveCrawler.RowsPerPartition,
     /** Politeness rate cap: when > 0, each wave pops at most this many
       * frontier urls PER HOST (FIFO by seq — the reference's queue order)
       * and defers the rest to later waves. This is the per-scheduling-round

@@ -31,7 +31,7 @@ object CrawlTimer {
     val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val jobTasks = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
     val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
-    val detail = sys.env.get("SPARK_GRAFT_TIMER").contains("listdetail")
+    val detail = sys.env.get("SPARK_GRAFT_TIMER").exists(_.contains("detail"))
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
