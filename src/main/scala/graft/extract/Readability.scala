@@ -467,6 +467,45 @@ object Readability {
     else cn + " " + id
   }
 
+  /** True iff `normTextLen(e) >= n` — walks only until the count is
+    * reached (the scoring gate and the empty-paragraph check need a
+    * threshold, not the exact subtree length; most elements decide within
+    * their first text node).
+    */
+  private def normTextLenAtLeast(e: HElement, n: Int): Boolean = {
+    if (n <= 0) return true
+    var cnt = 0
+    var pendingSpace = false
+    var started = false
+    def walk(el: HElement): Boolean = {
+      var j = 0
+      val cs = el.children
+      while (j < cs.length) {
+        cs(j) match {
+          case t: HText =>
+            val s = t.data
+            var i = 0
+            while (i < s.length) {
+              val c = s.charAt(i)
+              if (isJavaWs(c)) { if (started) pendingSpace = true }
+              else {
+                if (pendingSpace) { cnt += 1; pendingSpace = false }
+                cnt += 1
+                started = true
+                if (cnt >= n) return true
+              }
+              i += 1
+            }
+          case c: HElement => if (walk(c)) return true
+          case _           =>
+        }
+        j += 1
+      }
+      false
+    }
+    walk(e)
+  }
+
   private def classWeight(e: HElement, flags: Int): Double = {
     if ((flags & FlagWeightClasses) == 0) return 0
     var weight = 0.0
@@ -652,10 +691,9 @@ object Readability {
 
     elementsToScore.foreach { el =>
       if (el.parent != null) {
-        // length gate first via the allocation-free walk: elements under 25
-        // normalized chars (most of them) never build the text string
-        val textLen = normTextLen(el)
-        if (textLen >= 25) {
+        // length gate first via the early-exit walk: short elements never
+        // build the text string, long ones stop counting at 25
+        if (normTextLenAtLeast(el, 25)) {
           val innerText = innerTextNorm(el)
           var contentScore = 1.0
           contentScore += innerText.split(",").length - 1
@@ -823,11 +861,15 @@ object Readability {
     // replace h1 → h2
     article.find("h1").foreach(_.replaceWithTag("h2"))
 
-    // remove empty paragraphs
+    // remove empty paragraphs — text check first (early-exits at the first
+    // non-ws char, so non-empty paragraphs never pay a full subtree walk);
+    // the media scan runs only for the rare text-empty ones
     article.find("p").foreach { p =>
-      val hasMedia = p.selfAndDescendants.exists(e =>
-        e.tag == "img" || e.tag == "embed" || e.tag == "object" || e.tag == "iframe")
-      if (!hasMedia && normTextLen(p) == 0) p.remove()
+      if (!normTextLenAtLeast(p, 1)) {
+        val hasMedia = p.selfAndDescendants.exists(e =>
+          e.tag == "img" || e.tag == "embed" || e.tag == "object" || e.tag == "iframe")
+        if (!hasMedia) p.remove()
+      }
     }
 
     // remove br preceding a p
