@@ -136,7 +136,15 @@ object Robots9309 {
     * only (host, seconds) pairs reach the driver.
     */
   def hostDelays(spark: SparkSession, sfDir: String,
-      ua: String = RobotsParser.Ua): Map[String, Long] = {
+      ua: String = RobotsParser.Ua): Map[String, Long] =
+    hostDelaysDs(spark, sfDir, ua).collect().toMap
+
+  /** The distributed (host, crawl-delay seconds) parse behind both
+    * [[hostDelays]] (small-set Map path) and [[hostDelayCapsDf]] (the
+    * table path) — one definition of the robots_txt scan.
+    */
+  private def hostDelaysDs(spark: SparkSession, sfDir: String,
+      ua: String): org.apache.spark.sql.Dataset[(String, Long)] = {
     val spark2 = spark
     import spark2.implicits._
     val dir = CorpusGen.ensureFor(spark, sfDir)
@@ -144,7 +152,7 @@ object Robots9309 {
       .select(col("host"), col("body")).as[(String, String)]
       .flatMap { case (host, body) =>
         RobotsParser.crawlDelay(body, ua).map(d => (host, d))
-      }.collect().toMap
+      }
   }
 
   /** Per-host politeness-cap TABLE derived from parsed crawl-delays:
@@ -157,13 +165,9 @@ object Robots9309 {
       ua: String = RobotsParser.Ua): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    val dir = CorpusGen.ensureFor(spark, sfDir)
-    spark.read.parquet(s"$dir/robots_txt.parquet")
-      .select(col("host"), col("body")).as[(String, String)]
-      .flatMap { case (host, body) =>
-        RobotsParser.crawlDelay(body, ua).map(d =>
-          (host, math.max(1L, budget / d).toInt))
-      }.toDF("host", "hcap")
+    hostDelaysDs(spark, sfDir, ua)
+      .map { case (host, d) => (host, math.max(1L, budget / d).toInt) }
+      .toDF("host", "hcap")
   }
 
   /** Raw path of a url string (everything from the first `/` after the

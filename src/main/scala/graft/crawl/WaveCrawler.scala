@@ -343,12 +343,15 @@ object WaveCrawler {
     * partitions, then add per-partition offsets (zipWithIndex).
     *
     * Partitioning is sized from the input's ACTUAL row count (one cheap
-    * column-pruned pass), not a core-count constant: a small input takes the
-    * single-partition path — no range-sampling pass, no zipWithIndex
-    * offsets job, one sort task — while a large one range-partitions up to
-    * defaultParallelism exactly as before (the count pass replaces the
-    * range partitioner's own sampling pass, so scale cost is unchanged).
-    * Index VALUES are partitioning-independent (guide §2.5: derive
+    * column-pruned pass), not a core-count constant: a small input takes
+    * the single-partition path — no range-sampling pass, no zipWithIndex
+    * offsets job, one sort reducer fed by a shuffle (upstream stays wide) —
+    * while a large one range-partitions up to defaultParallelism exactly
+    * as before. Cost note: the sizing count is one extra execution of the
+    * input plan; on the multi-partition path the range partitioner still
+    * runs its own sampling pass on top, so callers with an expensive
+    * uncached upstream should materialize it first (the list-mode frontier
+    * does). Index VALUES are partitioning-independent (guide §2.5: derive
     * partitioning from input size, never from the local core count).
     */
   def withGlobalIndex(df: DataFrame, idxName: String, sortCols: Column*): DataFrame =
@@ -510,15 +513,17 @@ object WaveCrawler {
         val cores = spark.sparkContext.defaultParallelism
         val linesWide =
           if (lines.rdd.getNumPartitions < cores) lines.repartition(cores) else lines
-        // checkpoint the dedup output so the global index's sizing count and
-        // its sort pass both read the materialized rows instead of re-running
-        // the normalize UDF + groupBy shuffle (the headline's timed region
-        // pays this chain once per crawl)
+        // cache the dedup output so the global index's sizing count and its
+        // sort pass both read materialized rows instead of re-running the
+        // normalize UDF + groupBy shuffle (the headline's timed region pays
+        // this chain once per crawl). persist, not localCheckpoint: a
+        // checkpointed Dataset's unpersist() is a CacheManager no-op, so
+        // only the cached form is actually releasable below.
         val df = linesWide
           .select(normUdf($"url_raw").as("url"), $"line_no")
           .filter($"url".isNotNull)
           .groupBy($"url").agg(min($"line_no").as("first_line"))
-          .localCheckpoint(false)
+          .persist(StorageLevel.MEMORY_AND_DISK)
         dedupTmp = df
         withGlobalIndex(df, "seq", $"first_line".asc)
           .select($"url",

@@ -691,10 +691,15 @@ object Readability {
 
     elementsToScore.foreach { el =>
       if (el.parent != null) {
-        // length gate first via the early-exit walk: short elements never
-        // build the text string, long ones stop counting at 25
+        // conservative early-exit pre-check: normTextLenAtLeast counts ≥
+        // innerTextNorm(el).length (normSpace's final trim also strips
+        // non-\s control chars ≤ 0x20 at the ends), so a failed pre-check
+        // PROVES the string gate fails — short elements never build the
+        // string — while a passed pre-check re-checks the exact original
+        // gate on the string the scoring needs anyway
         if (normTextLenAtLeast(el, 25)) {
           val innerText = innerTextNorm(el)
+          if (innerText.length >= 25) {
           var contentScore = 1.0
           contentScore += innerText.split(",").length - 1
           contentScore += math.min(math.floor(innerText.length / 100.0), 3.0)
@@ -711,6 +716,7 @@ object Readability {
             scores(ancestor) = scores(ancestor) + contentScore / divider
             ancestor = ancestor.parent
             level += 1
+          }
           }
         }
       }

@@ -28,8 +28,12 @@ object HtmlParser {
   // go-readability): its content is a TEXT node, so the pre-filter cannot
   // see elements inside it and readability re-parses the string on demand
   // (unwrapNoscriptImages). The serializer mirrors this (rawTextElements).
+  // plaintext included: x/net/html treats its content as raw text, and the
+  // serializer (HtmlSerializer.rawTextElements) already renders it raw —
+  // parser/serializer agreement is what makes parse∘serialize the identity
+  // the pre-filter retry path rests on (SerializerLengthSpec).
   private val rawTextTags = Set("script", "style", "textarea", "title",
-    "xmp", "iframe", "noembed", "noframes", "noscript")
+    "xmp", "iframe", "noembed", "noframes", "noscript", "plaintext")
   private val decodedRawText = Set("textarea", "title")
 
   /** Maximum element nesting depth, mirroring Blink's HTML parser clamp

@@ -14,9 +14,6 @@ object UrlNorm {
     * String.trim — includes NBSP-family codepoints.
     */
   def goTrimSpace(s: String): String = {
-    def isGoSpace(c: Char): Boolean =
-      Character.isWhitespace(c) || c == '\u0085' || c == '\u00A0' ||
-        c == '\u2007' || c == '\u202F'
     var start = 0
     var end = s.length
     while (start < end && isGoSpace(s.charAt(start))) start += 1
@@ -78,6 +75,10 @@ object UrlNorm {
     }
   }
 
+  /** Go White_Space \u2014 ONE definition shared by [[goTrimSpace]] and the
+    * [[normalizeResolved]] fast-path guard (they must agree for the
+    * trailing-whitespace fallback to be sound).
+    */
   @inline private def isGoSpace(c: Char): Boolean =
     Character.isWhitespace(c) || c == '\u0085' || c == '\u00A0' ||
       c == '\u2007' || c == '\u202F'

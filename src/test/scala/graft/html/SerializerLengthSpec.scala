@@ -28,12 +28,26 @@ class SerializerLengthSpec extends AnyFunSuite {
     "<ul><li>one<li>two</ul><table><tr><td>a<td>b</tr></table>",
     "<p>unterminated <em>em",
     "",
-    "&#x41;&#66;&unknown;&amp"
+    "&#x41;&#66;&unknown;&amp",
+    // plaintext is raw text in BOTH parser and serializer — entities and
+    // tag-ish bytes inside must survive the round trip untouched
+    "<div><plaintext>a &lt;b <c> &amp;</plaintext><p>after</p></div>",
+    "<xmp>raw &lt;x&gt;</xmp><iframe><p>inner</p></iframe>"
   )
+
+  // real corpus pages too — the pre-filter acceptance decision for the
+  // whole crawl path rests on these properties, so they are pinned over
+  // generated-corpus HTML, not just the hand-picked fixtures
+  private lazy val corpusPages: Seq[(String, String)] = {
+    val spec = graft.corpus.CorpusSpec(nHosts = 3, totalPages = 90, seed = 7L)
+    for (h <- 0 until spec.nHosts; i <- 0 until spec.hostSizes(h))
+      yield (s"corpus-$h-$i", graft.corpus.CorpusGen.pageHtml(spec, h, i))
+  }
 
   private def allInputs: Seq[(String, String)] =
     GoldenFixtures.cases.map { case (name, _, html, _) => (name, html) } ++
-      edgeCases.zipWithIndex.map { case (h, i) => (s"edge$i", h) }
+      edgeCases.zipWithIndex.map { case (h, i) => (s"edge$i", h) } ++
+      corpusPages
 
   test("outerHtmlLength equals outerHtml.length, pristine and pre-filtered") {
     for ((name, html) <- allInputs) {
