@@ -229,7 +229,7 @@ object Readability {
   private def prevElementSibling(n: HNode): Option[HElement] = {
     val p = n.parent
     if (p == null) return None
-    val i = p.children.indexOf(n)
+    val i = p.indexOfChild(n)
     var j = i - 1
     while (j >= 0) {
       p.children(j) match {
@@ -262,7 +262,8 @@ object Readability {
       else if (e.tag == "noscript") noscripts += e
     }
     imgs.result().foreach { img =>
-      val keep = img.attrs.exists { case (k, v) =>
+      val as = img.attrsOrNull
+      val keep = as != null && as.exists { case (k, v) =>
         k == "src" || k == "srcset" || k == "data-src" || k == "data-srcset" ||
           rxImgExt.findFirstIn(v).isDefined
       }
@@ -285,7 +286,8 @@ object Readability {
               if (prevEl.tag == "img") prevEl else prevEl.find("img").head
             val newImg = if (elems.head.tag == "img") elems.head
               else elems.head.find("img").head
-            prevImg.attrs.toVector.foreach { case (name, value) =>
+            val prevAttrs = prevImg.attrsOrNull
+            (if (prevAttrs == null) Vector.empty else prevAttrs.toVector).foreach { case (name, value) =>
               if (value.nonEmpty &&
                 (name == "src" || name == "srcset" ||
                   rxImgExt.findFirstIn(value).isDefined)) {
@@ -299,7 +301,7 @@ object Readability {
             // replaceChild(tmp.firstElementChild, prevElement)
             val parent = ns.parent
             if (parent != null) {
-              val i = parent.children.indexOf(prevEl)
+              val i = parent.indexOfChild(prevEl)
               val replacement = elems.head
               replacement.parent = parent
               parent.children(i) = replacement
@@ -336,7 +338,7 @@ object Readability {
         if (replaced) {
           val parent = br.parent
           val p = new HElement("p")
-          val idx = parent.children.indexOf(br)
+          val idx = parent.indexOfChild(br)
           parent.children(idx) = p
           p.parent = parent
           br.parent = null
@@ -370,7 +372,7 @@ object Readability {
     val p = n.parent
     if (p == null) None
     else {
-      val i = p.children.indexOf(n)
+      val i = p.indexOfChild(n)
       if (i >= 0 && i + 1 < p.children.length) Some(p.children(i + 1)) else None
     }
   }
@@ -662,7 +664,7 @@ object Readability {
                 val p = e.children.collectFirst { case c: HElement => c }.get
                 val parent = e.parent
                 if (parent != null) {
-                  val i = parent.children.indexOf(e)
+                  val i = parent.indexOfChild(e)
                   parent.children(i) = p
                   p.parent = parent
                   e.parent = null
@@ -913,7 +915,8 @@ object Readability {
       val src0 = elem.attr("src").getOrElse("")
       rxB64DataUrl.findFirstMatchIn(src0).foreach { m =>
         if (m.group(1) != "image/svg+xml") {
-          val srcCouldBeRemoved = elem.attrs.exists { case (k, v) =>
+          val elemAttrs = elem.attrsOrNull
+          val srcCouldBeRemoved = elemAttrs != null && elemAttrs.exists { case (k, v) =>
             k != "src" && rxImgExt.findFirstIn(v).isDefined
           }
           if (srcCouldBeRemoved) {
@@ -926,7 +929,8 @@ object Readability {
       val srcset = elem.attr("srcset").getOrElse("")
       val isLazy = elem.className.toLowerCase.contains("lazy")
       if (!((src.nonEmpty || (srcset.nonEmpty && srcset != "null")) && !isLazy)) {
-        elem.attrs.toVector.foreach { case (name, value) =>
+        val as0 = elem.attrsOrNull
+        (if (as0 == null) Vector.empty else as0.toVector).foreach { case (name, value) =>
           if (name != "src" && name != "srcset" && name != "alt") {
             val copyTo =
               if (rxImgExtWithDescriptor.findFirstIn(value).isDefined) "srcset"
@@ -1056,7 +1060,7 @@ object Readability {
           val t = new HText(a.text)
           val parent = a.parent
           if (parent != null) {
-            val i = parent.children.indexOf(a)
+            val i = parent.indexOfChild(a)
             parent.children(i) = t
             t.parent = parent
             a.parent = null
@@ -1094,9 +1098,11 @@ object Readability {
             if (isElementWithoutContent(e)) { e.remove() }
             else if (hasSingleTagInside(e, "div") || hasSingleTagInside(e, "section")) {
               val child = e.children.collectFirst { case c: HElement => c }.get
-              e.attrs.foreach { case (k, v) => if (child.attr(k).isEmpty) child.setAttr(k, v) }
+              val eAttrs = e.attrsOrNull
+              if (eAttrs != null)
+                eAttrs.foreach { case (k, v) => if (child.attr(k).isEmpty) child.setAttr(k, v) }
               val parent = e.parent
-              val i = parent.children.indexOf(e)
+              val i = parent.indexOfChild(e)
               parent.children(i) = child
               child.parent = parent
               e.parent = null

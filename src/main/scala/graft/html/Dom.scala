@@ -11,8 +11,14 @@ import scala.collection.mutable.ArrayBuffer
 sealed trait HNode {
   var parent: HElement = _
   def remove(): Unit = {
-    if (parent != null) {
-      parent.children -= this
+    val p = parent
+    if (p != null) {
+      // identity scan: HNode equality IS identity (no equals override), and
+      // ArrayBuffer's -= routes every compare through the generic
+      // BoxesRunTime.equals dispatch — this runs per removed node in every
+      // readability clean pass
+      val i = p.indexOfChild(this)
+      if (i >= 0) p.children.remove(i): Unit
       parent = null
     }
   }
@@ -23,20 +29,46 @@ final class HComment(var data: String) extends HNode
 final class HDoctype(var data: String) extends HNode
 
 final class HElement(val tag: String) extends HNode {
-  var attrs: ArrayBuffer[(String, String)] = ArrayBuffer.empty
+  // attrs are lazily allocated: most elements carry none, and the buffer +
+  // backing array were the largest per-element allocations in the parse path
+  private[this] var _attrs: ArrayBuffer[(String, String)] = null
   val children: ArrayBuffer[HNode] = ArrayBuffer.empty
+
+  def attrs: ArrayBuffer[(String, String)] = {
+    if (_attrs == null) _attrs = new ArrayBuffer[(String, String)](4)
+    _attrs
+  }
+  def attrs_=(a: ArrayBuffer[(String, String)]): Unit = _attrs = a
+  /** Null when the element has no attr buffer — the allocation-free view for
+    * read-only hot paths (serializer, readability attr scans).
+    */
+  def attrsOrNull: ArrayBuffer[(String, String)] = _attrs
 
   def attr(name: String): Option[String] = Option(attrOrNull(name))
 
   /** Allocation-free attribute lookup for hot paths. */
   def attrOrNull(name: String): String = {
+    val a = _attrs
+    if (a == null) return null
     var i = 0
-    val a = attrs
     while (i < a.length) {
       if (a(i)._1 == name) return a(i)._2
       i += 1
     }
     null
+  }
+
+  /** Identity indexOf over children: HNode equality IS identity, so this is
+    * exactly `children.indexOf(n)` minus the generic equals dispatch.
+    */
+  def indexOfChild(n: HNode): Int = {
+    var i = 0
+    val cs = children
+    while (i < cs.length) {
+      if (cs(i) eq n) return i
+      i += 1
+    }
+    -1
   }
 
   /** Pre-order recursive walk over element descendants — cheaper than the
@@ -56,13 +88,15 @@ final class HElement(val tag: String) extends HNode {
   }
 
   def setAttr(name: String, value: String): Unit = {
-    val i = attrs.indexWhere(_._1 == name)
-    if (i >= 0) attrs(i) = (name, value) else attrs += ((name, value))
+    val a = attrs
+    val i = a.indexWhere(_._1 == name)
+    if (i >= 0) a(i) = (name, value) else a += ((name, value))
   }
 
   def removeAttr(name: String): Unit = {
+    val a = _attrs
+    if (a == null) return
     var i = 0
-    val a = attrs
     while (i < a.length) {
       if (a(i)._1 == name) { a.remove(i): Unit; return }
       i += 1
@@ -74,15 +108,23 @@ final class HElement(val tag: String) extends HNode {
   def classes: Seq[String] =
     className.split("\\s+").toIndexedSeq.filter(_.nonEmpty)
 
+  private def detach(n: HNode): Unit = {
+    val p = n.parent
+    if (p != null) {
+      val i = p.indexOfChild(n)
+      if (i >= 0) p.children.remove(i): Unit
+    }
+  }
+
   def appendChild(n: HNode): Unit = {
-    if (n.parent != null) n.parent.children -= n
+    detach(n)
     n.parent = this
     children += n
   }
 
   def insertBefore(n: HNode, ref: HNode): Unit = {
-    if (n.parent != null) n.parent.children -= n
-    val i = children.indexOf(ref)
+    detach(n)
+    val i = indexOfChild(ref)
     n.parent = this
     if (i < 0) children += n else children.insert(i, n)
   }
@@ -90,11 +132,11 @@ final class HElement(val tag: String) extends HNode {
   /** Replace this element by another, moving the children. */
   def replaceWithTag(newTag: String): HElement = {
     val e = new HElement(newTag)
-    e.attrs = attrs.clone()
+    e.attrs = if (_attrs == null) null else _attrs.clone()
     children.toVector.foreach(e.appendChild)
     children.clear()
     if (parent != null) {
-      val i = parent.children.indexOf(this)
+      val i = parent.indexOfChild(this)
       e.parent = parent
       parent.children(i) = e
       parent = null
@@ -251,6 +293,24 @@ object HtmlSerializer {
   val rawTextElements: Set[String] =
     Set("script", "style", "iframe", "noembed", "noframes", "noscript", "plaintext", "xmp")
 
+  /** `voidElements.contains(t)` as a string-literal match — scalac emits a
+    * hashCode lookupswitch + one equals, cheaper than the hash-trie Set walk
+    * this predicate paid per element per render/renderLength visit. Pinned
+    * ≡ the set by SerializerLengthSpec.
+    */
+  @inline def isVoid(t: String): Boolean = t match {
+    case "area" | "base" | "br" | "col" | "embed" | "hr" | "img" | "input" |
+        "link" | "meta" | "param" | "source" | "track" | "wbr" => true
+    case _ => false
+  }
+
+  /** `rawTextElements.contains(t)` as a string-literal match (see isVoid). */
+  @inline def isRawText(t: String): Boolean = t match {
+    case "script" | "style" | "iframe" | "noembed" | "noframes" |
+        "noscript" | "plaintext" | "xmp" => true
+    case _ => false
+  }
+
   def escapeText(s: String): String = {
     val sb = new StringBuilder(s.length)
     escapeInto(s, sb)
@@ -310,20 +370,22 @@ object HtmlSerializer {
     */
   def renderLength(n: HNode): Long = n match {
     case t: HText =>
-      if (t.parent != null && rawTextElements.contains(t.parent.tag)) t.data.length.toLong
+      if (t.parent != null && isRawText(t.parent.tag)) t.data.length.toLong
       else escapeLength(t.data)
     case c: HComment => 7L + c.data.length // <!-- -->
     case d: HDoctype => 11L + d.data.length // <!DOCTYPE >
     case e: HElement =>
       var len = 2L + e.tag.length // < >
-      var i = 0
-      val as = e.attrs
-      while (i < as.length) {
-        val (k, v) = as(i)
-        len += 4L + k.length + escapeLength(v) // space k =" v "
-        i += 1
+      val as = e.attrsOrNull
+      if (as != null) {
+        var i = 0
+        while (i < as.length) {
+          val (k, v) = as(i)
+          len += 4L + k.length + escapeLength(v) // space k =" v "
+          i += 1
+        }
       }
-      if (!voidElements.contains(e.tag)) {
+      if (!isVoid(e.tag)) {
         var j = 0
         val cs = e.children
         while (j < cs.length) { len += renderLength(cs(j)); j += 1 }
@@ -334,7 +396,7 @@ object HtmlSerializer {
 
   def render(n: HNode, sb: StringBuilder): Unit = n match {
     case t: HText =>
-      if (t.parent != null && rawTextElements.contains(t.parent.tag))
+      if (t.parent != null && isRawText(t.parent.tag))
         sb.append(t.data)
       else escapeInto(t.data, sb)
     case c: HComment =>
@@ -343,17 +405,19 @@ object HtmlSerializer {
       sb.append("<!DOCTYPE ").append(d.data).append(">")
     case e: HElement =>
       sb.append('<').append(e.tag)
-      var i = 0
-      val as = e.attrs
-      while (i < as.length) {
-        val kv = as(i)
-        sb.append(' ').append(kv._1).append("=\"")
-        escapeInto(kv._2, sb)
-        sb.append('"')
-        i += 1
+      val as = e.attrsOrNull
+      if (as != null) {
+        var i = 0
+        while (i < as.length) {
+          val kv = as(i)
+          sb.append(' ').append(kv._1).append("=\"")
+          escapeInto(kv._2, sb)
+          sb.append('"')
+          i += 1
+        }
       }
       sb.append('>')
-      if (!voidElements.contains(e.tag)) {
+      if (!isVoid(e.tag)) {
         var j = 0
         val cs = e.children
         while (j < cs.length) { render(cs(j), sb); j += 1 }

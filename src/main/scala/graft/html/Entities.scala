@@ -32,12 +32,17 @@ object Entities {
     */
   def decode(s: String): String = {
     if (s.indexOf('&') < 0) return s
-    val sb = new StringBuilder(s.length)
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
     var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c != '&') { sb.append(c); i += 1 }
+    while (i < n) {
+      val amp = s.indexOf('&', i)
+      if (amp < 0) { sb.append(s, i, n): Unit; i = n }
       else {
+        // bulk-append the plain run, then handle the reference at `amp`
+        if (amp > i) sb.append(s, i, amp): Unit
+        i = amp
+
         // try numeric
         if (i + 2 < s.length && s.charAt(i + 1) == '#') {
           var j = i + 2
@@ -54,10 +59,10 @@ object Entities {
               catch { case _: NumberFormatException => -1 }
             if (cp >= 0 && cp <= 0x10ffff && Character.isValidCodePoint(math.max(cp, 1))) {
               val actual = if (cp == 0) 0xfffd else cp
-              sb.appendAll(Character.toChars(actual))
+              sb.append(Character.toChars(actual)): Unit
               i = if (j < s.length && s.charAt(j) == ';') j + 1 else j
-            } else { sb.append(c); i += 1 }
-          } else { sb.append(c); i += 1 }
+            } else { sb.append('&'): Unit; i += 1 }
+          } else { sb.append('&'): Unit; i += 1 }
         } else {
           // named
           var j = i + 1
@@ -66,11 +71,11 @@ object Entities {
           val hasSemi = j < s.length && s.charAt(j) == ';'
           named.get(name) match {
             case Some(v) if hasSemi =>
-              sb.append(v); i = j + 1
+              sb.append(v): Unit; i = j + 1
             case Some(v) if legacy.contains(name) =>
-              sb.append(v); i = j
+              sb.append(v): Unit; i = j
             case _ =>
-              sb.append(c); i += 1
+              sb.append('&'): Unit; i += 1
           }
         }
       }

@@ -13,15 +13,25 @@ import scala.collection.mutable.ArrayBuffer
   */
 object HtmlParser {
 
-  private val headTags = Set("title", "meta", "link", "style", "script",
-    "base", "noscript", "template")
+  // membership predicates are string-literal matches (hashCode lookupswitch
+  // + one equals — cheaper than a hash-trie Set walk per tag event);
+  // tokenizer behavior stays pinned by HtmlParserSpec + the byte-exact goldens
+  private def isHeadTag(t: String): Boolean = t match {
+    case "title" | "meta" | "link" | "style" | "script" | "base" |
+        "noscript" | "template" => true
+    case _ => false
+  }
 
   // Tags that implicitly close an open <p> (HTML5 "closes a p element").
-  private val closesP = Set("address", "article", "aside", "blockquote",
-    "center", "details", "dialog", "dir", "div", "dl", "fieldset",
-    "figcaption", "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5",
-    "h6", "header", "hgroup", "hr", "main", "menu", "nav", "ol", "p", "pre",
-    "section", "summary", "table", "ul", "li", "dd", "dt")
+  private def closesP(t: String): Boolean = t match {
+    case "address" | "article" | "aside" | "blockquote" | "center" |
+        "details" | "dialog" | "dir" | "div" | "dl" | "fieldset" |
+        "figcaption" | "figure" | "footer" | "form" | "h1" | "h2" | "h3" |
+        "h4" | "h5" | "h6" | "header" | "hgroup" | "hr" | "main" | "menu" |
+        "nav" | "ol" | "p" | "pre" | "section" | "summary" | "table" | "ul" |
+        "li" | "dd" | "dt" => true
+    case _ => false
+  }
 
   // noscript is raw text because the reference stack parses with scripting
   // enabled (golang.org/x/net/html default, used by both goquery and
@@ -32,9 +42,13 @@ object HtmlParser {
   // serializer (HtmlSerializer.rawTextElements) already renders it raw —
   // parser/serializer agreement is what makes parse∘serialize the identity
   // the pre-filter retry path rests on (SerializerLengthSpec).
-  private val rawTextTags = Set("script", "style", "textarea", "title",
-    "xmp", "iframe", "noembed", "noframes", "noscript", "plaintext")
-  private val decodedRawText = Set("textarea", "title")
+  private def isRawTextTag(t: String): Boolean = t match {
+    case "script" | "style" | "textarea" | "title" | "xmp" | "iframe" |
+        "noembed" | "noframes" | "noscript" | "plaintext" => true
+    case _ => false
+  }
+  private def isDecodedRawText(t: String): Boolean =
+    t == "textarea" || t == "title"
 
   /** Maximum element nesting depth, mirroring Blink's HTML parser clamp
     * (`kMaximumHTMLParserDOMTreeDepth = 512`): once the open-element stack is
@@ -81,29 +95,33 @@ object HtmlParser {
       target.appendChild(new HText(if (decode) Entities.decode(s) else s))
     }
 
+    // attrs is null when the tag carried none (parseTag allocates lazily)
     def startTag(name: String, attrs: ArrayBuffer[(String, String)]): HElement = {
       name match {
         case "html" =>
-          attrs.foreach { case (k, v) => if (root.attr(k).isEmpty) root.setAttr(k, v) }
+          if (attrs != null)
+            attrs.foreach { case (k, v) => if (root.attr(k).isEmpty) root.setAttr(k, v) }
           return root
         case "head" =>
           headSeen = true
-          attrs.foreach { case (k, v) => if (head.attr(k).isEmpty) head.setAttr(k, v) }
+          if (attrs != null)
+            attrs.foreach { case (k, v) => if (head.attr(k).isEmpty) head.setAttr(k, v) }
           return head
         case "body" =>
           openBody()
-          attrs.foreach { case (k, v) => if (body.attr(k).isEmpty) body.setAttr(k, v) }
+          if (attrs != null)
+            attrs.foreach { case (k, v) => if (body.attr(k).isEmpty) body.setAttr(k, v) }
           return body
         case _ =>
       }
 
-      if (!bodyStarted && !headTags.contains(name)) openBody()
+      if (!bodyStarted && !isHeadTag(name)) openBody()
 
       val parentEl: HElement =
         if (!bodyStarted) head
         else {
           // implied end tags
-          if (closesP.contains(name)) {
+          if (closesP(name)) {
             val pIdx = stack.lastIndexWhere(_.tag == "p")
             if (pIdx > 0) stack.remove(pIdx, stack.length - pIdx)
           }
@@ -141,8 +159,8 @@ object HtmlParser {
           parentEl.parent != null) parentEl.parent
         else parentEl
       target.appendChild(el)
-      if (bodyStarted && !HtmlSerializer.voidElements.contains(name) &&
-        !rawTextTags.contains(name))
+      if (bodyStarted && !HtmlSerializer.isVoid(name) &&
+        !isRawTextTag(name))
         stack += el
       el
     }
@@ -221,9 +239,12 @@ object HtmlParser {
             flushText()
             var j = i + 2
             while (j < n && html.charAt(j) != '>') j += 1
-            val raw = html.substring(i + 2, if (j < n) j else n)
-            val name = raw.takeWhile(ch => !ch.isWhitespace && ch != '/').toLowerCase
-            endTag(name)
+            // name ends at the first whitespace or '/' inside the tag —
+            // interned scan, no substring/takeWhile/toLowerCase allocations
+            var ne = i + 2
+            while (ne < j && !html.charAt(ne).isWhitespace && html.charAt(ne) != '/')
+              ne += 1
+            endTag(Names.lowerName(html, i + 2, ne))
             i = if (j < n) j + 1 else n
           } else { text.append(c); i += 1 }
         } else if (isNameStart(c1)) {
@@ -231,7 +252,7 @@ object HtmlParser {
           val (name, attrs, selfClosing, next) = parseTag(html, i + 1)
           i = next
           val el = startTag(name, attrs)
-          if (rawTextTags.contains(name) && !selfClosing) {
+          if (isRawTextTag(name) && !selfClosing) {
             // consume raw text until matching close tag (case-insensitive)
             val closeSeq = "</" + name
             var j = i
@@ -248,7 +269,7 @@ object HtmlParser {
             }
             val contentEnd = if (found < 0) n else found
             insertRawText(el, html.substring(i, math.min(contentEnd, n)),
-              decode = decodedRawText.contains(name))
+              decode = isDecodedRawText(name))
             if (found >= 0 && found < n) {
               val gt = html.indexOf('>', found)
               i = if (gt < 0) n else gt + 1
@@ -274,7 +295,10 @@ object HtmlParser {
   }
 
   /** Parse a start tag beginning right after '<'. Returns
-    * (lowercased name, attrs, selfClosing, index after '>').
+    * (lowercased name, attrs-or-null-when-none, selfClosing, index after
+    * '>'). Names are interned (Names.lowerName) and the attr buffer is only
+    * allocated when a first attribute actually appears — most tags carry
+    * none.
     */
   private def parseTag(
       html: String,
@@ -283,8 +307,8 @@ object HtmlParser {
     var i = start
     while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '>' &&
       html.charAt(i) != '/') i += 1
-    val name = html.substring(start, i).toLowerCase
-    val attrs = ArrayBuffer[(String, String)]()
+    val name = Names.lowerName(html, start, i)
+    var attrs: ArrayBuffer[(String, String)] = null
     var selfClosing = false
     var done = false
     while (!done && i < n) {
@@ -300,7 +324,7 @@ object HtmlParser {
           val ns = i
           while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '=' &&
             html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
-          val aname = html.substring(ns, i).toLowerCase
+          val aname = Names.lowerName(html, ns, i)
           var avalue = ""
           var hasValue = false
           while (i < n && html.charAt(i).isWhitespace) i += 1
@@ -323,8 +347,10 @@ object HtmlParser {
               hasValue = true
             }
           }
-          if (aname.nonEmpty && !attrs.exists(_._1 == aname))
+          if (aname.nonEmpty && (attrs == null || !attrs.exists(_._1 == aname))) {
+            if (attrs == null) attrs = new ArrayBuffer[(String, String)](4)
             attrs += ((aname, if (hasValue) Entities.decode(avalue) else ""))
+          }
       }
     }
     (name, attrs, selfClosing, i)
