@@ -414,7 +414,85 @@ object Readability {
     sb.toString.trim
   }
 
-  private def innerTextNorm(e: HElement): String = normSpace(e.text)
+  private[extract] def innerTextNorm(e: HElement): String = normSpace(e.text)
+
+  /** Packed exact (length, comma-split value) of `innerTextNorm(e)` in one
+    * allocation-free walk — the scoring and conditional-clean gates consume
+    * ONLY these two numbers, so the normalized string itself never needs
+    * building. Upper 32 bits: `innerTextNorm(e).length`; lower 32 bits:
+    * `innerTextNorm(e).split(",").length - 1` plus one (so the -1 case packs
+    * unsigned).
+    *
+    * Exactness notes (pinned by NormLenCommasSpec against the string
+    * formulation over adversarial control-char/comma/whitespace trees and
+    * generated corpus pages):
+    *  - normSpace collapses \s+ runs to one space and then String.trim's the
+    *    result; trim also strips non-\s control chars ≤ 0x20 at BOTH ends
+    *    (cascading through collapse-emitted spaces), so the walk tracks the
+    *    strippable prefix/suffix of the emitted sequence explicitly.
+    *  - Java split with limit 0 discards trailing empty segments: the value
+    *    is (commas before the trailing comma run), 0 for the empty string,
+    *    and -1 when the trimmed text is entirely commas. Commas are > 0x20
+    *    and never trimmed; the trailing-run tracker restarts after any
+    *    strippable gap so it ends exactly at the trimmed string's tail.
+    */
+  private[extract] def normLenCommas(e: HElement): Long = {
+    var cnt = 0 // emitted (collapsed, pre-trim) length
+    var prefixStrip = 0 // maximal emitted prefix of chars ≤ 0x20
+    var allStrip = true // every emitted char so far ≤ 0x20
+    var tailStrip = 0 // current trailing run of emitted chars ≤ 0x20
+    var commas = 0 // commas emitted (never trimmed)
+    var commaRun = 0 // comma run ending at the last solid (> 0x20) char
+    var pendingSpace = false
+    var started = false
+    def emit(c: Char): Unit = {
+      cnt += 1
+      if (c <= ' ') {
+        if (allStrip) prefixStrip += 1
+        tailStrip += 1
+      } else {
+        allStrip = false
+        if (c == ',') { commas += 1; commaRun = if (tailStrip > 0) 1 else commaRun + 1 }
+        else commaRun = 0
+        tailStrip = 0
+      }
+    }
+    def walk(el: HElement): Unit = {
+      var j = 0
+      val cs = el.children
+      while (j < cs.length) {
+        cs(j) match {
+          case t: HText =>
+            val s = t.data
+            var i = 0
+            while (i < s.length) {
+              val c = s.charAt(i)
+              if (isJavaWs(c)) { if (started) pendingSpace = true }
+              else {
+                if (pendingSpace) { emit(' '); pendingSpace = false }
+                emit(c)
+                started = true
+              }
+              i += 1
+            }
+          case c: HElement => walk(c)
+          case _           =>
+        }
+        j += 1
+      }
+    }
+    walk(e)
+    val len = if (allStrip) 0 else cnt - prefixStrip - tailStrip
+    val value =
+      if (len == 0) 0
+      else if (commaRun == len) -1
+      else commas - commaRun
+    (len.toLong << 32) | ((value + 1).toLong & 0xffffffffL)
+  }
+
+  @inline private[extract] def packedLen(packed: Long): Int = (packed >>> 32).toInt
+  @inline private[extract] def packedCommaSegs(packed: Long): Int =
+    (packed & 0xffffffffL).toInt - 1
 
   @inline private def isJavaWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
@@ -586,12 +664,22 @@ object Readability {
   }
 
   private def hasSingleTagInside(e: HElement, tag: String): Boolean = {
-    val elems = e.children.collect { case c: HElement => c }
-    elems.size == 1 && elems.head.tag == tag &&
-    !e.children.exists {
-      case t: HText => t.data.exists(!_.isWhitespace)
-      case _        => false
+    // allocation-free: exactly "one element child, of `tag`, and no
+    // non-whitespace text child" (runs per div in the grab walk)
+    var only: HElement = null
+    var count = 0
+    var hasText = false
+    val cs = e.children
+    var i = 0
+    while (i < cs.length) {
+      cs(i) match {
+        case c: HElement => count += 1; only = c
+        case t: HText    => if (!hasText && t.data.exists(!_.isWhitespace)) hasText = true
+        case _           =>
+      }
+      i += 1
     }
+    count == 1 && only.tag == tag && !hasText
   }
 
   // ---- grabArticle ----
@@ -693,18 +781,16 @@ object Readability {
 
     elementsToScore.foreach { el =>
       if (el.parent != null) {
-        // conservative early-exit pre-check: normTextLenAtLeast counts ≥
-        // innerTextNorm(el).length (normSpace's final trim also strips
-        // non-\s control chars ≤ 0x20 at the ends), so a failed pre-check
-        // PROVES the string gate fails — short elements never build the
-        // string — while a passed pre-check re-checks the exact original
-        // gate on the string the scoring needs anyway
-        if (normTextLenAtLeast(el, 25)) {
-          val innerText = innerTextNorm(el)
-          if (innerText.length >= 25) {
+        // the scored string is consumed only as (length, comma segments) —
+        // normLenCommas computes both exactly in one allocation-free walk
+        // (trim semantics included; pinned by NormLenCommasSpec), so the
+        // normalized string is never built here at all
+        val packed = normLenCommas(el)
+        val textLen = packedLen(packed)
+        if (textLen >= 25) {
           var contentScore = 1.0
-          contentScore += innerText.split(",").length - 1
-          contentScore += math.min(math.floor(innerText.length / 100.0), 3.0)
+          contentScore += packedCommaSegs(packed)
+          contentScore += math.min(math.floor(textLen / 100.0), 3.0)
 
           // propagate to up to 3 ancestors
           var ancestor = el.parent
@@ -718,7 +804,6 @@ object Readability {
             scores(ancestor) = scores(ancestor) + contentScore / divider
             ancestor = ancestor.parent
             level += 1
-          }
           }
         }
       }
@@ -834,32 +919,33 @@ object Readability {
 
     cleanConditionally(article, "form", flags)
     cleanConditionally(article, "fieldset", flags)
-    clean(article, "object")
-    clean(article, "embed")
-    clean(article, "footer")
-    clean(article, "link")
-    clean(article, "aside")
+    // one walk ≡ the five adjacent single-tag clean() passes (disjoint tag
+    // sets; nested hits detach with their ancestors either way — the
+    // removeTags equivalence documented in Dom)
+    cleanTags(article, t =>
+      t == "object" || t == "embed" || t == "footer" || t == "link" || t == "aside")
 
     // share elements anywhere inside each top-level candidate
     // (Readability.js _cleanMatchedNodes over articleContent.children:
-    // strict descendants, raw textContent length vs charThreshold)
+    // strict descendants, raw textContent length vs charThreshold).
+    // Collect-then-remove ≡ remove-during-snapshot-iteration: the match
+    // conditions read only the element's own attrs and subtree, and a
+    // pre-order-earlier removal never alters a later element's subtree.
     article.children.toVector.foreach {
       case top: HElement =>
-        top.selfAndDescendants.toVector.foreach { e =>
-          if (!(e eq top)) {
-            val ms = classIdString(e)
-            if (ms.length > 1 && rxShare.findFirstIn(ms).isDefined &&
-              e.text.length < CharThreshold) e.remove()
-          }
+        val hits = mutable.ArrayBuffer[HElement]()
+        top.foreachElement { e =>
+          val ms = classIdString(e)
+          if (ms.length > 1 && rxShare.findFirstIn(ms).isDefined &&
+            e.text.length < CharThreshold) hits += e
         }
+        hits.foreach(_.remove())
       case _ =>
     }
 
-    clean(article, "iframe")
-    clean(article, "input")
-    clean(article, "textarea")
-    clean(article, "select")
-    clean(article, "button")
+    // one walk ≡ the five adjacent single-tag clean() passes (see above)
+    cleanTags(article, t =>
+      t == "iframe" || t == "input" || t == "textarea" || t == "select" || t == "button")
     cleanHeaders(article, flags)
 
     cleanConditionally(article, "table", flags)
@@ -888,14 +974,27 @@ object Readability {
       }
     }
 
-    // remove class attributes except the preserved "page"
-    article.selfAndDescendants.foreach { e =>
-      if (e.attr("class").exists(_ != "page")) e.removeAttr("class")
+    // remove class attributes except the preserved "page" (attr-only
+    // mutation: foreachElement is safe and allocation-free)
+    val articleClass = article.attrOrNull("class")
+    if (articleClass != null && articleClass != "page") article.removeAttr("class")
+    article.foreachElement { e =>
+      val c = e.attrOrNull("class")
+      if (c != null && c != "page") e.removeAttr("class")
     }
   }
 
-  private def clean(article: HElement, tag: String): Unit =
-    article.find(tag).foreach(_.remove())
+  /** Remove every strict descendant whose tag satisfies the predicate — one
+    * collect walk + removals, equivalent to sequential
+    * `article.find(tag).foreach(_.remove())` passes over each tag of the
+    * group (disjoint tag sets; nested hits detach with their ancestors
+    * either way).
+    */
+  private def cleanTags(article: HElement, isTarget: String => Boolean): Unit = {
+    val hits = mutable.ArrayBuffer[HElement]()
+    article.foreachElement(e => if (isTarget(e.tag)) hits += e)
+    hits.foreach(_.remove())
+  }
 
   // JS regexes from Readability.js _fixLazyImages — note the last two are
   // case-SENSITIVE there, so they are here too
@@ -910,8 +1009,20 @@ object Readability {
     * carry a `lazy` class; a figure with no image at all gets one built
     * from the promoted attr.
     */
-  private def fixLazyImages(root: HElement): Unit =
-    (root.find("img") ++ root.find("picture") ++ root.find("figure")).foreach { elem =>
+  private def fixLazyImages(root: HElement): Unit = {
+    // one collect walk ≡ find("img") ++ find("picture") ++ find("figure"):
+    // per-element processing touches only the element's own attrs, except
+    // the figure branch, which reads img/picture PRESENCE in its subtree
+    // (never changed by img/picture processing) and appends a fresh img
+    // (never part of either snapshot); figures keep their relative document
+    // order in both schemes, so the grouped-by-tag order and document order
+    // yield the same final tree
+    val media = mutable.ArrayBuffer[HElement]()
+    root.foreachElement { e =>
+      val t = e.tag
+      if (t == "img" || t == "picture" || t == "figure") media += e
+    }
+    media.foreach { elem =>
       val src0 = elem.attr("src").getOrElse("")
       rxB64DataUrl.findFirstMatchIn(src0).foreach { m =>
         if (m.group(1) != "image/svg+xml") {
@@ -949,11 +1060,16 @@ object Readability {
         }
       }
     }
+  }
 
-  private def cleanHeaders(article: HElement, flags: Int): Unit =
-    (article.find("h1") ++ article.find("h2")).foreach { h =>
-      if (classWeight(h, flags) < 0) h.remove()
-    }
+  private def cleanHeaders(article: HElement, flags: Int): Unit = {
+    // one walk ≡ find("h1") ++ find("h2"): classWeight reads only the
+    // element's own attrs, so the h1-then-h2 grouping vs document order
+    // cannot change which headers get removed
+    val hits = mutable.ArrayBuffer[HElement]()
+    article.foreachElement(e => if (e.tag == "h1" || e.tag == "h2") hits += e)
+    hits.foreach(h => if (classWeight(h, flags) < 0) h.remove())
+  }
 
   /** Readability.js _markDataTables: tables that look like data (caption,
     * th/thead/tfoot/col, summary attr, or big row×col counts) are spared
@@ -1016,19 +1132,34 @@ object Readability {
         val weight = classWeight(node, flags)
         if (weight < 0) node.remove()
         else {
-          val text = innerTextNorm(node)
-          if (text.split(",").length - 1 < 10) {
-            val ps = node.find("p").size
-            val imgs = node.find("img").size
-            val lis = node.find("li").size - 100
-            val inputs = node.find("input").size
-            val embeds = node.find("embed").size + node.find("object").size +
-              node.find("iframe").size
+          // exact (length, comma segments) of the normalized text without
+          // building it (normLenCommas), and the six per-tag find().size
+          // passes fused into ONE allocation-free descendant walk — counts
+          // of disjoint tags are order-independent, so the fused walk is
+          // definitionally equal to the sequential finds
+          val packed = normLenCommas(node)
+          if (packedCommaSegs(packed) < 10) {
+            var ps = 0
+            var imgs = 0
+            var lis = 0
+            var inputs = 0
+            var embeds = 0
+            node.foreachElement { c =>
+              c.tag match {
+                case "p"                          => ps += 1
+                case "img"                        => imgs += 1
+                case "li"                         => lis += 1
+                case "input"                      => inputs += 1
+                case "embed" | "object" | "iframe" => embeds += 1
+                case _                            =>
+              }
+            }
+            val lisAdj = lis - 100
             val ld = linkDensity(node)
-            val contentLength = text.length
+            val contentLength = packedLen(packed)
             val haveToRemove =
               (imgs > 1 && ps.toDouble / imgs < 0.5 && !hasAncestorTag(node, "figure")) ||
-                (tag != "ul" && tag != "ol" && lis > ps) ||
+                (tag != "ul" && tag != "ol" && lisAdj > ps) ||
                 (inputs > math.floor(ps / 3.0)) ||
                 (tag != "ul" && tag != "ol" && contentLength < 25 && (imgs == 0 || imgs > 2) &&
                   !hasAncestorTag(node, "figure")) ||
@@ -1070,8 +1201,18 @@ object Readability {
         }
       }
     }
-    (article.find("img") ++ article.find("picture") ++ article.find("figure") ++
-      article.find("video") ++ article.find("audio") ++ article.find("source")).foreach { m =>
+    // one collect walk ≡ the six grouped-by-tag find() passes: processing
+    // rewrites only the element's own src/poster/srcset attrs, so the
+    // processing order cannot affect the result
+    val media = mutable.ArrayBuffer[HElement]()
+    article.foreachElement { e =>
+      e.tag match {
+        case "img" | "picture" | "figure" | "video" | "audio" | "source" =>
+          media += e
+        case _ =>
+      }
+    }
+    media.foreach { m =>
       m.attr("src").filter(_.nonEmpty).foreach(s => m.setAttr("src", toAbsolute(pageUrl, s)))
       m.attr("poster").filter(_.nonEmpty).foreach(s => m.setAttr("poster", toAbsolute(pageUrl, s)))
       m.attr("srcset").filter(_.nonEmpty).foreach { srcset =>
