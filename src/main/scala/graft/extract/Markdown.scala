@@ -97,10 +97,16 @@ object Markdown {
     sb.toString
   }
 
-  private val blockTags = Set("p", "div", "section", "article", "main", "aside",
-    "header", "footer", "nav", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol",
-    "li", "table", "blockquote", "pre", "hr", "figure", "figcaption", "address",
-    "fieldset", "form", "dl", "dt", "dd", "details", "summary", "body", "html", "head")
+  // string-literal match (hashCode lookupswitch + one equals — cheaper than
+  // the hash-trie Set walk this paid per child in inline/liContent)
+  private def isBlockTag(t: String): Boolean = t match {
+    case "p" | "div" | "section" | "article" | "main" | "aside" | "header" |
+        "footer" | "nav" | "h1" | "h2" | "h3" | "h4" | "h5" | "h6" | "ul" |
+        "ol" | "li" | "table" | "blockquote" | "pre" | "hr" | "figure" |
+        "figcaption" | "address" | "fieldset" | "form" | "dl" | "dt" | "dd" |
+        "details" | "summary" | "body" | "html" | "head" => true
+    case _ => false
+  }
 
   private def renderBlocks(e: HElement): String = {
     val sb = new StringBuilder
@@ -184,7 +190,7 @@ object Markdown {
       case t: HText => sb.append(renderNode(t))
       case c: HElement if c.tag == "ul" || c.tag == "ol" =>
         sb.append("\n").append(renderList(c, ordered = c.tag == "ol").trim).append("\n")
-      case c: HElement if blockTags.contains(c.tag) =>
+      case c: HElement if isBlockTag(c.tag) =>
         sb.append(renderElement(c))
       case c: HElement => sb.append(inlineElement(c))
       case _           =>
@@ -247,7 +253,7 @@ object Markdown {
     val sb = new StringBuilder
     e.children.foreach {
       case t: HText => sb.append(renderNode(t))
-      case c: HElement if blockTags.contains(c.tag) =>
+      case c: HElement if isBlockTag(c.tag) =>
         // block inside inline context: render and keep separation
         sb.append(renderElement(c))
       case c: HElement => sb.append(inlineElement(c))

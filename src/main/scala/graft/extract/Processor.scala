@@ -29,7 +29,14 @@ final case class PageData(
   */
 object Processor {
 
-  private val preFilterTags = Set("script", "style", "link", "img", "video")
+  /** The pre-filter tag set (script/style/link/img/video) as a
+    * string-literal match — runs per element of every page's pre-filter
+    * traversal (and the retry re-derivation).
+    */
+  private def isPreFilterTag(t: String): Boolean = t match {
+    case "script" | "style" | "link" | "img" | "video" => true
+    case _ => false
+  }
 
   /** Page-level robots meta directives (the publicly documented REP
     * `<meta name="robots">` extension): returns (noindex, nofollow).
@@ -166,13 +173,13 @@ object Processor {
         }
       } else {
         // one fused traversal instead of five selector passes
-        val removed = doc.removeTags(preFilterTags)
+        val removed = doc.removeTags(isPreFilterTag _)
         if (removed > 0) doc.mergeAdjacentText() // = serialize→re-parse text adjacency
         if (removed == 0) (rawHtml, doc, null) // doc is still the pristine tree
         else if (rawHtml.length != doc.outerHtmlLength)
           (rawHtml, doc, () => {
             val d2 = HtmlParser.parse(rawHtml)
-            val r2 = d2.removeTags(preFilterTags)
+            val r2 = d2.removeTags(isPreFilterTag _)
             if (r2 > 0) d2.mergeAdjacentText()
             d2
           })

@@ -36,13 +36,30 @@ object Readability {
   private val rxTitleHierarchySep: Regex = " [\\\\/>»] ".r
   private val rxByline: Regex = "(?i)byline|author|dateline|writtenby|p-author".r
 
-  private val DefaultTagsToScore = Set("section", "h2", "h3", "h4", "h5", "h6", "p", "td", "pre")
-  private val DivToPElems = Set("blockquote", "dl", "div", "img", "ol", "p", "pre", "table", "ul")
-  private val PhrasingElems = Set("abbr", "audio", "b", "bdo", "br", "button", "cite", "code", "data",
-    "datalist", "dfn", "em", "embed", "i", "img", "input", "kbd", "label", "mark", "math", "meter",
-    "noscript", "object", "output", "progress", "q", "ruby", "samp", "script", "select", "small",
-    "span", "strong", "sub", "sup", "textarea", "time", "var", "wbr")
-  private val AlterToDivExceptions = Set("div", "article", "section", "p", "ol", "ul")
+  // membership tests are string-literal matches (hashCode lookupswitch + one
+  // equals) — these run per element in the grab walk and sibling assembly;
+  // behavior stays pinned by the byte-exact goldens + real-world specs
+  private def isDefaultTagToScore(t: String): Boolean = t match {
+    case "section" | "h2" | "h3" | "h4" | "h5" | "h6" | "p" | "td" | "pre" => true
+    case _ => false
+  }
+  private def isDivToPElem(t: String): Boolean = t match {
+    case "blockquote" | "dl" | "div" | "img" | "ol" | "p" | "pre" | "table" | "ul" => true
+    case _ => false
+  }
+  private def isPhrasingElem(t: String): Boolean = t match {
+    case "abbr" | "audio" | "b" | "bdo" | "br" | "button" | "cite" | "code" |
+        "data" | "datalist" | "dfn" | "em" | "embed" | "i" | "img" | "input" |
+        "kbd" | "label" | "mark" | "math" | "meter" | "noscript" | "object" |
+        "output" | "progress" | "q" | "ruby" | "samp" | "script" | "select" |
+        "small" | "span" | "strong" | "sub" | "sup" | "textarea" | "time" |
+        "var" | "wbr" => true
+    case _ => false
+  }
+  private def isAlterToDivException(t: String): Boolean = t match {
+    case "div" | "article" | "section" | "p" | "ol" | "ul" => true
+    case _ => false
+  }
 
   private val CharThreshold = 500
 
@@ -195,7 +212,8 @@ object Readability {
 
   // ---- prep ----
 
-  private val ScriptNoscriptStyle = Set("script", "noscript", "style")
+  private def isScriptNoscriptStyle(t: String): Boolean =
+    t == "script" || t == "noscript" || t == "style"
 
   private def prepDocument(doc: HDocument): Unit = {
     // Readability.js order: _unwrapNoscriptImages runs BEFORE _removeScripts
@@ -205,7 +223,7 @@ object Readability {
     // one traversal ≡ sequential removeAll("script"/"noscript"/"style")
     // (disjoint tag sets; nested hits detach with their ancestors either way
     // — the removeTags equivalence documented in Dom)
-    doc.removeTags(ScriptNoscriptStyle): Unit
+    doc.removeTags(isScriptNoscriptStyle _): Unit
     replaceBrs(doc)
     doc.find("font").foreach(_.replaceWithTag("span"))
   }
@@ -361,7 +379,7 @@ object Readability {
   }
 
   private def isPhrasing(e: HElement): Boolean =
-    PhrasingElems.contains(e.tag) ||
+    isPhrasingElem(e.tag) ||
       ((e.tag == "a" || e.tag == "del" || e.tag == "ins") &&
         e.children.forall {
           case c: HElement => isPhrasing(c)
@@ -436,7 +454,9 @@ object Readability {
     *    and never trimmed; the trailing-run tracker restarts after any
     *    strippable gap so it ends exactly at the trimmed string's tail.
     */
-  private[extract] def normLenCommas(e: HElement): Long = {
+  // explicit state (see TextLenState note): one allocation instead of eight
+  // boxed captured Refs, plain field accesses on the per-char path
+  private final class NlcState {
     var cnt = 0 // emitted (collapsed, pre-trim) length
     var prefixStrip = 0 // maximal emitted prefix of chars ≤ 0x20
     var allStrip = true // every emitted char so far ≤ 0x20
@@ -445,48 +465,61 @@ object Readability {
     var commaRun = 0 // comma run ending at the last solid (> 0x20) char
     var pendingSpace = false
     var started = false
-    def emit(c: Char): Unit = {
-      cnt += 1
-      if (c <= ' ') {
-        if (allStrip) prefixStrip += 1
-        tailStrip += 1
-      } else {
-        allStrip = false
-        if (c == ',') { commas += 1; commaRun = if (tailStrip > 0) 1 else commaRun + 1 }
-        else commaRun = 0
-        tailStrip = 0
-      }
-    }
-    def walk(el: HElement): Unit = {
-      var j = 0
-      val cs = el.children
-      while (j < cs.length) {
-        cs(j) match {
-          case t: HText =>
-            val s = t.data
-            var i = 0
-            while (i < s.length) {
-              val c = s.charAt(i)
-              if (isJavaWs(c)) { if (started) pendingSpace = true }
-              else {
-                if (pendingSpace) { emit(' '); pendingSpace = false }
-                emit(c)
-                started = true
+  }
+
+  private def nlcWalk(el: HElement, st: NlcState): Unit = {
+    var j = 0
+    val cs = el.children
+    while (j < cs.length) {
+      cs(j) match {
+        case t: HText =>
+          val s = t.data
+          var i = 0
+          while (i < s.length) {
+            val c = s.charAt(i)
+            if (isJavaWs(c)) { if (st.started) st.pendingSpace = true }
+            else {
+              if (st.pendingSpace) {
+                // emit(' '): always strippable — and still part of the
+                // strippable PREFIX when everything emitted so far was
+                // strippable content (e.g. a leading  before the ws run)
+                st.cnt += 1
+                if (st.allStrip) st.prefixStrip += 1
+                st.tailStrip += 1
+                st.pendingSpace = false
               }
-              i += 1
+              // emit(c): c is non-\s but may still be ≤ 0x20 (trim's strip set)
+              st.cnt += 1
+              if (c <= ' ') {
+                if (st.allStrip) st.prefixStrip += 1
+                st.tailStrip += 1
+              } else {
+                st.allStrip = false
+                if (c == ',') {
+                  st.commas += 1
+                  st.commaRun = if (st.tailStrip > 0) 1 else st.commaRun + 1
+                } else st.commaRun = 0
+                st.tailStrip = 0
+              }
+              st.started = true
             }
-          case c: HElement => walk(c)
-          case _           =>
-        }
-        j += 1
+            i += 1
+          }
+        case c: HElement => nlcWalk(c, st)
+        case _           =>
       }
+      j += 1
     }
-    walk(e)
-    val len = if (allStrip) 0 else cnt - prefixStrip - tailStrip
+  }
+
+  private[extract] def normLenCommas(e: HElement): Long = {
+    val st = new NlcState
+    nlcWalk(e, st)
+    val len = if (st.allStrip) 0 else st.cnt - st.prefixStrip - st.tailStrip
     val value =
       if (len == 0) 0
-      else if (commaRun == len) -1
-      else commas - commaRun
+      else if (st.commaRun == len) -1
+      else st.commas - st.commaRun
     (len.toLong << 32) | ((value + 1).toLong & 0xffffffffL)
   }
 
@@ -503,36 +536,45 @@ object Readability {
     * size gates) dominate readability's cost on large candidates; building
     * the full normalized string for them is O(subtree) garbage per call.
     */
-  private def normTextLen(e: HElement): Int = {
+  // explicit state object: a nested-def walk capturing mutable locals makes
+  // scalac box every captured var into a runtime Ref with a field hop per
+  // char — one small state allocation per call replaces three Refs and keeps
+  // the per-char path on plain field accesses
+  private final class TextLenState {
     var cnt = 0
     var pendingSpace = false
     var started = false
-    def walk(el: HElement): Unit = {
-      var j = 0
-      val cs = el.children
-      while (j < cs.length) {
-        cs(j) match {
-          case t: HText =>
-            val s = t.data
-            var i = 0
-            while (i < s.length) {
-              val c = s.charAt(i)
-              if (isJavaWs(c)) { if (started) pendingSpace = true }
-              else {
-                if (pendingSpace) { cnt += 1; pendingSpace = false }
-                cnt += 1
-                started = true
-              }
-              i += 1
+  }
+
+  private def normTextLenWalk(el: HElement, st: TextLenState): Unit = {
+    var j = 0
+    val cs = el.children
+    while (j < cs.length) {
+      cs(j) match {
+        case t: HText =>
+          val s = t.data
+          var i = 0
+          while (i < s.length) {
+            val c = s.charAt(i)
+            if (isJavaWs(c)) { if (st.started) st.pendingSpace = true }
+            else {
+              if (st.pendingSpace) { st.cnt += 1; st.pendingSpace = false }
+              st.cnt += 1
+              st.started = true
             }
-          case c: HElement => walk(c)
-          case _           =>
-        }
-        j += 1
+            i += 1
+          }
+        case c: HElement => normTextLenWalk(c, st)
+        case _           =>
       }
+      j += 1
     }
-    walk(e)
-    cnt
+  }
+
+  private def normTextLen(e: HElement): Int = {
+    val st = new TextLenState
+    normTextLenWalk(e, st)
+    st.cnt
   }
 
   /** class + " " + id without Option allocations (runs per element in the
@@ -554,36 +596,35 @@ object Readability {
     */
   private def normTextLenAtLeast(e: HElement, n: Int): Boolean = {
     if (n <= 0) return true
-    var cnt = 0
-    var pendingSpace = false
-    var started = false
-    def walk(el: HElement): Boolean = {
-      var j = 0
-      val cs = el.children
-      while (j < cs.length) {
-        cs(j) match {
-          case t: HText =>
-            val s = t.data
-            var i = 0
-            while (i < s.length) {
-              val c = s.charAt(i)
-              if (isJavaWs(c)) { if (started) pendingSpace = true }
-              else {
-                if (pendingSpace) { cnt += 1; pendingSpace = false }
-                cnt += 1
-                started = true
-                if (cnt >= n) return true
-              }
-              i += 1
+    val st = new TextLenState
+    normTextLenAtLeastWalk(e, n, st)
+  }
+
+  private def normTextLenAtLeastWalk(el: HElement, n: Int, st: TextLenState): Boolean = {
+    var j = 0
+    val cs = el.children
+    while (j < cs.length) {
+      cs(j) match {
+        case t: HText =>
+          val s = t.data
+          var i = 0
+          while (i < s.length) {
+            val c = s.charAt(i)
+            if (isJavaWs(c)) { if (st.started) st.pendingSpace = true }
+            else {
+              if (st.pendingSpace) { st.cnt += 1; st.pendingSpace = false }
+              st.cnt += 1
+              st.started = true
+              if (st.cnt >= n) return true
             }
-          case c: HElement => if (walk(c)) return true
-          case _           =>
-        }
-        j += 1
+            i += 1
+          }
+        case c: HElement => if (normTextLenAtLeastWalk(c, n, st)) return true
+        case _           =>
       }
-      false
+      j += 1
     }
-    walk(e)
+    false
   }
 
   private def classWeight(e: HElement, flags: Int): Double = {
@@ -655,7 +696,7 @@ object Readability {
     while (i < cs.length) {
       cs(i) match {
         case c: HElement =>
-          if (DivToPElems.contains(c.tag) || hasChildBlockElement(c)) return true
+          if (isDivToPElem(c.tag) || hasChildBlockElement(c)) return true
         case _ =>
       }
       i += 1
@@ -745,7 +786,7 @@ object Readability {
             e.tag != "body" && e.tag != "a") {
             e.remove()
           } else {
-            if (DefaultTagsToScore.contains(e.tag)) elementsToScore += e
+            if (isDefaultTagToScore(e.tag)) elementsToScore += e
             if (e.tag == "div") {
               // div wrapping a single p with no other text → unwrap
               if (hasSingleTagInside(e, "p") && linkDensity(e) < 0.25) {
@@ -881,7 +922,7 @@ object Readability {
         }
         if (append) {
           val node =
-            if (!AlterToDivExceptions.contains(s.tag)) s.replaceWithTag("div") else s
+            if (!isAlterToDivException(s.tag)) s.replaceWithTag("div") else s
           articleContent.appendChild(node)
         }
       case _ =>

@@ -235,10 +235,16 @@ final class HDocument(val preamble: Vector[HNode], val root: HElement) {
     * selectors (tag sets are disjoint; nested hits detach with their
     * ancestors either way).
     */
-  def removeTags(names: Set[String]): Int = {
+  def removeTags(names: Set[String]): Int = removeTags(names.contains _)
+
+  /** Predicate form of [[removeTags]] — hot callers pass a string-literal
+    * match (compiled to a hashCode lookupswitch) instead of paying a
+    * hash-trie Set lookup per element.
+    */
+  def removeTags(isTarget: String => Boolean): Int = {
     val hits = Vector.newBuilder[HElement]
-    if (names.contains(root.tag)) hits += root
-    root.foreachElement(e => if (names.contains(e.tag)) hits += e)
+    if (isTarget(root.tag)) hits += root
+    root.foreachElement(e => if (isTarget(e.tag)) hits += e)
     val v = hits.result()
     v.foreach(_.remove())
     v.size
