@@ -9,16 +9,33 @@ import graft.html._
   * lists, fenced code, blockquotes, `---` rules) plus GFM strikethrough,
   * tables, and task lists. The final result is TrimSpace'd by the caller
   * (processor.go:108).
+  *
+  * Rendering appends into ONE shared java.lang.StringBuilder instead of
+  * building a string per element and concatenating up the tree (the largest
+  * remaining allocation site in the extraction kernel after the readability
+  * walk fusions). Trim/emptiness decisions that the per-element strings used
+  * to provide are made on builder REGIONS ([mark, length)): render the
+  * content, then trim or roll the region back. Byte-for-byte output parity
+  * with the string-per-element formulation is pinned by MarkdownDiffSpec
+  * (a verbatim copy of the old renderer lives in the test tree as the
+  * differential oracle) plus the byte-exact goldens.
   */
 object Markdown {
 
+  private type JSB = java.lang.StringBuilder
+
   def convert(html: String): String = {
     val doc = HtmlParser.parse(html)
-    val out = renderBlocks(doc.root)
-    collapse(out).trim
+    val sb = new JSB(1024)
+    renderBlocksInto(doc.root, sb)
+    collapse(sb.toString).trim
   }
 
-  def convertElement(e: HElement): String = collapse(renderBlocks(e)).trim
+  def convertElement(e: HElement): String = {
+    val sb = new JSB(1024)
+    renderBlocksInto(e, sb)
+    collapse(sb.toString).trim
+  }
 
   // precompiled: String.replaceAll re-compiles its pattern on EVERY call,
   // and these run per block / per table cell in the extraction hot path
@@ -37,11 +54,11 @@ object Markdown {
 
   /** Blank out whitespace-only lines, then collapse 3+ newlines to 2 —
     * exactly `"(?m)^[ \t]+$" → ""` followed by `"\n{3,}" → "\n\n"` without
-    * the two regex passes (this runs per list item / blockquote / table
-    * cell AND once over the whole page; CollapseEquivalenceSpec pins it
-    * against the regex formulation on adversarial inputs). One prescan
-    * decides whether anything rewrites — the common small-call case then
-    * returns the input with zero allocation.
+    * the two regex passes (this runs per list item / blockquote AND once
+    * over the whole page; CollapseEquivalenceSpec pins it against the regex
+    * formulation on adversarial inputs). One prescan decides whether
+    * anything rewrites — the common small-call case then returns the input
+    * with zero allocation.
     */
   private[extract] def collapse(s: String): String = {
     val n = s.length
@@ -67,7 +84,7 @@ object Markdown {
     // fused rewrite: drop [ \t]-only line contents, then cap every emitted
     // '\n' run at 2 (line contents contain no terminators, so only the
     // terminator emission affects the run count)
-    val sb = new java.lang.StringBuilder(n)
+    val sb = new JSB(n)
     var nlRun = 0
     i = 0
     while (i < n) {
@@ -108,94 +125,208 @@ object Markdown {
     case _ => false
   }
 
-  private def renderBlocks(e: HElement): String = {
-    val sb = new StringBuilder
-    e.children.foreach { n => sb.append(renderNode(n)) }
-    sb.toString
+  // ---- region helpers ----
+
+  /** String.trim on the region [from, sb.length): drop chars ≤ U+0020 from
+    * both ends. Returns true iff the region is non-empty afterwards.
+    */
+  private def trimRegion(sb: JSB, from: Int): Boolean = {
+    var end = sb.length
+    while (end > from && sb.charAt(end - 1) <= ' ') end -= 1
+    sb.setLength(end)
+    var start = from
+    while (start < end && sb.charAt(start) <= ' ') start += 1
+    if (start > from) sb.delete(from, start): Unit
+    sb.length > from
   }
 
-  private def renderNode(n: HNode): String = n match {
+  /** `newlinesToSpace` on the region [from, sb.length): each '\n'-run
+    * becomes one ' ' (two-pointer compaction; fast path scans only).
+    */
+  private def newlinesToSpaceRegion(sb: JSB, from: Int): Unit = {
+    val n = sb.length
+    var i = from
+    var has = false
+    while (i < n && !has) {
+      if (sb.charAt(i) == '\n') has = true
+      i += 1
+    }
+    if (!has) return
+    var r = from
+    var w = from
+    while (r < n) {
+      val c = sb.charAt(r)
+      if (c == '\n') {
+        sb.setCharAt(w, ' ')
+        w += 1
+        r += 1
+        while (r < n && sb.charAt(r) == '\n') r += 1
+      } else {
+        sb.setCharAt(w, c)
+        w += 1
+        r += 1
+      }
+    }
+    sb.setLength(w)
+  }
+
+  // ---- block rendering ----
+
+  private def renderBlocksInto(e: HElement, sb: JSB): Unit = {
+    val cs = e.children
+    var i = 0
+    while (i < cs.length) {
+      renderNodeInto(cs(i), sb)
+      i += 1
+    }
+  }
+
+  private def renderNodeInto(n: HNode, sb: JSB): Unit = n match {
     case t: HText =>
-      if (t.data.forall(_.isWhitespace)) {
-        if (t.data.nonEmpty) " " else ""
-      } else inlineText(t.data)
-    case _: HComment => ""
-    case _: HDoctype => ""
-    case e: HElement => renderElement(e)
+      val d = t.data
+      var i = 0
+      var allWs = true
+      while (i < d.length && allWs) {
+        if (!d.charAt(i).isWhitespace) allWs = false
+        i += 1
+      }
+      if (allWs) { if (d.nonEmpty) sb.append(' '): Unit }
+      else inlineTextInto(d, sb)
+    case _: HComment => ()
+    case _: HDoctype => ()
+    case e: HElement => renderElementInto(e, sb)
   }
 
-  private def renderElement(e: HElement): String = e.tag match {
-    case "head" | "script" | "style" | "title" | "meta" | "link" | "template" => ""
-    case "html" | "body" => renderBlocks(e)
+  /** "\n\n" + inline(e).trim + "\n\n", or nothing when the trimmed content
+    * is empty (the p / dt / dd shape).
+    */
+  private def blockWrapInto(e: HElement, sb: JSB): Unit = {
+    val mark0 = sb.length
+    sb.append("\n\n")
+    val mark = sb.length
+    inlineInto(e, sb)
+    if (!trimRegion(sb, mark)) sb.setLength(mark0)
+    else sb.append("\n\n"): Unit
+  }
+
+  private def renderElementInto(e: HElement, sb: JSB): Unit = e.tag match {
+    case "head" | "script" | "style" | "title" | "meta" | "link" | "template" => ()
+    case "html" | "body" => renderBlocksInto(e, sb)
     case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
       val level = e.tag.charAt(1) - '0'
-      val text = newlinesToSpace(inline(e).trim)
-      if (text.isEmpty) "" else "\n\n" + ("#" * level) + " " + text + "\n\n"
-    case "p" =>
-      val content = inline(e).trim
-      if (content.isEmpty) "" else "\n\n" + content + "\n\n"
-    case "br" => "  \n"
-    case "hr" => "\n\n---\n\n"
+      val mark0 = sb.length
+      sb.append("\n\n")
+      var k = 0
+      while (k < level) { sb.append('#'); k += 1 }
+      sb.append(' ')
+      val mark = sb.length
+      inlineInto(e, sb)
+      // trim first, then \n-runs → spaces: same order as the string form
+      if (!trimRegion(sb, mark)) sb.setLength(mark0)
+      else {
+        newlinesToSpaceRegion(sb, mark)
+        sb.append("\n\n"): Unit
+      }
+    case "p" => blockWrapInto(e, sb)
+    case "br" => sb.append("  \n"): Unit
+    case "hr" => sb.append("\n\n---\n\n"): Unit
     case "blockquote" =>
-      val inner = collapse(renderBlocks(e)).trim
-      if (inner.isEmpty) ""
-      else "\n\n" + inner.linesIterator.map(l => TrailingWs.matcher("> " + l).replaceAll("")).mkString("\n") + "\n\n"
+      // rare block: extract the rendered region and keep the original
+      // line-by-line quoting formulation
+      val mark = sb.length
+      renderBlocksInto(e, sb)
+      val blocks = sb.substring(mark)
+      sb.setLength(mark)
+      val inner = collapse(blocks).trim
+      if (inner.nonEmpty) {
+        sb.append("\n\n")
+        sb.append(inner.linesIterator
+          .map(l => TrailingWs.matcher("> " + l).replaceAll(""))
+          .mkString("\n"))
+        sb.append("\n\n"): Unit
+      }
     case "pre" =>
-      val code = e.text.stripLineEnd
-      "\n\n```\n" + code + "\n```\n\n"
-    case "ul" | "ol" => renderList(e, ordered = e.tag == "ol")
-    case "table"     => renderTable(e)
+      sb.append("\n\n```\n").append(e.text.stripLineEnd).append("\n```\n\n"): Unit
+    case "ul" | "ol" => renderListInto(e, sb, ordered = e.tag == "ol")
+    case "table"     => renderTableInto(e, sb)
     case "figure" | "figcaption" | "address" | "fieldset" | "form" | "details" |
         "summary" | "div" | "section" | "article" | "main" | "aside" | "header" |
         "footer" | "nav" | "dl" =>
       // transparent block containers
-      renderBlocks(e)
-    case "dt" | "dd" =>
-      val content = inline(e).trim
-      if (content.isEmpty) "" else "\n\n" + content + "\n\n"
-    case _ => inlineElement(e)
+      renderBlocksInto(e, sb)
+    case "dt" | "dd" => blockWrapInto(e, sb)
+    case _ => inlineElementInto(e, sb)
   }
 
   // ---- lists ----
 
-  private def renderList(e: HElement, ordered: Boolean): String = {
-    val items = e.children.collect { case c: HElement if c.tag == "li" => c }
-    if (items.isEmpty) return ""
-    val sb = new StringBuilder("\n\n")
-    var idx = 1
-    items.foreach { li =>
-      val checkbox = li.findFirst("input[type=checkbox]")
-      val prefix =
-        if (ordered) s"$idx. "
-        else if (checkbox.isDefined) {
-          val checked = checkbox.get.attr("checked").isDefined
-          if (checked) "- [x] " else "- [ ] "
-        } else "- "
-      checkbox.foreach(_.remove())
-      val content = collapse(liContent(li)).trim
-      val indented = content.linesIterator.zipWithIndex.map {
-        case (line, 0) => prefix + line
-        case (line, _) => "    " + line
-      }.mkString("\n")
-      sb.append(indented).append('\n')
-      idx += 1
+  private def renderListInto(e: HElement, sb: JSB, ordered: Boolean): Unit = {
+    var any = false
+    val cs = e.children
+    var ci = 0
+    while (ci < cs.length && !any) {
+      cs(ci) match {
+        case c: HElement if c.tag == "li" => any = true
+        case _                            =>
+      }
+      ci += 1
     }
-    sb.append('\n')
-    sb.toString
+    if (!any) return
+    sb.append("\n\n")
+    var idx = 1
+    ci = 0
+    while (ci < cs.length) {
+      cs(ci) match {
+        case li: HElement if li.tag == "li" =>
+          val checkbox = li.findFirst("input[type=checkbox]")
+          val prefix =
+            if (ordered) s"$idx. "
+            else if (checkbox.isDefined) {
+              val checked = checkbox.get.attr("checked").isDefined
+              if (checked) "- [x] " else "- [ ] "
+            } else "- "
+          checkbox.foreach(_.remove())
+          val mark = sb.length
+          liContentInto(li, sb)
+          val raw = sb.substring(mark)
+          sb.setLength(mark)
+          val content = collapse(raw).trim
+          val it = content.linesIterator
+          var first = true
+          while (it.hasNext) {
+            val line = it.next()
+            if (first) { sb.append(prefix): Unit; first = false }
+            else { sb.append('\n').append("    "): Unit }
+            sb.append(line): Unit
+          }
+          sb.append('\n'): Unit
+          idx += 1
+        case _ =>
+      }
+      ci += 1
+    }
+    sb.append('\n'): Unit
   }
 
-  private def liContent(li: HElement): String = {
-    val sb = new StringBuilder
-    li.children.foreach {
-      case t: HText => sb.append(renderNode(t))
-      case c: HElement if c.tag == "ul" || c.tag == "ol" =>
-        sb.append("\n").append(renderList(c, ordered = c.tag == "ol").trim).append("\n")
-      case c: HElement if isBlockTag(c.tag) =>
-        sb.append(renderElement(c))
-      case c: HElement => sb.append(inlineElement(c))
-      case _           =>
+  private def liContentInto(li: HElement, sb: JSB): Unit = {
+    val cs = li.children
+    var i = 0
+    while (i < cs.length) {
+      cs(i) match {
+        case t: HText => renderNodeInto(t, sb)
+        case c: HElement if c.tag == "ul" || c.tag == "ol" =>
+          sb.append('\n')
+          val mark = sb.length
+          renderListInto(c, sb, ordered = c.tag == "ol")
+          trimRegion(sb, mark): Unit
+          sb.append('\n'): Unit
+        case c: HElement if isBlockTag(c.tag) =>
+          renderElementInto(c, sb)
+        case c: HElement => inlineElementInto(c, sb)
+        case _           =>
+      }
+      i += 1
     }
-    sb.toString
   }
 
   // ---- tables (GFM) ----
@@ -215,22 +346,22 @@ object Markdown {
     * byte-parity oracle. Revisit against the real library if it ever
     * becomes consultable.
     */
-  private def renderTable(e: HElement): String = {
+  private def renderTableInto(e: HElement, sb: JSB): Unit = {
     val rows = e.find("tr")
-    if (rows.isEmpty) return ""
+    if (rows.isEmpty) return
     def cells(tr: HElement): Vector[(String, String)] =
       tr.children.collect {
         case c: HElement if c.tag == "td" || c.tag == "th" =>
           (c.tag, newlinesToSpace(inline(c).trim).replace("|", "\\|"))
       }.toVector
     val allRows = rows.map(cells).filter(_.nonEmpty)
-    if (allRows.isEmpty) return ""
+    if (allRows.isEmpty) return
     val headerIsTh = allRows.head.forall(_._1 == "th")
     val nCols = allRows.map(_.size).max
-    val sb = new StringBuilder("\n\n")
+    sb.append("\n\n")
     def emitRow(r: Vector[(String, String)]): Unit = {
       val padded = r.map(_._2).padTo(nCols, "")
-      sb.append("| ").append(padded.mkString(" | ")).append(" |\n")
+      sb.append("| ").append(padded.mkString(" | ")).append(" |\n"): Unit
     }
     if (headerIsTh) {
       emitRow(allRows.head)
@@ -242,66 +373,99 @@ object Markdown {
       sb.append("|").append(" --- |" * nCols).append("\n")
       allRows.foreach(emitRow)
     }
-    sb.append('\n')
-    sb.toString
+    sb.append('\n'): Unit
   }
 
   // ---- inline ----
 
-  /** Inline content of an element (children only). */
+  /** Inline content of an element (children only) as a string — kept for
+    * the table-cell path, which needs per-cell strings for padding.
+    */
   private def inline(e: HElement): String = {
-    val sb = new StringBuilder
-    e.children.foreach {
-      case t: HText => sb.append(renderNode(t))
-      case c: HElement if isBlockTag(c.tag) =>
-        // block inside inline context: render and keep separation
-        sb.append(renderElement(c))
-      case c: HElement => sb.append(inlineElement(c))
-      case _           =>
-    }
+    val sb = new JSB
+    inlineInto(e, sb)
     sb.toString
   }
 
-  private def inlineElement(e: HElement): String = e.tag match {
-    case "strong" | "b" =>
-      val c = inline(e).trim
-      if (c.isEmpty) "" else s"**$c**"
-    case "em" | "i" =>
-      val c = inline(e).trim
-      if (c.isEmpty) "" else s"*$c*"
-    case "del" | "s" | "strike" =>
-      val c = inline(e).trim
-      if (c.isEmpty) "" else s"~~$c~~"
+  private def inlineInto(e: HElement, sb: JSB): Unit = {
+    val cs = e.children
+    var i = 0
+    while (i < cs.length) {
+      cs(i) match {
+        case t: HText => renderNodeInto(t, sb)
+        case c: HElement if isBlockTag(c.tag) =>
+          // block inside inline context: render and keep separation
+          renderElementInto(c, sb)
+        case c: HElement => inlineElementInto(c, sb)
+        case _           =>
+      }
+      i += 1
+    }
+  }
+
+  /** pre + inline(e).trim + post, or nothing when the trimmed content is
+    * empty (the strong/em/del shape).
+    */
+  private def wrapInlineInto(e: HElement, sb: JSB, pre: String, post: String): Unit = {
+    val mark0 = sb.length
+    sb.append(pre)
+    val mark = sb.length
+    inlineInto(e, sb)
+    if (!trimRegion(sb, mark)) sb.setLength(mark0)
+    else sb.append(post): Unit
+  }
+
+  private def inlineElementInto(e: HElement, sb: JSB): Unit = e.tag match {
+    case "strong" | "b"         => wrapInlineInto(e, sb, "**", "**")
+    case "em" | "i"             => wrapInlineInto(e, sb, "*", "*")
+    case "del" | "s" | "strike" => wrapInlineInto(e, sb, "~~", "~~")
     case "code" | "kbd" | "samp" | "tt" =>
       val c = e.text
-      if (c.isEmpty) "" else s"`$c`"
+      if (!c.isEmpty) sb.append('`').append(c).append('`'): Unit
     case "a" =>
-      val href = e.attr("href").getOrElse("")
-      val text = inline(e).trim
-      val title = e.attr("title").map(t => s""" "$t"""").getOrElse("")
-      if (href.isEmpty) text
-      else if (text.isEmpty) ""
-      else s"[$text](${href.replace(" ", "%20")}$title)"
+      val href0 = e.attrOrNull("href")
+      val mark = sb.length
+      if (href0 == null || href0.isEmpty) {
+        // no href → the trimmed text stands bare
+        inlineInto(e, sb)
+        trimRegion(sb, mark): Unit
+      } else {
+        inlineInto(e, sb)
+        if (!trimRegion(sb, mark)) sb.setLength(mark) // empty text → nothing
+        else {
+          sb.insert(mark, '[')
+          sb.append("](").append(href0.replace(" ", "%20"))
+          val title = e.attrOrNull("title")
+          if (title != null) sb.append(" \"").append(title).append('"')
+          sb.append(')'): Unit
+        }
+      }
     case "img" =>
-      val src = e.attr("src").getOrElse("")
-      val alt = e.attr("alt").getOrElse("")
-      val title = e.attr("title").map(t => s""" "$t"""").getOrElse("")
-      if (src.isEmpty) "" else s"![$alt](${src.replace(" ", "%20")}$title)"
-    case "br" => "  \n"
+      val src = e.attrOrNull("src")
+      if (src != null && !src.isEmpty) {
+        val alt = e.attrOrNull("alt")
+        sb.append("![")
+        if (alt != null) sb.append(alt)
+        sb.append("](").append(src.replace(" ", "%20"))
+        val title = e.attrOrNull("title")
+        if (title != null) sb.append(" \"").append(title).append('"')
+        sb.append(')'): Unit
+      }
+    case "br" => sb.append("  \n"): Unit
     case "span" | "font" | "u" | "small" | "big" | "abbr" | "cite" | "q" |
         "sub" | "sup" | "time" | "mark" | "label" | "picture" =>
-      inline(e)
+      inlineInto(e, sb)
     case "input" | "textarea" | "select" | "button" | "iframe" | "object" |
-        "embed" | "video" | "audio" | "source" | "svg" | "canvas" | "noscript" => ""
-    case _ => inline(e)
+        "embed" | "video" | "audio" | "source" | "svg" | "canvas" | "noscript" => ()
+    case _ => inlineInto(e, sb)
   }
 
   /** Whitespace-collapse inline text like an HTML renderer would —
-    * exactly `replaceAll("\\s+", " ")` (Java's ASCII \s set) without the
-    * regex; the fast path (nothing to rewrite) costs one scan and no
-    * allocation. Runs per text node of every page.
+    * exactly `replaceAll("\\s+", " ")` (Java's ASCII \s set) appended into
+    * `sb`; the fast path (nothing to rewrite) costs one scan and a single
+    * bulk append. Runs per text node of every page.
     */
-  private def inlineText(s: String): String = {
+  private def inlineTextInto(s: String, sb: JSB): Unit = {
     @inline def ws(c: Char): Boolean =
       c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
     val n = s.length
@@ -315,21 +479,19 @@ object Markdown {
       prevWs = w
       i += 1
     }
-    if (!rewrite) return s
-    val sb = new java.lang.StringBuilder(n)
+    if (!rewrite) { sb.append(s): Unit; return }
     i = 0
     prevWs = false
     while (i < n) {
       val c = s.charAt(i)
       if (ws(c)) {
-        if (!prevWs) sb.append(' ')
+        if (!prevWs) sb.append(' '): Unit
         prevWs = true
       } else {
-        sb.append(c)
+        sb.append(c): Unit
         prevWs = false
       }
       i += 1
     }
-    sb.toString
   }
 }

@@ -571,7 +571,7 @@ object Readability {
     }
   }
 
-  private def normTextLen(e: HElement): Int = {
+  private[extract] def normTextLen(e: HElement): Int = {
     val st = new TextLenState
     normTextLenWalk(e, st)
     st.cnt
@@ -654,18 +654,138 @@ object Readability {
     base + classWeight(e, flags)
   }
 
-  private def linkDensity(e: HElement): Double = {
-    val textLen = normTextLen(e)
-    if (textLen == 0) return 0
-    var linkLen = 0.0
-    @inline def addA(a: HElement): Unit = {
-      val href = a.attrOrNull("href")
-      val coeff = if (href != null && href.startsWith("#")) 0.3 else 1.0
-      linkLen += normTextLen(a) * coeff
+  /** State for the fused linkDensity walk: the outer standalone
+    * normalization count for `e` plus a stack of standalone counts for every
+    * OPEN `a` (each `a`'s count must equal normTextLen(a) computed on its
+    * own — fresh collapse state at entry — exactly as the per-a walks it
+    * replaces). Contributions are summed in a-ENTRY order at the end so the
+    * floating-point accumulation order matches the old pre-order
+    * foreachElement formulation bit for bit.
+    */
+  private final class LdState {
+    var cnt = 0
+    var pendingSpace = false
+    var started = false
+    var aDepth = 0
+    var nA = 0
+    var aCnt = new Array[Int](4)
+    var aPending = new Array[Boolean](4)
+    var aStarted = new Array[Boolean](4)
+    var aCoeff = new Array[Double](4)
+    var aSlot = new Array[Int](4)
+    var contrib = new Array[Double](8)
+    def pushA(coeff: Double): Unit = {
+      if (aDepth == aCnt.length) {
+        aCnt = java.util.Arrays.copyOf(aCnt, aDepth * 2)
+        aPending = java.util.Arrays.copyOf(aPending, aDepth * 2)
+        aStarted = java.util.Arrays.copyOf(aStarted, aDepth * 2)
+        aCoeff = java.util.Arrays.copyOf(aCoeff, aDepth * 2)
+        aSlot = java.util.Arrays.copyOf(aSlot, aDepth * 2)
+      }
+      if (nA == contrib.length) contrib = java.util.Arrays.copyOf(contrib, nA * 2)
+      aCnt(aDepth) = 0
+      aPending(aDepth) = false
+      aStarted(aDepth) = false
+      aCoeff(aDepth) = coeff
+      aSlot(aDepth) = nA
+      nA += 1
+      aDepth += 1
     }
-    if (e.tag == "a") addA(e)
-    e.foreachElement(el => if (el.tag == "a") addA(el))
-    linkLen / textLen
+    def popA(): Unit = {
+      aDepth -= 1
+      contrib(aSlot(aDepth)) = aCnt(aDepth) * aCoeff(aDepth)
+    }
+    def linkLen: Double = {
+      var sum = 0.0
+      var k = 0
+      while (k < nA) { sum += contrib(k); k += 1 }
+      sum
+    }
+  }
+
+  private def ldWalk(el: HElement, st: LdState): Unit = {
+    var j = 0
+    val cs = el.children
+    while (j < cs.length) {
+      cs(j) match {
+        case t: HText =>
+          val s = t.data
+          var i = 0
+          while (i < s.length) {
+            val c = s.charAt(i)
+            if (isJavaWs(c)) {
+              if (st.started) st.pendingSpace = true
+              var k = 0
+              while (k < st.aDepth) {
+                if (st.aStarted(k)) st.aPending(k) = true
+                k += 1
+              }
+            } else {
+              if (st.pendingSpace) { st.cnt += 1; st.pendingSpace = false }
+              st.cnt += 1
+              st.started = true
+              var k = 0
+              while (k < st.aDepth) {
+                if (st.aPending(k)) { st.aCnt(k) += 1; st.aPending(k) = false }
+                st.aCnt(k) += 1
+                st.aStarted(k) = true
+                k += 1
+              }
+            }
+            i += 1
+          }
+        case c: HElement =>
+          if (c.tag == "a") {
+            val href = c.attrOrNull("href")
+            st.pushA(if (href != null && href.startsWith("#")) 0.3 else 1.0)
+            ldWalk(c, st)
+            st.popA()
+          } else ldWalk(c, st)
+        case _ =>
+      }
+      j += 1
+    }
+  }
+
+  /** True iff the subtree holds an `a` element (tag-only early-exit scan —
+    * much cheaper than any char-level walk).
+    */
+  private def hasDescendantA(e: HElement): Boolean = {
+    var i = 0
+    val cs = e.children
+    while (i < cs.length) {
+      cs(i) match {
+        case c: HElement => if (c.tag == "a" || hasDescendantA(c)) return true
+        case _           =>
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** linkLen/textLen over normalized standalone counts. Two exact
+    * accelerations of the previous (normTextLen(e) + per-a normTextLen)
+    * formulation, which dominated kernel CPU via repeated char-level
+    * subtree walks per candidate:
+    *  - link-free fast path: no `a` in the subtree ⇒ every per-a term is
+    *    absent and the result is 0 regardless of textLen (0/n and the
+    *    textLen==0 guard both yield 0.0) — decided by a tag-only scan;
+    *  - one fused walk otherwise (LdState), instead of one full walk for
+    *    textLen plus one per `a`. Pinned by LinkDensitySpec against the
+    *    two-walk formulation (exact Double equality, FP order preserved).
+    */
+  private[extract] def linkDensity(e: HElement): Double = {
+    if (e.tag != "a" && !hasDescendantA(e)) return 0
+    val st = new LdState
+    if (e.tag == "a") {
+      val href = e.attrOrNull("href")
+      st.pushA(if (href != null && href.startsWith("#")) 0.3 else 1.0)
+      ldWalk(e, st)
+      st.popA()
+    } else ldWalk(e, st)
+    val textLen = st.cnt
+    if (textLen == 0) return 0
+    st.linkLen / textLen
   }
 
   private def hasAncestorTag(e: HElement, tag: String, maxDepth: Int = 3): Boolean = {

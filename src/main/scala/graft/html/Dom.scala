@@ -32,7 +32,9 @@ final class HElement(val tag: String) extends HNode {
   // attrs are lazily allocated: most elements carry none, and the buffer +
   // backing array were the largest per-element allocations in the parse path
   private[this] var _attrs: ArrayBuffer[(String, String)] = null
-  val children: ArrayBuffer[HNode] = ArrayBuffer.empty
+  // initial capacity 4, not ArrayBuffer's default 16: the buffer is
+  // allocated per element and most elements have few children
+  val children: ArrayBuffer[HNode] = new ArrayBuffer[HNode](4)
 
   def attrs: ArrayBuffer[(String, String)] = {
     if (_attrs == null) _attrs = new ArrayBuffer[(String, String)](4)
