@@ -366,11 +366,20 @@ object WaveCrawler {
     val sorted =
       df.repartitionByRange(math.max(1, numParts), sortCols: _*)
         .sortWithinPartitions(sortCols: _*)
-    val schema = sorted.schema
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ idx)
+    if (numParts <= 1) {
+      // one partition ⇒ monotonically_increasing_id IS the dense 0-based
+      // index in sort order (partition 0's record number occupies the low
+      // bits, so ids are exactly 0..n-1): stays in Tungsten/codegen, no
+      // RDD round trip and no per-row Row.toSeq re-encode — the sort task
+      // is the crawl's serial bottleneck, so its per-row cost is wall time
+      sorted.withColumn(idxName, monotonically_increasing_id())
+    } else {
+      val schema = sorted.schema
+      val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+        Row.fromSeq(row.toSeq :+ idx)
+      }
+      spark.createDataFrame(rdd, schema.add(StructField(idxName, LongType, nullable = false)))
     }
-    spark.createDataFrame(rdd, schema.add(StructField(idxName, LongType, nullable = false)))
   }
 
   // ---- sharded Bloom seen-segments (no driver-side filter, ever) ----------
@@ -525,7 +534,19 @@ object WaveCrawler {
           .groupBy($"url").agg(min($"line_no").as("first_line"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         dedupTmp = df
-        withGlobalIndex(df, "seq", $"first_line".asc)
+        val nRows = df.count() // also the global index's sizing count
+        val sortParts = nParts(spark, nRows)
+        val indexed = withGlobalIndexN(df, "seq", sortParts, $"first_line".asc)
+        // the single-sort path leaves ONE output partition, which would run
+        // the hostname UDF and the frontier checkpoint serialization as one
+        // serial task (and feed the wave's join from one partition). seq is
+        // already assigned — partitioning is value-irrelevant from here — so
+        // respread by the per-row-work sizing (cachePartsFor, same constant
+        // as the extract-task sizing) when the sort was narrower than that.
+        // At scale the sort is already wide and this is skipped entirely.
+        val workParts = cachePartsFor(spark, nRows)
+        val spread = if (sortParts < workParts) indexed.repartition(workParts) else indexed
+        spread
           .select($"url",
             udf((u: String) => UrlNorm.hostnameOf(u)).apply($"url").as("host"),
             lit(0).as("depth"), $"seq")

@@ -31,6 +31,7 @@ object CrawlTimer {
     val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val jobTasks = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
     val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    val jobDescs = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val detail = sys.env.get("SPARK_GRAFT_TIMER").exists(_.contains("detail"))
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -39,13 +40,21 @@ object CrawlTimer {
           jobStarts.put(j.jobId, System.nanoTime())
           jobTasks.put(j.jobId, new java.util.concurrent.atomic.AtomicLong)
           j.stageIds.foreach(s => stageToJob.put(s, j.jobId))
+          val stageName =
+            if (j.stageInfos.nonEmpty) j.stageInfos.maxBy(_.stageId).name else ""
+          val desc =
+            if (j.properties != null)
+              j.properties.getProperty("spark.job.description", stageName)
+            else stageName
+          jobDescs.put(j.jobId, if (desc == null) "" else desc)
         }
       }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         if (detail) {
           val t0 = jobStarts.getOrDefault(j.jobId, 0L)
           val n = Option(jobTasks.get(j.jobId)).map(_.get()).getOrElse(0L)
-          System.err.println(f"[job ${j.jobId}%3d] ${(System.nanoTime() - t0) / 1e6}%8.1f ms  tasks=$n")
+          val desc = jobDescs.getOrDefault(j.jobId, "")
+          System.err.println(f"[job ${j.jobId}%3d] ${(System.nanoTime() - t0) / 1e6}%8.1f ms  tasks=$n  $desc")
         }
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
