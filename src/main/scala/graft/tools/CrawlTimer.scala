@@ -51,9 +51,10 @@ object CrawlTimer {
       }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         if (detail) {
-          val t0 = jobStarts.getOrDefault(j.jobId, 0L)
-          val n = Option(jobTasks.get(j.jobId)).map(_.get()).getOrElse(0L)
-          val desc = jobDescs.getOrDefault(j.jobId, "")
+          // evict: bounds all three per-job maps on long crawls
+          val t0 = jobStarts.remove(j.jobId) // 0L when absent (unboxed null)
+          val n = Option(jobTasks.remove(j.jobId)).map(_.get()).getOrElse(0L)
+          val desc = Option(jobDescs.remove(j.jobId)).getOrElse("")
           System.err.println(f"[job ${j.jobId}%3d] ${(System.nanoTime() - t0) / 1e6}%8.1f ms  tasks=$n  $desc")
         }
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
